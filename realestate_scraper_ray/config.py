@@ -1,0 +1,137 @@
+"""Engine + synthetic-portal configuration.
+
+Mirrors the reference's pydantic-settings surface
+(``/root/reference/scrapper/config.py:29-65``) but as plain dataclasses:
+the engine is configured programmatically, not via env vars.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# The 16 voivodeship slugs used as crawl partitions by the reference
+# (/root/reference/scrapper/cli.py:31-48).
+VOIVODESHIPS: tuple[str, ...] = (
+    "dolnoslaskie", "kujawsko-pomorskie", "lubelskie", "lubuskie",
+    "lodzkie", "malopolskie", "mazowieckie", "opolskie",
+    "podkarpackie", "podlaskie", "pomorskie", "slaskie",
+    "swietokrzyskie", "warminsko-mazurskie", "wielkopolskie",
+    "zachodniopomorskie",
+)
+
+SOURCES: tuple[str, ...] = ("otodom", "gratka", "morizon", "trojmiasto")
+
+# Listing-page sizes per source. Otodom uses limit=72
+# (/root/reference/scrapper/adapters/otodom.py:491); the others are
+# engine-chosen constants of similar magnitude.
+PAGE_SIZE: dict[str, int] = {
+    "otodom": 72,
+    "gratka": 32,
+    "morizon": 35,
+    "trojmiasto": 30,
+}
+
+# Host-share skew: Otodom dominates the frontier (BASELINE.json north_star).
+# Expressed as pages-per-region multipliers in the synthetic portal.
+SOURCE_WEIGHT: dict[str, float] = {
+    "otodom": 4.0,
+    "gratka": 1.0,
+    "morizon": 1.0,
+    "trojmiasto": 0.7,
+}
+
+# Fields required for an offer row to survive the completeness gate
+# (REQ_FIELDS, /root/reference/scrapper/pipelines/detail.py:21).
+REQ_FIELDS: tuple[str, ...] = (
+    "price_amount", "city", "area_m2", "rooms", "lat", "lon",
+    "offer_id", "source",
+)
+
+# The narrow 11-column offer schema actually used by the reference
+# (OFFER_SCHEMA, /root/reference/scrapper/pipelines/detail.py:22).
+OFFER_COLUMNS: tuple[str, ...] = (
+    "offer_id", "source", "url", "price_amount", "price_currency",
+    "price_per_m2", "city", "lat", "lon", "area_m2", "rooms",
+)
+
+
+@dataclass(frozen=True)
+class PortalConfig:
+    """Deterministic synthetic-portal topology (FIXTURES.md F1).
+
+    Every page of the portal is a pure function of its URL and this
+    config — the fetch stage can *render* a page procedurally, which is
+    how the engine stays memory-free at any scale (no giant lookup
+    table; a real-HTTP fetcher slots into the same interface).
+    """
+
+    seed: int = 42
+    sources: tuple[str, ...] = SOURCES
+    regions: tuple[str, ...] = VOIVODESHIPS
+    # listing pages per (source, region) before weighting; the actual
+    # count is deterministic per region within [3, base_pages].
+    base_pages: int = 6
+    # shrink factor on PAGE_SIZE (tests use <1 to keep portals tiny)
+    page_size_scale: float = 1.0
+    # fraction knobs (deterministic per-URL hash buckets, /1000)
+    inquiry_per_mille: int = 30     # morizon "Zapytaj o cenę" pages → null prices
+    missing_geo_per_mille: int = 50  # pages without lat/lon → REQ_FIELDS drop
+    investment_per_mille: int = 40   # otodom listing links that are investment pages
+    robots_blocked_per_mille: int = 20  # links under a robots-disallowed path
+    investment_units: int = 5
+    max_photos: int = 8
+    # overlap: each listing page re-links this many offers from the
+    # previous page (exercises the URL-seen filter, dedup.py:16-27)
+    overlap_links: int = 2
+    # the last `tail_repeat_pages` pages of each region contain only
+    # already-seen offers → triggers the reference's "no_new twice in a
+    # row" auto-stop (morizon.py:697-709, gratka.py:788-800)
+    tail_repeat_pages: int = 2
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Engine runtime knobs (reference analogues cited inline)."""
+
+    max_pages: int | None = None        # --max-pages (otodom.py:485-487)
+    limit_offers: int | None = None     # --limit (stream.py:145-149)
+    limit_photos: int | None = None     # --limit-photos (photos.py:71-75)
+    # politeness: per-host requests/sec budget (config.py:10 default 0.3;
+    # the reference's limiter is process-global & host-oblivious — ours is
+    # per-host, which is what lets throughput scale with host-parallelism)
+    rps_per_host: float = 1e9           # effectively off for synthetic fetch
+    politeness_shards: int = 4
+    # URL-seen service
+    urlseen_shards: int = 8
+    urlseen_capacity: int = 1 << 17     # keys per shard (test scale)
+    fingerprint_bits: int = 32          # 32-bit fp → FP rate ~2e-9 (exactness)
+    # fetch stage sizing
+    fetch_batch_size: int = 256
+    fetch_concurrency: int = 8
+    # per-URL retry attempts before emitting a fetch_fail row
+    # (tenacity: 5 attempts, http.py:51-62)
+    fetch_attempts: int = 5
+    # failure injection (per-mille of pages that fail `fail_depth` times
+    # before succeeding; fail_depth > fetch_attempts → hard fetch_fail)
+    fail_per_mille: int = 0
+    fail_depth: int = 2
+    # checkpointing
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 1           # generations between checkpoints
+    robots: bool = True
+
+
+@dataclass
+class CrawlStats:
+    """Per-run counters (analogue of the stats dicts merged at
+    /root/reference/scrapper/pipelines/run.py:76-87)."""
+
+    pages_fetched: int = 0
+    pages_failed: int = 0
+    offers_parsed: int = 0
+    offers_dropped: int = 0
+    links_discovered: int = 0
+    links_new: int = 0
+    generations: int = 0
+    extras: dict = field(default_factory=dict)

@@ -1,0 +1,371 @@
+"""Deterministic synthetic portal — the crawl substrate (FIXTURES.md F1).
+
+Every page is a *pure function* of its canonical URL + ``PortalConfig``:
+``render(url) -> [span, ...]`` where a span is
+``{kind: 'text'|'link'|'image', text, media_ref, offset}`` — the
+interleaved text+media document shape from ``BASELINE.json.input_hint``.
+Because rendering is procedural, the fetch stage needs no lookup table at
+any scale; ``write_documents`` materializes the same pages as a parquet
+``(doc_id, spans)`` table when a table-backed fetcher or span-equality
+test needs one.
+
+Page topology mirrors the reference's portals (citations into
+``/root/reference/``):
+  - listing pages with ``page_size`` offer links + a next-page link
+    (otodom ``limit=72&page=N``, otodom.py:491)
+  - per-page overlap re-links (exercises the URL-seen set, dedup.py:16-27)
+  - tail pages with only already-seen offers → the "no_new twice" stop
+    (morizon.py:697-709) — or an empty page → "no_links" stop
+    (morizon.py:681-685)
+  - otodom investment pages expanded depth-first with internal
+    pagination (otodom.py:539-604)
+  - inquiry-price offers with no price spans (morizon.py:314-319)
+  - missing-geo offers that fail REQ_FIELDS (detail.py:21)
+  - robots-disallowed '/private/...' links (north_rule adds robots
+    handling, absent in the reference)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from ..config import PAGE_SIZE, SOURCE_WEIGHT, PortalConfig
+from ..schemas import DOCUMENTS
+
+# ---------------------------------------------------------------------------
+# stable hashing (process-independent, seeded)
+# ---------------------------------------------------------------------------
+
+
+def _h64(seed: int, *key: object) -> int:
+    b = hashlib.sha1(("%d|" % seed + "|".join(map(str, key))).encode()).digest()
+    return int.from_bytes(b[:8], "big")
+
+
+def _unit(seed: int, *key: object) -> float:
+    return _h64(seed, *key) / 2.0**64
+
+
+# offer-field names emitted as text spans (subset of the reference Offer
+# model, validate.py:9-50, that feeds the 11-column OFFER_SCHEMA)
+TEXT_FIELDS = (
+    "offer_id", "source", "title", "price_amount", "price_currency",
+    "price_per_m2", "city", "lat", "lon", "area_m2", "rooms", "posted_at",
+)
+
+
+def span(kind: str, text: str = "", media_ref: str = "", offset: int = 0) -> dict:
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+_LISTING_RE = re.compile(
+    r"^https://(?:(?P<region>[a-z-]+)\.(?P<source>otodom|gratka|morizon)\.pl"
+    r"|(?P<tm>ogloszenia\.trojmiasto\.pl))"
+    r"(?:/pl/wyniki/sprzedaz/mieszkanie/[a-z-]+|/nieruchomosci/(?P<tmr>[a-z-]+)|/mieszkania)"
+    r"\?(?:limit=\d+&)?(?:page|strona)=(?P<page>\d+)$"
+)
+_OFFER_RE = re.compile(
+    r"^https://(?:[a-z-]+\.(?:otodom|gratka|morizon)\.pl|ogloszenia\.trojmiasto\.pl)"
+    r"(?P<private>/private)?/(?:pl/oferta|oferta|nieruchomosci)/mieszkanie-"
+    r"(?P<region>[a-z-]+)-(?P<k>\d+)(?:-ID|-mzn|-ogl|/ob/)(?P<oid>\d+)$"
+)
+_INVEST_RE = re.compile(
+    r"^https://(?P<region>[a-z-]+)\.otodom\.pl/pl/inwestycja/osiedle-"
+    r"(?P<k>\d+)-ID(?P<oid>\d+)(?:\?page=(?P<page>\d+))?$"
+)
+
+INVEST_UNIT_BASE = 5_000_000  # unit offers live in a disjoint k-space
+
+
+@dataclass(frozen=True)
+class PageRef:
+    kind: str          # listing | offer | investment | blocked | void
+    source: str = ""
+    region: str = ""
+    page: int = 0
+    k: int = 0
+    oid: str = ""
+
+
+class Portal:
+    def __init__(self, cfg: PortalConfig | None = None):
+        self.cfg = cfg or PortalConfig()
+
+    # -- URL grammar --------------------------------------------------------
+
+    def host(self, source: str, region: str) -> str:
+        if source == "trojmiasto":
+            return "ogloszenia.trojmiasto.pl"
+        return f"{region}.{source}.pl"
+
+    def listing_url(self, source: str, region: str, page: int) -> str:
+        h = self.host(source, region)
+        if source == "otodom":
+            return f"https://{h}/pl/wyniki/sprzedaz/mieszkanie/{region}?limit=72&page={page}"
+        if source == "trojmiasto":
+            return f"https://{h}/nieruchomosci/{region}?strona={page}"
+        return f"https://{h}/mieszkania?page={page}"
+
+    def oid(self, source: str, region: str, k: int) -> str:
+        si = self.cfg.sources.index(source) + 1
+        ri = self.cfg.regions.index(region)
+        return f"{si}{ri:02d}{k:07d}"
+
+    def offer_url(self, source: str, region: str, k: int, private: bool = False) -> str:
+        h = self.host(source, region)
+        oid = self.oid(source, region, k)
+        p = "/private" if private else ""
+        if source == "otodom":
+            return f"https://{h}{p}/pl/oferta/mieszkanie-{region}-{k}-ID{oid}"
+        if source == "morizon":
+            return f"https://{h}{p}/oferta/mieszkanie-{region}-{k}-mzn{oid}"
+        if source == "gratka":
+            return f"https://{h}{p}/nieruchomosci/mieszkanie-{region}-{k}/ob/{oid}"
+        return f"https://{h}{p}/nieruchomosci/mieszkanie-{region}-{k}-ogl{oid}"
+
+    def investment_url(self, region: str, k: int, page: int = 1) -> str:
+        oid = "9" + self.oid("otodom", region, k)
+        base = f"https://{region}.otodom.pl/pl/inwestycja/osiedle-{k}-ID{oid}"
+        return base if page == 1 else f"{base}?page={page}"
+
+    def classify(self, url: str) -> PageRef:
+        m = _OFFER_RE.match(url)
+        if m:
+            kind = "blocked" if m.group("private") else "offer"
+            oid = m.group("oid")
+            si = int(oid[0]) - 1
+            if 0 <= si < len(self.cfg.sources):
+                return PageRef(kind, self.cfg.sources[si], m.group("region"),
+                               0, int(m.group("k")), oid)
+            return PageRef("void")
+        m = _INVEST_RE.match(url)
+        if m:
+            return PageRef("investment", "otodom", m.group("region"),
+                           int(m.group("page") or 1), int(m.group("k")), m.group("oid"))
+        m = _LISTING_RE.match(url)
+        if m:
+            if m.group("tm"):
+                return PageRef("listing", "trojmiasto", m.group("tmr"), int(m.group("page")))
+            return PageRef("listing", m.group("source"), m.group("region"), int(m.group("page")))
+        return PageRef("void")
+
+    # -- topology -----------------------------------------------------------
+
+    def page_size(self, source: str) -> int:
+        return max(3, int(PAGE_SIZE[source] * self.cfg.page_size_scale))
+
+    def content_pages(self, source: str, region: str) -> int:
+        c = self.cfg
+        w = SOURCE_WEIGHT[source]
+        u = _unit(c.seed, "npages", source, region)
+        return max(2, int(round(c.base_pages * w * (0.7 + 0.6 * u))))
+
+    def tail_mode(self, source: str, region: str) -> str:
+        """'no_new' → cp is followed by ≥2 all-repeat pages; 'no_links' →
+        page cp+1 is empty."""
+        return "no_new" if _h64(self.cfg.seed, "tail", source, region) % 2 == 0 else "no_links"
+
+    def seeds(self) -> list[dict]:
+        return [
+            {"url": self.listing_url(s, r, 1), "source": s, "region": r,
+             "kind": "pagination", "priority": 0, "page_idx": 0, "pos": 0}
+            for s in self.cfg.sources
+            for r in self.cfg.regions
+        ]
+
+    def robots_txt(self, host: str) -> str:
+        return "User-agent: *\nDisallow: /private\n"
+
+    # -- per-offer facts ----------------------------------------------------
+
+    def _bucket(self, tag: str, *key: object) -> int:
+        return _h64(self.cfg.seed, tag, *key) % 1000
+
+    def offer_facts(self, source: str, region: str, k: int) -> dict:
+        """Deterministic ground-truth fields for offer (source, region, k)."""
+        c = self.cfg
+        oid = self.oid(source, region, k)
+        u = lambda tag: _unit(c.seed, tag, oid)  # noqa: E731
+        price = round(200_000 + u("price") * 1_800_000, -3)
+        true_area = round(20 + u("area") * 130, 1)
+        ppm2 = round(price / true_area, 2)
+        rooms = 1 + _h64(c.seed, "rooms", oid) % 6
+        lat = round(49.0 + u("lat") * 5.9, 6)
+        lon = round(14.0 + u("lon") * 10.5, 6)
+        n_photos = _h64(c.seed, "nph", oid) % (c.max_photos + 1)
+        b = self._bucket("variant", oid)
+        return {
+            "oid": oid,
+            "price": price,
+            "true_area": true_area,
+            "ppm2": ppm2,
+            "rooms": rooms,
+            "lat": lat,
+            "lon": lon,
+            "city": region.split("-")[0].capitalize(),
+            "n_photos": n_photos,
+            # variants (disjoint hash buckets):
+            "inquiry": source == "morizon" and b < c.inquiry_per_mille,
+            "missing_geo": c.inquiry_per_mille <= b < c.inquiry_per_mille + c.missing_geo_per_mille,
+            # ppm2 omitted → engine derives it (M19, morizon.py:573-579)
+            "omit_ppm2": 100 <= b < 180,
+            # emitted area off by +20% → area-correction rule fires
+            # (morizon.py:581-593: |area - price/ppm2| / (price/ppm2) > 0.08)
+            "bad_area": 180 <= b < 240,
+            # currency emitted lowercase → validator upper-cases
+            # (validate.py:42-45)
+            "lower_currency": 240 <= b < 300,
+            # a duplicate photo URL in the gallery → keep-first dedup
+            # (otodom.py:775-785)
+            "dup_photo": n_photos >= 2 and 300 <= b < 380,
+            # posted_at in Polish 'dd.mm.yyyy HH:MM' format half the time
+            "polish_date": b % 2 == 0,
+        }
+
+    def photo_url(self, source: str, oid: str, seq: int) -> str:
+        return f"https://img.{source}.pl/{oid}/{seq}.jpg"
+
+    # -- rendering ----------------------------------------------------------
+
+    def render(self, url: str) -> list[dict] | None:
+        """Render a page's spans; None for unknown/blocked pages."""
+        ref = self.classify(url)
+        if ref.kind == "listing":
+            return self._render_listing(ref)
+        if ref.kind == "offer":
+            return self._render_offer(ref)
+        if ref.kind == "investment":
+            return self._render_investment(ref)
+        return None
+
+    def _link_target(self, source: str, region: str, k: int) -> str:
+        """What a listing-card link for fresh offer k points at: a plain
+        offer, an investment page (otodom), or a robots-blocked copy."""
+        c = self.cfg
+        b = self._bucket("ltype", source, region, k)
+        if source == "otodom" and b < c.investment_per_mille:
+            return self.investment_url(region, k)
+        if b >= 1000 - c.robots_blocked_per_mille:
+            return self.offer_url(source, region, k, private=True)
+        return self.offer_url(source, region, k)
+
+    def _render_listing(self, ref: PageRef) -> list[dict]:
+        c = self.cfg
+        s, r, p = ref.source, ref.region, ref.page
+        cp = self.content_pages(s, r)
+        mode = self.tail_mode(s, r)
+        ps = self.page_size(s)
+        spans: list[dict] = []
+        pos = 0
+
+        def links_of_page(page: int) -> list[str]:
+            lo, hi = (page - 1) * ps, page * ps
+            return [self._link_target(s, r, k) for k in range(lo, hi)]
+
+        if p <= cp:
+            # overlap re-links from the previous page first (dup exercise)
+            if p > 1 and c.overlap_links:
+                for u in links_of_page(p - 1)[-c.overlap_links:]:
+                    spans.append(span("link", media_ref=u, offset=pos)); pos += 1
+            for u in links_of_page(p):
+                spans.append(span("link", media_ref=u, offset=pos)); pos += 1
+        elif mode == "no_new" and p <= cp + 3:
+            for u in links_of_page(cp):  # all already seen
+                spans.append(span("link", media_ref=u, offset=pos)); pos += 1
+        else:
+            return []  # empty page → 'no_links' stop
+
+        spans.append(span("link", media_ref=self.listing_url(s, r, p + 1), offset=pos))
+        return spans
+
+    def _render_offer(self, ref: PageRef) -> list[dict]:
+        f = self.offer_facts(ref.source, ref.region, ref.k)
+        spans: list[dict] = []
+        off = 0
+
+        def text(field: str, value: object):
+            nonlocal off
+            spans.append(span("text", text=f"{field}={value}", offset=off))
+            off += 1
+
+        text("offer_id", f["oid"])
+        text("source", ref.source)
+        text("title", f"Mieszkanie {f['city']} {f['rooms']} pok. {f['true_area']} m2")
+        if f["inquiry"]:
+            text("inquiry", 1)  # 'Zapytaj o cenę' → no price spans
+        else:
+            text("price_amount", f"{f['price']:.0f} zł")
+            text("price_currency", "pln" if f["lower_currency"] else "PLN")
+            if not f["omit_ppm2"]:
+                text("price_per_m2", f"{f['ppm2']} zł/m2")
+        text("city", f["city"])
+        if not f["missing_geo"]:
+            text("lat", f["lat"])
+            text("lon", f["lon"])
+        area = round(f["true_area"] * 1.2, 1) if f["bad_area"] else f["true_area"]
+        text("area_m2", f"{area} m²")
+        text("rooms", f["rooms"])
+        if f["polish_date"]:
+            text("posted_at", "15.01.2026 12:30")
+        else:
+            text("posted_at", "2026-01-15T12:30:00")
+
+        urls = [self.photo_url(ref.source, f["oid"], i) for i in range(f["n_photos"])]
+        if f["dup_photo"]:
+            urls.append(urls[0])  # duplicate → dropped keep-first
+        for seq, u in enumerate(urls):
+            spans.append(span("image", media_ref=u, offset=seq))
+        return spans
+
+    def _render_investment(self, ref: PageRef) -> list[dict]:
+        c = self.cfg
+        per_page = 3
+        units = [INVEST_UNIT_BASE + ref.k * 10 + u for u in range(c.investment_units)]
+        lo = (ref.page - 1) * per_page
+        chunk = units[lo:lo + per_page]
+        spans = [
+            span("link", media_ref=self.offer_url("otodom", ref.region, uk), offset=i)
+            for i, uk in enumerate(chunk)
+        ]
+        if lo + per_page < len(units):
+            spans.append(span("link", media_ref=self.investment_url(ref.region, ref.k, ref.page + 1),
+                              offset=len(chunk)))
+        return spans
+
+    # -- materialization (the Lance/parquet documents table) ---------------
+
+    def all_urls(self) -> list[str]:
+        """Every fetchable page URL of the portal (crawl-reachable set)."""
+        out: list[str] = []
+        for s in self.cfg.sources:
+            for r in self.cfg.regions:
+                cp = self.content_pages(s, r)
+                last = cp + (3 if self.tail_mode(s, r) == "no_new" else 1)
+                ps = self.page_size(s)
+                for p in range(1, last + 1):
+                    out.append(self.listing_url(s, r, p))
+                for k in range(cp * ps):
+                    t = self._link_target(s, r, k)
+                    tref = self.classify(t)
+                    if tref.kind == "offer":
+                        out.append(t)
+                    elif tref.kind == "investment":
+                        out.append(t)
+                        out.append(self.investment_url(r, k, 2))
+                        for u in range(self.cfg.investment_units):
+                            out.append(self.offer_url("otodom", r, INVEST_UNIT_BASE + k * 10 + u))
+        return out
+
+    def documents_table(self, urls: list[str] | None = None) -> pa.Table:
+        urls = urls if urls is not None else self.all_urls()
+        spans = [self.render(u) or [] for u in urls]
+        return pa.Table.from_pydict({"doc_id": urls, "spans": spans}, schema=DOCUMENTS)
+
+    def write_documents(self, path: str) -> None:
+        import pyarrow.parquet as pq
+
+        pq.write_table(self.documents_table(), path)

@@ -1,0 +1,306 @@
+"""Fetch + parse stage: the actor-pool `map_batches` workhorse.
+
+One callable class = one actor pool (`ds.map_batches(FetchParse,
+concurrency=N, batch_size=B)`): per-actor state (robots cache,
+politeness client, portal/config) is built once in ``__init__``; each
+``__call__`` fetches + parses one Arrow batch of frontier rows and
+returns a combined Arrow table of typed records
+(link / offer / photo / pagemeta), distinguished by ``rec_kind``.
+
+Fetching here renders the deterministic synthetic portal (a pure
+function of the URL — see sources/synth_portal.py); a real-HTTP
+deployment swaps ``self._fetch`` for an httpx session per actor with
+the same retry envelope (5 attempts — the reference's tenacity policy,
+/root/reference/scrapper/core/http.py:51-62). Failures never raise:
+they emit ``status='fetch_fail'`` pagemeta rows so page-granular resume
+semantics match the reference (cli.py:799-806).
+
+Parsing mirrors the reference's extractor chain, re-expressed over
+spans with batch-vectorized numeric coercion (numpy / polars kernels):
+  - link extraction + classification (M11, otodom.py:497-534)
+  - per-page keep-first link dedup (D2, otodom.py:421-429)
+  - robots '/private' exclusion (north_rule addition)
+  - offer field merge, first-wins (M31, otodom.py:628-665)
+  - inquiry-price null-out (M20, morizon.py:314-319, 529-541)
+  - derived price / >8 % area correction (M19, morizon.py:573-593)
+  - Poland bbox geo gate (M18, morizon.py:23)
+  - currency upper-case (validate.py:42-45)
+  - REQ_FIELDS completeness gate (M22, detail.py:21,30-31)
+  - photo keep-first dedup + 0-based seq (D3/M25, otodom.py:775-785)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import REQ_FIELDS, CrawlConfig, PortalConfig
+from ..functions.urls import coerce_float, host_of
+from ..sources.synth_portal import Portal
+from ..state.politeness import PolitenessService, parse_robots, path_allowed
+
+COMBINED_SCHEMA = pa.schema([
+    ("rec_kind", pa.string()),       # 'link' | 'offer' | 'photo' | 'pagemeta'
+    ("url", pa.string()),
+    ("kind", pa.string()),           # link: pagination|investment|investment_next|detail
+    ("priority", pa.int32()),
+    ("source", pa.string()),
+    ("region", pa.string()),
+    ("page_idx", pa.int32()),
+    ("pos", pa.int32()),
+    ("offer_id", pa.string()),
+    ("price_amount", pa.float64()),
+    ("price_currency", pa.string()),
+    ("price_per_m2", pa.float64()),
+    ("city", pa.string()),
+    ("lat", pa.float64()),
+    ("lon", pa.float64()),
+    ("area_m2", pa.float64()),
+    ("rooms", pa.int32()),
+    ("seq", pa.int32()),
+    ("status", pa.string()),         # pagemeta: ok|empty|fetch_fail
+    ("n_links", pa.int32()),
+    ("fetch_kind", pa.string()),     # pagemeta: pagination|investment|detail
+])
+
+PRIORITY = {"pagination": 0, "investment": 1, "investment_next": 1, "detail": 2}
+
+
+def _round2(x: np.ndarray) -> np.ndarray:
+    return np.round(x, 2)
+
+
+_PROCESS_CACHE: dict[str, "FetchParse"] = {}
+
+
+def make_fetch_fn(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig,
+                  politeness: "PolitenessService | None" = None):
+    """Stateless-task adapter around :class:`FetchParse` with
+    per-worker-process state caching.
+
+    The crawl generation loop launches one Ray Data execution per wave;
+    a `map_batches(Cls, concurrency=N)` actor pool would be torn down
+    and respawned every wave (actor startup ≫ wave compute for small
+    waves). Ray worker *processes* persist across executions, so caching
+    the stage state in a module global gives the same amortization —
+    setup once per worker — without per-wave actor churn. A long-lived
+    streaming deployment (single execution) would use the actor-pool
+    form directly: ``map_batches(FetchParse, fn_constructor_args=...)``.
+    """
+    key = repr((portal_cfg, crawl_cfg))
+
+    def fetch_parse(batch: pa.Table) -> pa.Table:
+        fp = _PROCESS_CACHE.get(key)
+        if fp is None:
+            fp = _PROCESS_CACHE[key] = FetchParse(portal_cfg, crawl_cfg, politeness)
+        return fp(batch)
+
+    return fetch_parse
+
+
+class FetchParse:
+    def __init__(self, portal_cfg: PortalConfig, crawl_cfg: CrawlConfig,
+                 politeness: PolitenessService | None = None):
+        self.portal = Portal(portal_cfg)
+        self.cfg = crawl_cfg
+        self.politeness = politeness
+        self._robots: dict[str, list[str]] = {}  # host → Disallow prefixes
+
+    # -- fetch (synthetic render + deterministic failure injection) ---------
+
+    def _fail_depth(self, url: str) -> int:
+        if not self.cfg.fail_per_mille:
+            return 0
+        b = int.from_bytes(hashlib.sha1(("fail|" + url).encode()).digest()[:8], "big") % 1000
+        return self.cfg.fail_depth if b < self.cfg.fail_per_mille else 0
+
+    def _fetch(self, url: str) -> list[dict] | None:
+        """Returns spans or None on hard fetch failure. The retry loop is
+        the in-actor analogue of the reference's tenacity policy."""
+        depth = self._fail_depth(url)
+        for attempt in range(1, self.cfg.fetch_attempts + 1):
+            if attempt > depth:
+                return self.portal.render(url)
+        return None
+
+    def _disallowed(self, url: str) -> bool:
+        if not self.cfg.robots:
+            return False
+        host = host_of(url)
+        if host not in self._robots:
+            self._robots[host] = parse_robots(self.portal.robots_txt(host))
+        return not path_allowed(url, self._robots[host])
+
+    # -- the batch transform -------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.select(["url", "kind", "source", "region", "page_idx", "pos"]).to_pylist()
+
+        if self.politeness is not None and self.cfg.rps_per_host < 1e8:
+            per_host: dict[str, int] = {}
+            for r in rows:
+                h = host_of(r["url"])
+                per_host[h] = per_host.get(h, 0) + 1
+            for h, n in per_host.items():
+                self.politeness.acquire(h, n)
+
+        out: dict[str, list] = {name: [] for name in COMBINED_SCHEMA.names}
+        # batched offer-page payloads, coerced vectorized after the loop
+        offer_ctx: list[dict] = []
+        offer_raw: dict[str, list] = {k: [] for k in (
+            "offer_id", "source", "title", "price_amount", "price_currency",
+            "price_per_m2", "city", "lat", "lon", "area_m2", "rooms", "inquiry")}
+        offer_photos: list[list[str]] = []
+
+        def emit(rec_kind: str, **kv):
+            for name in COMBINED_SCHEMA.names:
+                out[name].append(kv.get(name))
+            out["rec_kind"][-1] = rec_kind
+
+        for r in rows:
+            url, kind = r["url"], r["kind"]
+            spans = self._fetch(url)
+            if spans is None:
+                emit("pagemeta", url=url, source=r["source"], region=r["region"],
+                     page_idx=r["page_idx"], pos=r["pos"], status="fetch_fail",
+                     n_links=0, fetch_kind="pagination" if kind == "pagination" else
+                     ("investment" if kind.startswith("investment") else "detail"))
+                continue
+            if kind == "pagination" or kind.startswith("investment"):
+                self._parse_link_page(r, spans, emit)
+            else:
+                self._collect_offer(r, spans, offer_ctx, offer_raw, offer_photos)
+                emit("pagemeta", url=url, source=r["source"], region=r["region"],
+                     page_idx=r["page_idx"], pos=r["pos"], status="ok",
+                     n_links=0, fetch_kind="detail")
+
+        self._emit_offers(offer_ctx, offer_raw, offer_photos, emit)
+        return pa.Table.from_pydict(out, schema=COMBINED_SCHEMA)
+
+    # -- link pages ----------------------------------------------------------
+
+    def _parse_link_page(self, r: dict, spans: list[dict], emit) -> None:
+        portal = self.portal
+        url, kind = r["url"], r["kind"]
+        links = sorted((s for s in spans if s["kind"] == "link"), key=lambda s: s["offset"])
+        emit("pagemeta", url=url, source=r["source"], region=r["region"],
+             page_idx=r["page_idx"], pos=r["pos"],
+             status="ok" if links else "empty", n_links=len(links),
+             fetch_kind="pagination" if kind == "pagination" else "investment")
+        local_seen: set[str] = set()
+        is_invest = kind.startswith("investment")
+        inv_page = portal.classify(url).page if is_invest else 0
+        provenance = "investment" if is_invest else "pagination"
+        for s in links:
+            target = s["media_ref"]
+            ref = portal.classify(target)
+            if ref.kind == "listing":
+                emit("link", url=target, kind="pagination", priority=0,
+                     source=r["source"], region=r["region"],
+                     page_idx=r["page_idx"] + 1, pos=0, fetch_kind=provenance)
+                continue
+            if ref.kind == "blocked" or (ref.kind != "void" and self._disallowed(target)):
+                continue
+            if target in local_seen:
+                continue  # per-page keep-first (D2)
+            local_seen.add(target)
+            if ref.kind == "investment":
+                if "?page=" in target:  # internal pagination: bypass URL-seen
+                    emit("link", url=target, kind="investment_next", priority=1,
+                         source=r["source"], region=r["region"],
+                         page_idx=r["page_idx"], pos=r["pos"], fetch_kind=provenance)
+                else:
+                    emit("link", url=target, kind="investment", priority=1,
+                         source=r["source"], region=r["region"],
+                         page_idx=r["page_idx"], pos=s["offset"], fetch_kind=provenance)
+            elif ref.kind == "offer":
+                if is_invest:
+                    pos = r["pos"] * 10000 + (inv_page - 1) * 100 + s["offset"] + 1
+                else:
+                    pos = s["offset"] * 10000
+                emit("link", url=target, kind="detail", priority=2,
+                     source=r["source"], region=r["region"],
+                     page_idx=r["page_idx"], pos=pos, fetch_kind=provenance)
+
+    # -- offer pages ---------------------------------------------------------
+
+    def _collect_offer(self, r: dict, spans: list[dict], ctx: list[dict],
+                       raw: dict[str, list], photos: list[list[str]]) -> None:
+        fields: dict[str, str] = {}
+        purls: list[str] = []
+        pseen: set[str] = set()
+        for s in sorted(spans, key=lambda s: s["offset"]):
+            if s["kind"] == "text":
+                k, _, v = s["text"].partition("=")
+                fields.setdefault(k, v)  # first-wins merge (M31)
+            elif s["kind"] == "image":
+                if s["media_ref"] not in pseen:
+                    pseen.add(s["media_ref"])
+                    purls.append(s["media_ref"])
+        ctx.append(r)
+        for k in raw:
+            raw[k].append(fields.get(k))
+        photos.append(purls)
+
+    def _emit_offers(self, ctx: list[dict], raw: dict[str, list],
+                     photos: list[list[str]], emit) -> None:
+        if not ctx:
+            return
+        n = len(ctx)
+        price = np.array([coerce_float(v) if v is not None else np.nan
+                          for v in raw["price_amount"]], dtype=np.float64)
+        ppm2 = np.array([coerce_float(v) if v is not None else np.nan
+                         for v in raw["price_per_m2"]], dtype=np.float64)
+        area = np.array([coerce_float(v) if v is not None else np.nan
+                         for v in raw["area_m2"]], dtype=np.float64)
+        lat = np.array([float(v) if v is not None else np.nan for v in raw["lat"]])
+        lon = np.array([float(v) if v is not None else np.nan for v in raw["lon"]])
+        rooms = np.array([int(v) if v is not None else -1 for v in raw["rooms"]])
+        inquiry = np.array([v is not None for v in raw["inquiry"]])
+        cur = [(c.upper() if c else None) for c in raw["price_currency"]]
+
+        # inquiry-price gate: null all price fields (M20)
+        price[inquiry] = np.nan
+        ppm2[inquiry] = np.nan
+        cur = [None if q else c for q, c in zip(inquiry, cur)]
+        # derive ppm2 = round(price/area, 2) when missing (M19)
+        d = np.isnan(ppm2) & ~np.isnan(price) & ~np.isnan(area) & (area > 0)
+        ppm2[d] = _round2(price[d] / area[d])
+        # area correction when emitted area is >8 % off price/ppm2 (M19)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            implied = price / ppm2
+            c = (~d & ~np.isnan(ppm2) & ~np.isnan(price) & (ppm2 > 0)
+                 & ~np.isnan(area) & (np.abs(area - implied) / implied > 0.08))
+        area[c] = _round2(implied[c])
+        # Poland bbox gate (M18)
+        bad_geo = ~((lat >= 49.0) & (lat <= 54.9) & (lon >= 14.0) & (lon <= 24.5))
+        lat[bad_geo] = np.nan
+        lon[bad_geo] = np.nan
+
+        cap = self.cfg.limit_photos
+        for i in range(n):
+            offer = {
+                "offer_id": raw["offer_id"][i], "source": raw["source"][i],
+                "city": raw["city"][i],
+                "price_amount": None if np.isnan(price[i]) else float(price[i]),
+                "price_currency": cur[i],
+                "price_per_m2": None if np.isnan(ppm2[i]) else float(ppm2[i]),
+                "lat": None if np.isnan(lat[i]) else float(lat[i]),
+                "lon": None if np.isnan(lon[i]) else float(lon[i]),
+                "area_m2": None if np.isnan(area[i]) else float(area[i]),
+                "rooms": None if rooms[i] < 0 else int(rooms[i]),
+            }
+            if any(offer.get(f) is None for f in REQ_FIELDS):
+                continue  # completeness gate (M22)
+            r = ctx[i]
+            emit("offer", url=r["url"], source=offer["source"], region=r["region"],
+                 page_idx=r["page_idx"], pos=r["pos"], **{
+                     k: offer[k] for k in (
+                         "offer_id", "price_amount", "price_currency", "price_per_m2",
+                         "city", "lat", "lon", "area_m2", "rooms")})
+            purls = photos[i][:cap] if cap is not None else photos[i]
+            for seq, pu in enumerate(purls):
+                emit("photo", url=pu, offer_id=offer["offer_id"], seq=seq,
+                     source=offer["source"], region=r["region"])

@@ -1,0 +1,95 @@
+"""Per-host politeness: token-bucket shard actors + robots.txt cache.
+
+The reference's limiter is process-global and host-oblivious
+(/root/reference/scrapper/core/http.py:11-21, min_interval = 1/rps,
+default 0.3 rps — config.py:10). Here the budget is **per host** (the
+north_rule politeness model): hosts hash onto a small pool of async
+token-bucket actors; a fetch task asks ``acquire(host, n)`` before
+issuing n requests to that host and sleeps for the returned delay.
+Adding workers therefore never raises per-host pressure — extra
+parallelism only helps across hosts, which is exactly the property that
+makes throughput scale with the host count (SURVEY.md §7.5).
+
+Robots handling (north_rule addition; the reference has none): a
+per-fetcher-actor cache of parsed Disallow prefixes, one fetch of
+robots.txt per host per actor.
+"""
+
+from __future__ import annotations
+
+import time
+
+import ray
+
+
+@ray.remote(num_cpus=0.25)
+class PolitenessShard:
+    """Token buckets for the hosts hashed onto this shard.
+
+    Logical-clock buckets: ``free_at[host]`` is the monotonic time the
+    host's next request slot opens. ``acquire(host, n)`` books n slots
+    at ``1/rps`` spacing and returns how long the caller must sleep
+    before issuing the first one — the actor itself never sleeps, so one
+    shard serves many hosts without blocking.
+    """
+
+    def __init__(self, rps_per_host: float, burst: int = 1):
+        self.interval = 1.0 / rps_per_host
+        self.burst = max(1, burst)
+        self.free_at: dict[str, float] = {}
+
+    def acquire(self, host: str, n: int) -> float:
+        now = time.monotonic()
+        free = self.free_at.get(host, now)
+        free = max(free, now - self.burst * self.interval)  # cap accrued burst
+        self.free_at[host] = free + n * self.interval
+        return max(0.0, free - now)
+
+    def snapshot(self) -> dict[str, float]:
+        return dict(self.free_at)
+
+
+class PolitenessService:
+    def __init__(self, n_shards: int, rps_per_host: float, burst: int = 1):
+        self.n = n_shards
+        self.rps = rps_per_host
+        self.shards = [PolitenessShard.remote(rps_per_host, burst) for _ in range(n_shards)]
+
+    def shard_for(self, host: str) -> "ray.actor.ActorHandle":
+        return self.shards[hash(host) % self.n]  # in-process routing only
+
+    def acquire(self, host: str, n: int) -> float:
+        """Blocking helper: books n slots, sleeps the mandated delay."""
+        if self.rps >= 1e8:
+            return 0.0  # politeness disabled (synthetic fetch)
+        import zlib
+
+        shard = self.shards[zlib.crc32(host.encode()) % self.n]
+        delay = ray.get(shard.acquire.remote(host, n))
+        if delay > 0:
+            time.sleep(delay)
+        return delay
+
+
+def parse_robots(text: str) -> list[str]:
+    """Minimal robots.txt: Disallow prefixes for User-agent: * groups."""
+    prefixes: list[str] = []
+    active = False
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            active = val == "*"
+        elif key == "disallow" and active and val:
+            prefixes.append(val)
+    return prefixes
+
+
+def path_allowed(url: str, prefixes: list[str]) -> bool:
+    i = url.find("://")
+    j = url.find("/", i + 3 if i >= 0 else 0)
+    path = url[j:] if j >= 0 else "/"
+    return not any(path.startswith(p) for p in prefixes)

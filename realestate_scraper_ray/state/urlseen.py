@@ -1,0 +1,98 @@
+"""Sharded URL-seen service: cuckoo-filter partition actors.
+
+The crawl-frontier dedup path (north_rule): canonicalize URL →
+sha1 → 64-bit key → shard ``key % n_shards`` → per-shard
+``contains_and_add`` (test-and-set, batch-atomic inside the actor).
+Replaces the reference's process-local ``DedupeSet``
+(/root/reference/scrapper/core/dedup.py:16-37) with partition affinity:
+the same URL always lands on the same shard, so first-seen-wins holds
+under full parallelism. Each shard checkpoints its filter bytes for
+resume (FIXTURES.md F6 ``filter_bytes``).
+
+Keys are sha1-based — stable across processes/machines/restarts (never
+use process-seeded hashes for a persisted filter).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+def url_keys(urls: list[str] | pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """sha1(url)[:8] → uint64 keys (vector over a batch)."""
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        urls = urls.to_pylist()
+    out = np.empty(len(urls), dtype=np.uint64)
+    sha1 = hashlib.sha1
+    for i, u in enumerate(urls):
+        out[i] = int.from_bytes(sha1(u.encode()).digest()[:8], "big")
+    return out
+
+
+@ray.remote(num_cpus=0.25)
+class UrlSeenShard:
+    """One cuckoo-filter partition. num_cpus=0.25: shards are mostly
+    idle between RPCs; four shards share one core without starving the
+    fetch pool."""
+
+    def __init__(self, capacity: int, fp_bits: int = 32):
+        self.filter = CuckooFilter(capacity, fp_bits)
+
+    def contains_and_add(self, keys: np.ndarray) -> np.ndarray:
+        return self.filter.contains_and_add(keys)
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        return self.filter.contains(keys)
+
+    def count(self) -> int:
+        return self.filter.count
+
+    def dump(self) -> bytes:
+        return self.filter.dump()
+
+    def restore(self, blob: bytes) -> None:
+        self.filter = CuckooFilter.restore(blob)
+
+
+class UrlSeenService:
+    """Driver/stage-side client over the shard actors."""
+
+    def __init__(self, n_shards: int, capacity_per_shard: int, fp_bits: int = 32):
+        self.n = n_shards
+        self.shards = [
+            UrlSeenShard.remote(capacity_per_shard, fp_bits) for _ in range(n_shards)
+        ]
+
+    def filter_new(self, urls: list[str] | pa.Array) -> np.ndarray:
+        """Batched test-and-set across shards; returns the 'is new' mask
+        in input order."""
+        keys = url_keys(urls)
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        shard_of = (keys % np.uint64(self.n)).astype(np.int64)
+        seen = np.zeros(keys.size, dtype=bool)
+        futs, idxs = [], []
+        for s in range(self.n):
+            idx = np.nonzero(shard_of == s)[0]
+            if idx.size:
+                futs.append(self.shards[s].contains_and_add.remote(keys[idx]))
+                idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            seen[idx] = res
+        return ~seen
+
+    def counts(self) -> list[int]:
+        return ray.get([s.count.remote() for s in self.shards])
+
+    def dump(self) -> list[bytes]:
+        return ray.get([s.dump.remote() for s in self.shards])
+
+    def restore(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.n
+        ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])

@@ -1,0 +1,111 @@
+"""Engine vs sequential oracle: the BASELINE.md correctness gate.
+
+Asserts (north_rule invariants):
+  (a) URL-seen set equality (frontier dedup semantics)
+  (b) crawl-order equality on (source, region, page_idx, pos)
+  (c) offers table equality (full 11-col rows + order keys)
+  (d) per-offer span-sequence equality (kind, text, media_ref, order)
+      via the photos table + offer field values
+  (e) per-region stop reasons / last_page_done equality
+"""
+
+import pandas as pd
+import pytest
+
+from realestate_scraper_ray.config import CrawlConfig
+from realestate_scraper_ray.pipelines.crawl import run_crawl
+from realestate_scraper_ray.pipelines.oracle import crawl_oracle
+
+CRAWL = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                    fetch_batch_size=64, fetch_concurrency=2,
+                    politeness_shards=2)
+
+
+@pytest.fixture(scope="module")
+def run(small_portal, tmp_path_factory, ray_session):
+    workdir = str(tmp_path_factory.mktemp("crawl"))
+    engine = run_crawl(small_portal.cfg, CRAWL, workdir)
+    oracle = crawl_oracle(small_portal, CRAWL)
+    return engine, oracle, small_portal
+
+
+def _key_sorted(df, cols=("source", "region", "page_idx", "pos")):
+    return df.sort_values(list(cols)).reset_index(drop=True)
+
+
+def test_url_seen_set_equality(run):
+    engine, oracle, _ = run
+    got = set(engine.table("urls")["offer_url"].to_pylist())
+    assert got == {r["offer_url"] for r in oracle.urls}
+
+
+def test_crawl_order_equality(run):
+    # The oracle's sequential emission order is reproduced by sorting on
+    # the explicit order keys (source, region, page_idx, pos) — the
+    # engine carries those keys through every shuffle (SURVEY.md §7.5).
+    engine, oracle, portal = run
+    got = _key_sorted(engine.table("urls").to_pandas())
+    exp = _key_sorted(pd.DataFrame(oracle.urls))
+    assert got["offer_url"].tolist() == exp["offer_url"].tolist()
+    assert got["page_idx"].tolist() == exp["page_idx"].tolist()
+    assert got["pos"].tolist() == exp["pos"].tolist()
+    assert got["offer_id"].tolist() == exp["offer_id"].tolist()
+
+
+def test_oracle_emission_order_is_key_order(run):
+    # sanity: within each (source, region), the oracle's sequential
+    # emission order equals the (page_idx, pos) sort order, so the sorted
+    # comparison above really is a crawl-order check
+    _, oracle, _ = run
+    per = {}
+    for r in oracle.urls:
+        per.setdefault((r["source"], r["region"]), []).append(
+            (r["page_idx"], r["pos"]))
+    for keys in per.values():
+        assert keys == sorted(keys)
+
+
+def test_offers_table_equality(run):
+    engine, oracle, _ = run
+    got = _key_sorted(engine.table("offers").to_pandas())
+    exp = _key_sorted(pd.DataFrame(oracle.offers))
+    assert len(got) == len(exp)
+    for col in ("offer_id", "source", "url", "price_amount", "price_currency",
+                "price_per_m2", "city", "lat", "lon", "area_m2", "rooms"):
+        pd.testing.assert_series_equal(
+            got[col], exp[col].astype(got[col].dtype), check_names=False,
+            obj=col)
+
+
+def test_span_sequence_equality(run):
+    # photos.csv (offer_id, seq, url) rows: ordered media spans per offer
+    engine, oracle, _ = run
+    got = engine.table("photos").to_pandas().sort_values(
+        ["offer_id", "seq"]).reset_index(drop=True)
+    exp = pd.DataFrame(oracle.photos).sort_values(
+        ["offer_id", "seq"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["offer_id"].tolist() == exp["offer_id"].tolist()
+    assert got["seq"].tolist() == exp["seq"].tolist()
+    assert got["url"].tolist() == exp["url"].tolist()
+    # seq is 0-based and dense per offer
+    first = got.groupby("offer_id")["seq"].min()
+    assert (first == 0).all()
+
+
+def test_region_stop_state_equality(run):
+    engine, oracle, _ = run
+    for key, est in engine.state.items():
+        s, r = key.split("|")
+        ost = oracle.state[(s, r)]
+        assert est["stop_reason"] == ost["stop_reason"], key
+        assert est["last_page_done"] == ost["last_page_done"], key
+        assert est["fetched"] == ost["fetched"], key
+        assert est["parsed"] == ost["parsed"], key
+
+
+def test_metrics_totals(run):
+    engine, oracle, _ = run
+    assert engine.offers == len(oracle.offers)
+    assert engine.pages_fetched == sum(
+        st["fetched"] for st in oracle.state.values())

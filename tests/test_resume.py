@@ -1,0 +1,69 @@
+"""Checkpoint / resume: kill mid-crawl, restart, byte-identical outputs
+(FIXTURES.md F6; reference resume semantics cli.py:706-816)."""
+
+import pandas as pd
+import pytest
+
+from realestate_scraper_ray.config import CrawlConfig, PortalConfig
+from realestate_scraper_ray.pipelines.crawl import latest_checkpoint_gen, run_crawl
+
+PCFG = PortalConfig(regions=("pomorskie", "mazowieckie"), base_pages=2,
+                    page_size_scale=0.12)
+CCFG = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14, fetch_batch_size=64)
+
+
+def _tables(res):
+    out = {}
+    for name in ("urls", "offers", "photos"):
+        df = res.table(name).to_pandas()
+        out[name] = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return out
+
+
+def test_kill_and_resume_byte_identical(tmp_path, ray_session):
+    full = run_crawl(PCFG, CCFG, str(tmp_path / "full"))
+    killed_dir = str(tmp_path / "killed")
+    part = run_crawl(PCFG, CCFG, killed_dir, stop_after_generations=3)
+    assert part.generations == 3
+    assert latest_checkpoint_gen(killed_dir) == 2
+    resumed = run_crawl(PCFG, CCFG, killed_dir, resume=True)
+
+    ft, rt = _tables(full), _tables(resumed)
+    for name in ("urls", "offers", "photos"):
+        pd.testing.assert_frame_equal(ft[name], rt[name], obj=name)
+    assert resumed.state == full.state
+
+
+def test_fetch_fail_regions_resume(tmp_path, ray_session):
+    # inject hard failures → some regions end fetch_fail → resume with a
+    # healthy fetcher completes them (reference retry rounds,
+    # cli.py:731-816)
+    wd = str(tmp_path / "wd")
+    fail_cfg = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                           fetch_batch_size=64, fail_per_mille=120, fail_depth=9)
+    r1 = run_crawl(PCFG, fail_cfg, wd)
+    failed = [k for k, v in r1.state.items() if v["stop_reason"] == "fetch_fail"]
+    if not failed:
+        pytest.skip("failure injection hit no listing page at this size")
+    r2 = run_crawl(PCFG, CCFG, wd, resume=True)
+    assert all(v["stop_reason"] != "fetch_fail" for v in r2.state.values())
+    # every region reached a terminal stop reason
+    assert all(v["stop_reason"] in ("no_links", "no_new", "max_pages")
+               for v in r2.state.values())
+    # resumed run discovered at least as much as the crippled one
+    assert r2.table("urls").num_rows >= r1.table("urls").num_rows
+
+
+def test_transient_failures_are_retried_in_stage(tmp_path, ray_session):
+    # fail_depth < fetch_attempts → the in-actor retry loop succeeds and
+    # the crawl result is identical to a failure-free run
+    wd_a = str(tmp_path / "a")
+    wd_b = str(tmp_path / "b")
+    transient = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                            fetch_batch_size=64, fail_per_mille=200,
+                            fail_depth=2, fetch_attempts=5)
+    ra = run_crawl(PCFG, transient, wd_a)
+    rb = run_crawl(PCFG, CCFG, wd_b)
+    ta, tb = _tables(ra), _tables(rb)
+    for name in ("urls", "offers", "photos"):
+        pd.testing.assert_frame_equal(ta[name], tb[name], obj=name)

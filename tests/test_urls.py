@@ -1,0 +1,75 @@
+"""Unit tests for the URL kernel library (scalar vs vectorized agreement)."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from realestate_scraper_ray.functions.urls import (
+    canonicalize_urls, coerce_float, coerce_floats, extract_offer_ids,
+    host_of, normalize_url, offer_id_of, parse_polish_dates, slugify,
+    split_host,
+)
+
+
+def test_normalize_url_semantics():
+    # dedup.py:7-14: strip fragment, rstrip path '/', sort query params
+    assert normalize_url("https://x.pl/a/b/?b=2&a=1#frag") == "https://x.pl/a/b?a=1&b=2"
+    assert normalize_url("https://x.pl/") == "https://x.pl"
+    assert normalize_url("https://x.pl/a?z=1") == "https://x.pl/a?z=1"
+    assert normalize_url("https://x.pl/a") == "https://x.pl/a"
+
+
+@given(st.lists(st.from_regex(
+    r"https://[a-z]{1,8}\.pl(/[a-z0-9]{1,6}){0,3}/?(\?([a-z]=[0-9]&){0,3}[a-z]=[0-9])?(#[a-z]{0,4})?",
+    fullmatch=True), min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_canonicalize_vectorized_matches_scalar(urls):
+    vec = canonicalize_urls(urls).to_pylist()
+    assert vec == [normalize_url(u) for u in urls]
+
+
+def test_split_host():
+    urls = ["https://a.otodom.pl/x/y", "https://img.gratka.pl/1.jpg?x=1"]
+    assert split_host(urls).to_pylist() == ["a.otodom.pl", "img.gratka.pl"]
+    assert [host_of(u) for u in urls] == ["a.otodom.pl", "img.gratka.pl"]
+
+
+def test_extract_offer_ids_all_portals():
+    urls = [
+        "https://pom.otodom.pl/pl/oferta/mieszkanie-1-ID1000000001",
+        "https://pom.morizon.pl/oferta/mieszkanie-2-mzn3000000002",
+        "https://pom.gratka.pl/nieruchomosci/mieszkanie-3/ob/2000000003",
+        "https://ogloszenia.trojmiasto.pl/nieruchomosci/mieszkanie-4-ogl4000000004",
+        "https://x.pl/no-id-here",
+    ]
+    ids = extract_offer_ids(urls).to_pylist()
+    assert ids == ["1000000001", "3000000002", "2000000003", "4000000004", None]
+    assert [offer_id_of(u) for u in urls] == ids
+
+
+def test_coerce_polish_numbers():
+    # unified parser semantics of otodom.py:194-208 / morizon.py:60-69 /
+    # gratka.py:96-108 / trojmiasto.py:34-49
+    texts = ["1 234 567 zł", "12,5 m²", "549 000", "od 300,99", None, "brak"]
+    vals = coerce_floats(texts).to_pylist()
+    assert vals == [1234567.0, 12.5, 549000.0, 300.99, None, None]
+    assert [coerce_float(t) if t is not None else None for t in texts] == vals
+
+
+def test_slugify():
+    assert slugify("Zielona Góra") == "zielona-gora"
+    assert slugify("Łódź") == "lodz"
+    assert slugify("Kraków  ul. Świętej 3") == "krakow-ul-swietej-3"
+
+
+def test_parse_polish_dates():
+    ts = parse_polish_dates(["15.01.2026 12:30", "2026-01-15T12:30:00",
+                             "01.02.2024", "garbage"]).to_pylist()
+    assert ts[0] == ts[1]
+    assert ts[2].month == 2 and ts[2].day == 1
+    assert ts[3] is None
+
+
+def test_canonicalize_arrow_input():
+    arr = pa.array(["https://x.pl/a/#f", "https://y.pl/?b=1&a=2"])
+    assert canonicalize_urls(arr).to_pylist() == ["https://x.pl/a", "https://y.pl?a=2&b=1"]
