@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``    — flagship pipeline on /root/testdata/sf0.001: text
+                   quality + token stats + exact dedup annotation over
+                   the documents table (returns a ray.data.Dataset).
+- ``queries()``  — one entry per implemented operator/pipeline from
+                   SURVEY.md §2 + the training-data operators
+                   (realestate_scraper_ray/pipelines/relational.py).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+                   query, with matching column names.
 """
 
 from __future__ import annotations
@@ -18,27 +18,42 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from realestate_scraper_ray.pipelines.relational import ORACLE, QUERIES
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship documents pipeline at sf0.001: vectorized text stats →
+    quality gate → content-hash dedup annotation (streamed, pyarrow)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from realestate_scraper_ray.functions.textstats import (
+        quality_stats, rolling_hash64, token_counts,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        tc = token_counts(txt)
+        q = quality_stats(txt)
+        return (t.append_column("n_tokens_ws", tc["n_tokens_ws"])
+                 .append_column("n_punct", q["n_punct"])
+                 .append_column("n_words", q["n_words"])
+                 .append_column("content_hash", pa.array(
+                     np.asarray(rolling_hash64(txt)).view(np.int64))))
+
+    return ds.map_batches(enrich, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

@@ -1,0 +1,149 @@
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline pipelines — the synthetic-portal crawl
+(pages fetched+parsed/sec, the BASELINE.json metric) plus the flagship
+relational / training-data queries over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) — inside one ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` session, and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "crawl": {"pages": P, "pages_per_sec": R, ...}}
+
+``--scaling``: runs the identical crawl job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same deterministic input and reports
+both throughputs plus efficiency = (T32/T8)/4 — the sandbox evidence
+for BASELINE.json's "≥0.8 efficiency from N to 4N nodes" criterion.
+
+``--crawl-only`` (internal): one crawl run in this process; prints a
+single JSON line. Used as the child of ``--scaling``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+HEADLINE_QUERIES = [
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "events_hourly_window", "events_sessionize",
+    "token_count", "quality_stats", "lang_id_pred",
+    "dedup_exact_text", "dedup_minhash_lsh",
+    "ann_cosine_topk", "embedding_neardup",
+]
+
+# Bench-scale portal: larger than the test fixtures, same determinism.
+BENCH_PORTAL = dict(seed=7, base_pages=14, page_size_scale=1.0,
+                    tail_repeat_pages=2)
+
+
+def _bench_configs():
+    from realestate_scraper_ray.config import CrawlConfig, PortalConfig
+    ncpu = _num_cpus()
+    pcfg = PortalConfig(**BENCH_PORTAL)
+    ccfg = CrawlConfig(fetch_batch_size=96, fetch_concurrency=ncpu,
+                       urlseen_shards=8)
+    return pcfg, ccfg
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def run_crawl_bench() -> dict:
+    from realestate_scraper_ray.pipelines.crawl import run_crawl
+    pcfg, ccfg = _bench_configs()
+    with tempfile.TemporaryDirectory(prefix="bench_crawl_") as wd:
+        t0 = time.time()
+        res = run_crawl(pcfg, ccfg, wd)
+        dt = time.time() - t0
+    pages = res.pages_fetched + res.pages_failed
+    return {"pages": pages, "offers": res.offers,
+            "generations": res.generations, "sec": round(dt, 3),
+            "pages_per_sec": round(pages / dt, 2)}
+
+
+def run_queries_bench(sf_dir: str) -> dict[str, float]:
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+    import ray.data as rd
+    timings: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        res = fn(sf_dir)
+        if isinstance(res, rd.Dataset):
+            res.count()  # force execution; result stays distributed
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main_default() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = _num_cpus()
+    _init_ray(ncpu)
+    t0 = time.time()
+    crawl = run_crawl_bench()
+    queries = run_queries_bench(sf_dir)
+    total = time.time() - t0
+    print(json.dumps({
+        "metric": "pages fetched+parsed/sec (synthetic portal) + headline query wall",
+        "value": round(total, 3), "unit": "sec",
+        "queries": queries, "sf": sf_dir, "num_cpus": ncpu,
+        "crawl": crawl}))
+    import ray
+    ray.shutdown()
+
+
+def main_crawl_only() -> None:
+    ncpu = _num_cpus()
+    _init_ray(ncpu)
+    crawl = run_crawl_bench()
+    crawl["num_cpus"] = ncpu
+    print(json.dumps(crawl))
+    import ray
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    results = []
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    t8, t32 = results[0]["pages_per_sec"], results[1]["pages_per_sec"]
+    eff = (t32 / t8) / 4.0
+    print(json.dumps({
+        "metric": "crawl scaling efficiency (num_cpus 8 -> 32, fresh processes)",
+        "value": round(eff, 3), "unit": "efficiency",
+        "pages_per_sec_8": t8, "pages_per_sec_32": t32,
+        "speedup": round(t32 / t8, 2),
+        "runs": results}))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--crawl-only" in sys.argv:
+        main_crawl_only()
+    else:
+        main_default()

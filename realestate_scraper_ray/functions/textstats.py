@@ -1,0 +1,205 @@
+"""Text-analysis kernels for the training-data pipeline operators:
+language-ID, quality scoring, token counting, fingerprinting, shingles,
+MinHash / SimHash signatures.
+
+All batch functions are vectorized (polars / numpy / pandas string
+kernels) and deterministic (seeded, process-independent hashing — sha1 /
+splitmix-style mixing, never Python ``hash``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+
+def _to_series(texts) -> pl.Series:
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(texts)
+    else:
+        s = pl.from_arrow(pa.array(texts, pa.string()))
+    return s if isinstance(s, pl.Series) else s.to_series()
+
+
+# ---------------------------------------------------------------------------
+# token counting — whitespace tokens + a BPE-ish word/number/punct regex
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-zÀ-ɏ\d]"
+
+
+def token_counts(texts) -> pa.Table:
+    """Returns (n_tokens_ws, n_tokens_bpe) per text, vectorized."""
+    s = _to_series(texts).alias("t")
+    out = s.to_frame().select(
+        pl.col("t").str.strip_chars().str.count_matches(r"\S+")
+        .cast(pl.Int64).alias("n_tokens_ws"),
+        pl.col("t").str.count_matches(_BPE_RE).cast(pl.Int64).alias("n_tokens_bpe"),
+    )
+    return out.to_arrow()
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — length / punctuation / digit / word-length signals
+# (the shape of reference-style completeness heuristics, applied to text)
+# ---------------------------------------------------------------------------
+
+
+def quality_stats(texts) -> pa.Table:
+    s = _to_series(texts).alias("t")
+    out = s.to_frame().select(
+        pl.col("t").str.len_chars().cast(pl.Int64).alias("n_chars_m"),
+        pl.col("t").str.count_matches(r"[.,!?;:]").cast(pl.Int64).alias("n_punct"),
+        pl.col("t").str.count_matches(r"\d").cast(pl.Int64).alias("n_digits"),
+        pl.col("t").str.strip_chars().str.count_matches(r"\S+")
+        .cast(pl.Int64).alias("n_words"),
+    )
+    t = out.with_columns(
+        (pl.col("n_punct") / pl.col("n_chars_m")).alias("punct_ratio"),
+        (pl.col("n_digits") / pl.col("n_chars_m")).alias("digit_ratio"),
+        ((pl.col("n_chars_m") - pl.col("n_words") + 1) / pl.col("n_words"))
+        .alias("avg_word_len"),
+    )
+    return t.to_arrow()
+
+
+# ---------------------------------------------------------------------------
+# language ID — stopword-profile heuristic over a fixed tiny lexicon.
+# (An n-gram/stopword scorer in the spirit of public langid approaches;
+# deterministic, no model download.)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is you that it he was for on are as with his they at be this have from or one had by word but not what all were we when your can said there use an each which she do how their if".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie einem über".split()),
+    "fr": frozenset("de la le et les des en un du une que est pour qui dans a par plus pas au sur ne se ce il sont la vous avec son ils aux comme mais ou nous".split()),
+    "es": frozenset("de la que el en y a los del se las por un para con no una su al lo como mas pero sus le ya o este si porque esta entre cuando muy sin sobre".split()),
+    "pl": frozenset("w i z na do nie się jest to że o jak po co tak za od ale przez przy czy dla ma być przed tylko już".split()),
+}
+_LANGS = tuple(_STOPWORDS)
+
+
+def lang_id(texts) -> pa.Array:
+    """Predicted language code per text ('und' when nothing matches)."""
+    s = _to_series(texts).alias("t")
+    toks = s.to_frame().select(
+        pl.col("t").str.to_lowercase().str.extract_all(r"[a-zà-ÿąćęłńóśźż]+")
+        .alias("w"))["w"]
+    preds = []
+    for words in toks.to_list():
+        if not words:
+            preds.append("und")
+            continue
+        best, best_n = "und", 0
+        for lang in _LANGS:
+            sw = _STOPWORDS[lang]
+            n = sum(1 for w in words if w in sw)
+            if n > best_n:
+                best, best_n = lang, n
+        preds.append(best)
+    return pa.array(preds, pa.string())
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting — md5 (SQL-checkable) + 64-bit rolling polynomial hash
+# ---------------------------------------------------------------------------
+
+
+def md5_fingerprints(texts) -> pa.Array:
+    s = _to_series(texts)
+    return pa.array([hashlib.md5(t.encode()).hexdigest() if t is not None else None
+                     for t in s.to_list()], pa.string())
+
+
+def rolling_hash64(texts, base: int = 1_000_003) -> pa.Array:
+    """Deterministic 64-bit polynomial rolling hash of the whole text."""
+    out = np.empty(len(texts) if not isinstance(texts, (pa.Array, pa.ChunkedArray))
+                   else len(texts), dtype=np.uint64)
+    s = _to_series(texts)
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    b = np.uint64(base)
+    for i, t in enumerate(s.to_list()):
+        h = np.uint64(1469598103934665603)
+        if t:
+            for chunk in np.frombuffer(t.encode(), dtype=np.uint8):
+                h = (h * b + np.uint64(chunk)) & mask
+        out[i] = h
+    return pa.array(out)
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + SimHash (Broder '97 / Charikar '02, public algs)
+# ---------------------------------------------------------------------------
+
+
+def _hash_tokens_matrix(texts: list[str], shingle_k: int) -> list[np.ndarray]:
+    """Per text: uint64 hashes of its k-word shingles (sha1-based)."""
+    out = []
+    for t in texts:
+        words = t.split() if t else []
+        if len(words) < shingle_k:
+            shingles = [" ".join(words)] if words else []
+        else:
+            shingles = [" ".join(words[i:i + shingle_k])
+                        for i in range(len(words) - shingle_k + 1)]
+        h = np.empty(len(shingles), dtype=np.uint64)
+        for i, sh in enumerate(shingles):
+            h[i] = int.from_bytes(hashlib.sha1(sh.encode()).digest()[:8], "big")
+        out.append(h)
+    return out
+
+
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix(h: np.ndarray, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):  # modular uint64 arithmetic is intended
+        x = (h + np.uint64(seed) * _MIX_A)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def minhash_signatures(texts, num_perm: int = 64, shingle_k: int = 3) -> np.ndarray:
+    """(n, num_perm) uint64 MinHash signatures (empty text → all-max)."""
+    s = _to_series(texts).to_list()
+    shingle_hashes = _hash_tokens_matrix(s, shingle_k)
+    sig = np.full((len(s), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i, h in enumerate(shingle_hashes):
+        if h.size == 0:
+            continue
+        for p in range(num_perm):
+            sig[i, p] = _mix(h, p).min()
+    return sig
+
+
+def simhash64(texts, shingle_k: int = 2) -> np.ndarray:
+    """64-bit SimHash over k-word shingles."""
+    s = _to_series(texts).to_list()
+    shingle_hashes = _hash_tokens_matrix(s, shingle_k)
+    out = np.zeros(len(s), dtype=np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, h in enumerate(shingle_hashes):
+        if h.size == 0:
+            continue
+        # (n_shingles, 64) bit matrix → per-bit majority vote
+        m = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+        v = m.sum(axis=0) * 2 - h.size
+        out[i] = ((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)
+    return out
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(1, len(a | b))
+
+
+def word_shingle_set(text: str, k: int = 3) -> set[str]:
+    words = text.split() if text else []
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}

@@ -1,0 +1,830 @@
+"""Operator-level query catalog over the driver testdata
+(`/root/testdata/sf*/` — tables region nation customer supplier part
+orders lineitem events documents embeddings).
+
+Each entry maps one operator family from SURVEY.md §2 (or a
+training-data operator) to a Ray-Data-first implementation plus, where
+SQL-expressible, a DuckDB oracle string with **identical column names**.
+Registered via the ``@query`` decorator; `__ray_entry__.py` re-exports.
+
+Float determinism: any summed money/value column is aggregated as an
+integer-scaled ``int64`` (cents / 1e-4 units) and divided back at the
+end, so Ray's combine order and DuckDB's sequential sum produce
+bit-identical doubles. Ratios/averages divide exact integers.
+
+Scale notes are inline: reads prune columns, aggregates pre-aggregate
+per batch (pyarrow ``Table.group_by``) before the shuffle, small join
+sides broadcast via ``ray.put``, large-large joins use the
+hash-partitioned ``Dataset.join``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational core (groupby / join / sort / limit)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT))/100.0            AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))/100.0       AS sum_base_price,
+       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT))/10000.0 AS sum_disc_price,
+       SUM(CAST(ROUND(l_discount*100,0) AS BIGINT))/100.0            AS sum_disc,
+       COUNT(*)                                                      AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: filtered grouped aggregation. Pre-aggregates per
+    batch (6 groups) so the shuffle moves a handful of rows per block."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-01T00:00:00", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        qty = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        base = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_price = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(1.0, t["l_discount"])), 10000.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        p = pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "q": qty, "b": base, "d": disc_price, "dc": disc})
+        return p.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum"), ("b", "sum"), ("d", "sum"), ("dc", "sum"),
+             ("q", "count")])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("q_sum", alias_name="q"), Sum("b_sum", alias_name="b"),
+                      Sum("d_sum", alias_name="d"), Sum("dc_sum", alias_name="dc"),
+                      Sum("q_count", alias_name="n"))
+           .to_pandas())
+    return pd.DataFrame({
+        "l_returnflag": out["l_returnflag"], "l_linestatus": out["l_linestatus"],
+        "sum_qty": out["q"] / 100.0, "sum_base_price": out["b"] / 100.0,
+        "sum_disc_price": out["d"] / 10000.0, "sum_disc": out["dc"] / 100.0,
+        "count_order": out["n"].astype("int64")})
+
+
+_Q3_SQL = """
+SELECT o.o_orderkey,
+       SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000,0) AS BIGINT))/10000.0 AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+@query("q3_top_orders", _Q3_SQL)
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Join + grouped agg + top-k. customer side is small → broadcast
+    key-set semi-join inside map_batches (no shuffle); revenue
+    pre-aggregated per batch on the already-sorted-by-file order key."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = {r["c_custkey"] for r in cust.take_all() if r["c_mktsegment"] == "BUILDING"}
+    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = np.isin(np.asarray(t["o_custkey"]), k)
+        return t.filter(pa.array(mask)).select(["o_orderkey"])
+
+    okeys = orders.map_batches(semi, batch_format="pyarrow")
+    okeys_ref = ray.put(np.array(sorted(r["o_orderkey"] for r in okeys.take_all()),
+                                 dtype=np.int64))
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        k = ray.get(okeys_ref)
+        t = t.filter(pa.array(np.isin(np.asarray(t["l_orderkey"]), k)))
+        rev = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 10000.0)),
+            pa.int64())
+        p = pa.table({"o_orderkey": t["l_orderkey"], "r": rev})
+        return p.group_by(["o_orderkey"]).aggregate([("r", "sum")])
+
+    rev = (li.map_batches(partial_rev, batch_format="pyarrow")
+           .groupby("o_orderkey").aggregate(Sum("r_sum", alias_name="r"))
+           .to_pandas())
+    rev["revenue"] = rev["r"] / 10000.0
+    rev = rev.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+    return rev[["o_orderkey", "revenue"]].reset_index(drop=True)
+
+
+_Q5_SQL = """
+SELECT n.n_name,
+       SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000,0) AS BIGINT))/10000.0 AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = (SELECT r_name FROM region ORDER BY r_regionkey LIMIT 1)
+GROUP BY n.n_name
+"""
+
+
+@query("q5_region_revenue", _Q5_SQL)
+def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """Multi-way star join: all dimension sides broadcast (region →
+    nation → customer chain resolved driver-side, then one broadcast map
+    orderkey→nation applied to the lineitem stream)."""
+    region = pa.Table.from_pylist(_pq(sf_dir, "region").take_all()).to_pandas()
+    nation = pa.Table.from_pylist(_pq(sf_dir, "nation").take_all()).to_pandas()
+    cust = pa.Table.from_pylist(
+        _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()).to_pandas()
+    r_name = region.sort_values("r_regionkey")["r_name"].iloc[0]
+    rkey = region[region.r_name == r_name]["r_regionkey"].iloc[0]
+    nat = nation[nation.n_regionkey == rkey]
+    cust = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    cust_to_nation = dict(zip(cust["c_custkey"], cust["n_name"]))
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    c2n_ref = ray.put(cust_to_nation)
+
+    def order_nation(t: pa.Table) -> pa.Table:
+        c2n = ray.get(c2n_ref)
+        nat_col = [c2n.get(c) for c in t["o_custkey"].to_pylist()]
+        out = t.append_column("n_name", pa.array(nat_col, pa.string()))
+        return out.filter(pc.is_valid(out["n_name"])).select(["o_orderkey", "n_name"])
+
+    o2n = {r["o_orderkey"]: r["n_name"]
+           for r in orders.map_batches(order_nation, batch_format="pyarrow").take_all()}
+    o2n_ref = ray.put(o2n)
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(o2n_ref)
+        nat_col = [m.get(k) for k in t["l_orderkey"].to_pylist()]
+        t = t.append_column("n_name", pa.array(nat_col, pa.string()))
+        t = t.filter(pc.is_valid(t["n_name"]))
+        rev = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 10000.0)),
+            pa.int64())
+        p = pa.table({"n_name": t["n_name"], "r": rev})
+        return p.group_by(["n_name"]).aggregate([("r", "sum")])
+
+    out = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("r_sum", alias_name="r")).to_pandas())
+    out["revenue"] = out["r"] / 10000.0
+    return out[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+
+
+_COVERAGE_SQL = """
+SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_items
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+"""
+
+
+@query("order_lineitem_coverage", _COVERAGE_SQL)
+def order_lineitem_coverage(sf_dir: str) -> rd.Dataset:
+    """Left-outer coverage join (J1, mierzalnosc_excel.py:90-110 shape):
+    hash-partitioned Dataset.join of orders against per-order lineitem
+    counts; unmatched orders keep n_items=0."""
+    orders = _pq(sf_dir, "orders", ["o_orderkey"])
+    counts = (_pq(sf_dir, "lineitem", ["l_orderkey"])
+              .groupby("l_orderkey").aggregate(Count(alias_name="cnt")))
+    joined = orders.join(counts, join_type="left_outer", num_partitions=8,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t["cnt"], pa.scalar(0, pa.int64()))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "n_items": pc.cast(n, pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_BROADCAST_SQL = """
+SELECT c.c_custkey, n.n_name, r.r_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@query("customer_nation_broadcast", _BROADCAST_SQL)
+def customer_nation_broadcast(sf_dir: str) -> rd.Dataset:
+    """Broadcast hash join (J6 shape): the nation⋈region dim (25 rows)
+    is ray.put once; each customer batch does a dict lookup."""
+    nation = pa.Table.from_pylist(_pq(sf_dir, "nation").take_all()).to_pandas()
+    region = pa.Table.from_pylist(_pq(sf_dir, "region").take_all()).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup = {int(k): (n, r) for k, n, r in zip(dim.n_nationkey, dim.n_name, dim.r_name)}
+    ref = ray.put(lookup)
+
+    def join(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        pairs = [lk.get(int(k), (None, None)) for k in t["c_nationkey"].to_pylist()]
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_name": pa.array([p[0] for p in pairs], pa.string()),
+            "r_name": pa.array([p[1] for p in pairs], pa.string())})
+
+    return _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        join, batch_format="pyarrow")
+
+
+_ANTI_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM (
+    SELECT o_custkey FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20))
+"""
+
+
+@query("customers_without_top_orders", _ANTI_SQL)
+def customers_without_top_orders(sf_dir: str) -> rd.Dataset:
+    """Anti join via broadcast key set (J2 shape: semi/anti against a
+    compact key sketch instead of a shuffle): customers who placed none
+    of the 20 highest-value orders. Non-empty at every scale factor."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(t, 20, [("o_totalprice", "descending"),
+                                           ("o_orderkey", "ascending")])
+        return t.take(idx)
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(local_topk, batch_format="pyarrow").take_all()).to_pandas()
+    top = cand.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]).head(20)
+    ref = ray.put(np.unique(top["o_custkey"].to_numpy()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        mask = ~np.isin(np.asarray(t["c_custkey"]), k)
+        return t.filter(pa.array(mask)).select(["c_custkey"])
+
+    return _pq(sf_dir, "customer", ["c_custkey"]).map_batches(anti, batch_format="pyarrow")
+
+
+@query("top10_orders_by_price",
+       "SELECT o_orderkey, o_totalprice FROM orders "
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")
+def top10_orders_by_price(sf_dir: str) -> pd.DataFrame:
+    """Global sort + limit (O-series): per-batch top-k candidates, tiny
+    driver-side final merge — no full sort shuffle for a top-k."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(t, 10, [("o_totalprice", "descending"),
+                                           ("o_orderkey", "ascending")])
+        return t.take(idx)
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(local_topk, batch_format="pyarrow").take_all()).to_pandas()
+    out = cand.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+@query("distinct_event_types",
+       "SELECT DISTINCT event_type FROM events")
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "events", ["event_type"])
+    vals = ds.unique("event_type")
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+@query("region_nation_union",
+       "SELECT r_name AS name FROM region UNION ALL SELECT n_name FROM nation")
+def region_nation_union(sf_dir: str) -> rd.Dataset:
+    a = _pq(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow")
+    b = _pq(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"]}), batch_format="pyarrow")
+    return a.union(b)
+
+
+# ---------------------------------------------------------------------------
+# events: streaming-shaped (windows, sessions, running totals, json)
+# ---------------------------------------------------------------------------
+
+_WINDOW_SQL = """
+SELECT user_id, CAST(FLOOR(EPOCH(ts)/3600) AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value*100,0) AS BIGINT))/100.0 AS sum_value
+FROM events GROUP BY user_id, hour_bucket
+"""
+
+
+@query("events_hourly_window", _WINDOW_SQL)
+def events_hourly_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling event-time window as groupby(key, floor(ts/size)) —
+    the Ray Data shape for windowed aggregates (no watermarks needed for
+    bounded batch input)."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(t["ts"], pa.int64())
+        hour = pc.cast(pc.floor(pc.divide(pc.cast(epoch_us, pa.float64()), 3.6e9)),
+                       pa.int64())
+        v = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        p = pa.table({"user_id": t["user_id"], "hour_bucket": hour, "v": v})
+        return p.group_by(["user_id", "hour_bucket"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["user_id", "hour_bucket"])
+           .aggregate(Sum("v_sum", alias_name="v"), Sum("v_count", alias_name="n"))
+           .to_pandas())
+    return pd.DataFrame({"user_id": out["user_id"], "hour_bucket": out["hour_bucket"],
+                         "n_events": out["n"].astype("int64"),
+                         "sum_value": out["v"] / 100.0})
+
+
+_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM events)
+SELECT user_id,
+       CAST(SUM(CASE WHEN p IS NULL OR EPOCH(ts)-EPOCH(p) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM o GROUP BY user_id
+"""
+
+
+@query("events_sessionize", _SESSION_SQL)
+def events_sessionize(sf_dir: str) -> rd.Dataset:
+    """Session windows (30-min gap): groupby(user).map_groups over the
+    ts-sorted group — the documented Ray Data pattern for stateful
+    stream semantics on bounded input. Ordering assumption: events of
+    one user fit one group and are sorted by (ts, event_id)."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        n = int((gaps.isna() | (gaps > 1800)).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+_RUNNING_SQL = """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value*100,0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)/100.0 AS running_value
+FROM events
+"""
+
+
+@query("events_running_total", _RUNNING_SQL)
+def events_running_total(sf_dir: str) -> rd.Dataset:
+    """Per-key running aggregate: map_groups cumulative sum over the
+    sorted group (integer-scaled for determinism)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "running_value": np.cumsum(cents) / 100.0})
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+@query("events_json_extract",
+       "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k "
+       "FROM events")
+def events_json_extract(sf_dir: str) -> rd.Dataset:
+    """Vectorized JSON field extraction (polars regex kernel) — the
+    json_raw handling analogue (validate.py json_raw / M8)."""
+    ds = _pq(sf_dir, "events", ["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t["props"].combine_chunks()).alias("p")
+        k = s.to_frame().select(
+            pl.col("p").str.extract(r'"k": (\d+)', 1).cast(pl.Int64).alias("k"))
+        return pa.table({"event_id": t["event_id"],
+                         "k": k.to_arrow()["k"].combine_chunks()})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+_BBOX_SQL = """
+SELECT event_id, value FROM events
+WHERE value >= 49.0 AND value <= 54.9 AND event_type IN ('click','view')
+"""
+
+
+@query("events_range_filter", _BBOX_SQL)
+def events_range_filter(sf_dir: str) -> rd.Dataset:
+    """Conjunctive range predicate — the Poland-bbox gate shape (M18,
+    morizon.py:23) as a vectorized Arrow filter."""
+    ds = _pq(sf_dir, "events", ["event_id", "value", "event_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(t["value"], 49.0),
+                            pc.less_equal(t["value"], 54.9)),
+                    pc.is_in(t["event_type"], value_set=pa.array(["click", "view"])))
+        return t.filter(m).select(["event_id", "value"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@query("lineitem_unit_price",
+       "SELECT l_orderkey, l_linenumber, l_extendedprice/l_quantity AS unit_price "
+       "FROM lineitem WHERE l_quantity > 0")
+def lineitem_unit_price(sf_dir: str) -> rd.Dataset:
+    """Derived-price arithmetic (M19, morizon.py:573-579 shape). Raw IEEE
+    division — bit-identical across engines."""
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
+                                  "l_extendedprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 0.0))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"],
+            "unit_price": pc.divide(t["l_extendedprice"], t["l_quantity"])})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# URL / string kernels over constructed columns (M1/M4/M12)
+# ---------------------------------------------------------------------------
+
+@query("url_canonicalize",
+       "SELECT doc_id, 'https://example.com/d/' || CAST(doc_id AS VARCHAR) "
+       "|| '?a=1&b=2' AS url FROM documents")
+def url_canonicalize(sf_dir: str) -> rd.Dataset:
+    """M1 (dedup.py:7-14): build a messy URL per doc, canonicalize with
+    the engine kernel; the oracle states the expected canonical form."""
+    from ..functions.urls import canonicalize_urls
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        messy = pc.binary_join_element_wise(
+            pa.array(["https://example.com/d/"] * t.num_rows),
+            pc.cast(t["doc_id"], pa.string()),
+            pa.array(["/?b=2&a=1#frag"] * t.num_rows), "")
+        return pa.table({"doc_id": t["doc_id"], "url": canonicalize_urls(messy)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@query("offer_id_extract",
+       "SELECT doc_id, CAST(doc_id AS VARCHAR) AS oid FROM documents")
+def offer_id_extract(sf_dir: str) -> rd.Dataset:
+    """M12 (otodom.py:26-27 id-from-URL): regex extraction over
+    constructed offer URLs."""
+    from ..functions.urls import extract_offer_ids
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        urls = pc.binary_join_element_wise(
+            pa.array(["https://x.otodom.pl/pl/oferta/m-"] * t.num_rows),
+            pc.cast(t["doc_id"], pa.string()), "-ID", "")
+        urls = pc.binary_join_element_wise(urls, pc.cast(t["doc_id"], pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"],
+                         "oid": extract_offer_ids(urls.combine_chunks())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@query("polish_number_coercion",
+       "SELECT o_orderkey, CAST(o_orderkey AS DOUBLE) AS parsed FROM orders")
+def polish_number_coercion(sf_dir: str) -> rd.Dataset:
+    """M4 (the 4 _coerce_float impls): format each order key with NBSP
+    thousands groups + ' zł', then parse back with the shared vectorized
+    coercer. Round-trip equals the original value."""
+    from ..functions.urls import coerce_floats
+    ds = _pq(sf_dir, "orders", ["o_orderkey"])
+
+    def f(t: pa.Table) -> pa.Table:
+        formatted = [f"{k:,}".replace(",", " ") + " zł"
+                     for k in t["o_orderkey"].to_pylist()]
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "parsed": coerce_floats(formatted)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup + completeness
+# ---------------------------------------------------------------------------
+
+@query("documents_completeness_gate",
+       "SELECT doc_id, source, lang FROM documents "
+       "WHERE lang IS NOT NULL AND n_chars >= 200 AND text IS NOT NULL")
+def documents_completeness_gate(sf_dir: str) -> rd.Dataset:
+    """REQ_FIELDS-style completeness gate (M22, detail.py:21,30-31) as a
+    vectorized null/threshold filter."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(t["lang"]),
+                            pc.greater_equal(t["n_chars"], 200)),
+                    pc.is_valid(t["text"]))
+        return t.filter(m).select(["doc_id", "source", "lang"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@query("token_count",
+       "SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+       " AS n_tokens_ws FROM documents")
+def token_count(sf_dir: str) -> rd.Dataset:
+    """Whitespace token counting (training-data op), polars kernel."""
+    from ..functions.textstats import token_counts
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        tc = token_counts(t["text"].combine_chunks())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens_ws": tc["n_tokens_ws"]})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words
+FROM documents
+"""
+
+
+@query("quality_stats", _QUALITY_SQL)
+def quality_stats_q(sf_dir: str) -> rd.Dataset:
+    """Quality-scoring signals (training-data op): punctuation / digit /
+    word counts, vectorized."""
+    from ..functions.textstats import quality_stats
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        q = quality_stats(t["text"].combine_chunks())
+        return pa.table({"doc_id": t["doc_id"], "n_punct": q["n_punct"],
+                         "n_digits": q["n_digits"], "n_words": q["n_words"]})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@query("fingerprint_md5",
+       "SELECT doc_id, md5(text) AS fp FROM documents")
+def fingerprint_md5(sf_dir: str) -> rd.Dataset:
+    """Document fingerprinting — md5 variant (SQL-checkable twin of the
+    rolling-hash fingerprint)."""
+    from ..functions.textstats import md5_fingerprints
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "fp": md5_fingerprints(t["text"].combine_chunks())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@query("dedup_exact_text",
+       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes FROM documents GROUP BY text")
+def dedup_exact_text(sf_dir: str) -> rd.Dataset:
+    """Exact dedup: hash-partition on content hash + per-group first
+    (min doc_id) — the D1 pattern."""
+    from ..stages.dedupe import exact_dedup_first
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup_first(ds, "text", "doc_id")
+    return out.map_batches(lambda t: t.select(["doc_id", "dupes"]),
+                           batch_format="pyarrow")
+
+
+@query("dedup_first_per_group",
+       "SELECT source, lang, MIN(doc_id) AS doc_id, COUNT(*) AS dupes "
+       "FROM documents GROUP BY source, lang")
+def dedup_first_per_group(sf_dir: str) -> rd.Dataset:
+    """Keep-first per (source, lang) group — grouped dedup with real
+    reduction on this data."""
+    from ..stages.dedupe import dedup_group_first
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "lang"])
+    return dedup_group_first(ds, ["source", "lang"], "doc_id")
+
+
+@query("lang_id_pred")  # heuristic — no SQL oracle (rows-only check)
+def lang_id_pred(sf_dir: str) -> rd.Dataset:
+    from ..functions.textstats import lang_id
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang_pred": lang_id(t["text"].combine_chunks())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@query("dedup_minhash_lsh")  # non-SQL: MinHash+LSH near-dup pairs
+def dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedupe import minhash_lsh_pairs
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    return out[["id_a", "id_b"]].astype("int64")
+
+
+@query("dedup_simhash")  # non-SQL: SimHash near-dup pairs
+def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedupe import simhash_pairs
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+    return out[["id_a", "id_b", "hamming"]].astype("int64")
+
+
+@query("dedup_ngram_jaccard")  # non-SQL: blocked exact-Jaccard pairs
+def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedupe import ngram_jaccard_pairs
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.6)
+    return out[["id_a", "id_b"]].astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search + near-dup
+# ---------------------------------------------------------------------------
+
+_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
+@query("embedding_neardup", _NEARDUP_SQL)
+def embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedupe import embedding_neardup_pairs
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, "embedding", "vec_id", tau=0.45)
+    return out[["id_a", "id_b"]].astype("int64")
+
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+
+@query("ann_cosine_topk", _ANN_SQL)
+def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors — the ANN baseline
+    (blocked float64 matmul against a broadcast query matrix)."""
+    from ..stages.similarity import cosine_topk
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = pa.Table.from_pylist(
+        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)),
+                       batch_format="pyarrow").take_all())
+    qids = np.asarray(qrows["vec_id"])
+    qmat = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    out = cosine_topk(ds, "embedding", "vec_id", qids, qmat, k=5)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
+@query("ann_lsh_topk")  # approximate — no SQL oracle (rows-only check)
+def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    from ..stages.similarity import lsh_bucket_topk
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = pa.Table.from_pylist(
+        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)),
+                       batch_format="pyarrow").take_all())
+    qids = np.asarray(qrows["vec_id"])
+    qmat = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    out = lsh_bucket_topk(ds, "embedding", "vec_id", qids, qmat, k=5, n_planes=6)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
+@query("embedding_norm_stats",
+       "SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS total_dims "
+       "FROM embeddings GROUP BY label")
+def embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
+    """List-column handling (A6 span-count shape): per-label vector
+    counts + total list lengths via pc.list_value_length."""
+    ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dims = pc.cast(pc.list_value_length(t["embedding"]), pa.int64())
+        p = pa.table({"label": t["label"], "d": dims})
+        return p.group_by(["label"]).aggregate([("d", "sum"), ("d", "count")])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("label").aggregate(Sum("d_sum", alias_name="td"),
+                                       Sum("d_count", alias_name="n"))
+           .to_pandas())
+    return pd.DataFrame({"label": out["label"], "n": out["n"].astype("int64"),
+                         "total_dims": out["td"].astype("int64")})
+
+
+# ---------------------------------------------------------------------------
+# multimodal (stubbed decode, real plumbing)
+# ---------------------------------------------------------------------------
+
+_MEDIA_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+            ELSE 'image/webp' END AS mime,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 8 ELSE 12 END
+            + octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@query("media_decode_meta", _MEDIA_SQL)
+def media_decode_meta(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: synthesize binary payloads (magic bytes +
+    text), run the actor-pool decode stage, emit typed metadata. The
+    decode itself is the deterministic stub (stages/media.py)."""
+    from ..stages.media import decode_media, synth_media_table
+    docs = pa.Table.from_pylist(
+        _pq(sf_dir, "documents", ["doc_id", "text"]).take_all())
+    media = synth_media_table(docs["text"].to_pylist(),
+                              [str(i) for i in docs["doc_id"].to_pylist()])
+    ds = rd.from_arrow(media)
+    out = decode_media(ds, concurrency=2, batch_size=128)
+    t = pa.Table.from_pylist(out.take_all())
+    return t.select(["media_id", "mime", "n_bytes"]).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# crawl pipelines (non-SQL: verified against the sequential oracle in
+# tests; the driver records rows-only here)
+# ---------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _crawl_result():
+    from ..config import CrawlConfig, PortalConfig
+    from .crawl import run_crawl
+    if "res" not in _CRAWL_CACHE:
+        pcfg = PortalConfig(regions=("pomorskie", "mazowieckie"),
+                            base_pages=2, page_size_scale=0.12)
+        _CRAWL_CACHE["res"] = run_crawl(
+            pcfg, CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                              fetch_batch_size=64), "/tmp/rsr_entry_crawl")
+    return _CRAWL_CACHE["res"]
+
+
+@query("crawl_urls")
+def crawl_urls(sf_dir: str) -> pd.DataFrame:
+    t = _crawl_result().table("urls").to_pandas()
+    return t.sort_values(["source", "region", "page_idx", "pos"]).reset_index(drop=True)
+
+
+@query("crawl_offers")
+def crawl_offers(sf_dir: str) -> pd.DataFrame:
+    t = _crawl_result().table("offers").to_pandas()
+    return t.sort_values(["source", "region", "page_idx", "pos"]).reset_index(drop=True)
+
+
+@query("crawl_photos")
+def crawl_photos(sf_dir: str) -> pd.DataFrame:
+    t = _crawl_result().table("photos").to_pandas()
+    return t.sort_values(["offer_id", "seq"]).reset_index(drop=True)

@@ -1,0 +1,157 @@
+"""Multimodal columns: opaque `binary` payloads with typed metadata.
+
+Images / audio / video travel as binary columns through Arrow batches
+(`batch_format="pyarrow"`, which round-trips binary losslessly — pandas
+would object-box it). Decode / feature-extraction is an **actor-pool
+stage** (`map_batches(Cls, concurrency=N, batch_size=B)`): the codec /
+model load happens once per actor in ``__init__``.
+
+The decode libraries (PIL / ffmpeg / torchaudio) are NOT in this
+container, so the actual pixel/sample decode is STUBBED: the default
+``decoder="fake"`` derives deterministic metadata + features from the
+bytes themselves (magic sniff + hashed pseudo-features), keeping the
+Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — real and tested. ``decoder="pil"`` raises NotImplementedError
+unless PIL is importable (import-gated, never a hard dependency).
+
+MIME sniffing mirrors the reference image pipeline
+(/root/reference/scrapper/core/images.py:29-37 magic bytes; :23-27
+content-type→ext map).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("payload", pa.binary()),
+    ("media_type", pa.string()),    # image | audio | video
+])
+
+_MAGIC = [
+    (b"\xff\xd8\xff", "image/jpeg", "jpg"),
+    (b"\x89PNG\r\n\x1a\n", "image/png", "png"),
+    (b"RIFF", "image/webp", "webp"),     # RIFF....WEBP, checked below
+    (b"ID3", "audio/mpeg", "mp3"),
+    (b"OggS", "audio/ogg", "ogg"),
+    (b"\x00\x00\x00", "video/mp4", "mp4"),  # ftyp boxes start with size
+]
+
+
+def sniff_mime(blob: bytes) -> tuple[str, str]:
+    """Magic-byte sniff (images.py:29-37 semantics, extended to a/v)."""
+    if blob.startswith(b"RIFF") and blob[8:12] == b"WEBP":
+        return "image/webp", "webp"
+    for magic, mime, ext in _MAGIC:
+        if blob.startswith(magic):
+            return mime, ext
+    return "application/octet-stream", "bin"
+
+
+class MediaDecode:
+    """Actor-pool stage: binary payload → typed metadata + feature vector.
+
+    __init__ runs once per actor (codec / model load); __call__ per
+    batch. Output schema is stable regardless of decoder backend.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, decoder: str = "fake", feature_dim: int = 16):
+        self.feature_dim = feature_dim
+        self.decoder = decoder
+        if decoder == "pil":
+            try:
+                from PIL import Image  # noqa: F401
+                self._pil = Image
+            except ImportError as e:  # pragma: no cover - lib absent here
+                raise NotImplementedError(
+                    "PIL decode backend requires pillow; use decoder='fake' "
+                    "in this container") from e
+        elif decoder != "fake":
+            raise NotImplementedError(f"unknown decoder {decoder!r}")
+
+    def _fake_decode(self, blob: bytes) -> tuple[int, int, np.ndarray]:
+        """Deterministic stand-in for pixel decode: dimensions + features
+        derived from a sha256 of the payload."""
+        h = hashlib.sha256(blob).digest()
+        width = 64 + int.from_bytes(h[0:2], "big") % 1984   # 64..2047
+        height = 64 + int.from_bytes(h[2:4], "big") % 1984
+        feats = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+        reps = int(np.ceil(self.feature_dim / feats.size))
+        feats = np.tile(feats, reps)[: self.feature_dim] / 255.0
+        return width, height, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks().to_pylist()
+        n = len(payloads)
+        mimes, exts = [], []
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
+        sizes = np.zeros(n, dtype=np.int64)
+        hashes = []
+        feats = np.zeros((n, self.feature_dim), dtype=np.float32)
+        for i, blob in enumerate(payloads):
+            blob = blob or b""
+            mime, ext = sniff_mime(blob)
+            mimes.append(mime)
+            exts.append(ext)
+            sizes[i] = len(blob)
+            hashes.append(hashlib.sha256(blob).hexdigest())
+            w, h, f = self._fake_decode(blob)
+            widths[i], heights[i] = w, h
+            feats[i] = f
+        return pa.table({
+            "media_id": batch["media_id"],
+            "mime": pa.array(mimes), "ext": pa.array(exts),
+            "n_bytes": pa.array(sizes),
+            "width": pa.array(widths), "height": pa.array(heights),
+            "sha256": pa.array(hashes),
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), self.feature_dim),
+        })
+
+
+class MediaResize:
+    """Actor-pool stage stub: resize/frame-sample plumbing. Deterministic
+    output dims; the pixel work is a NotImplementedError-gated backend."""
+
+    def __init__(self, max_side: int = 512):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["width"], dtype=np.float64)
+        h = np.asarray(batch["height"], dtype=np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        return (batch
+                .append_column("out_width", pa.array((w * scale).astype(np.int32)))
+                .append_column("out_height", pa.array((h * scale).astype(np.int32))))
+
+
+def decode_media(ds: rd.Dataset, concurrency: int = 4,
+                 batch_size: int = 64, decoder: str = "fake") -> rd.Dataset:
+    """The canonical wiring: small batches (binary payloads are wide),
+    actor pool sized explicitly, pyarrow end-to-end."""
+    return ds.map_batches(MediaDecode, fn_constructor_kwargs={"decoder": decoder},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+def synth_media_table(texts: list[str], ids: list[str]) -> pa.Table:
+    """Deterministic fake payloads (JPEG/PNG/WebP magic + text bytes) —
+    the test substrate for the media stages."""
+    payloads = []
+    kinds = []
+    magics = [b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"RIFF\x00\x00\x00\x00WEBP"]
+    types = ["image", "image", "image"]
+    for i, t in enumerate(texts):
+        m = i % len(magics)
+        payloads.append(magics[m] + (t or "").encode())
+        kinds.append(types[m])
+    return pa.table({"media_id": pa.array(ids), "payload": pa.array(payloads, pa.binary()),
+                     "media_type": pa.array(kinds)})

@@ -1,0 +1,119 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+- ``cosine_topk``: brute-force cosine top-k — the baseline. The query
+  matrix is broadcast (``ray.put`` once, ``ray.get`` per task); each
+  batch runs one float64 matmul and emits its local top-k candidates;
+  a final per-query reduction keeps the global top-k. No full-matrix
+  materialization of the corpus: it streams through ``map_batches``.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH
+  (Charikar '02) assigns each vector a bucket code; queries probe only
+  matching / near buckets, trading recall for a groupby-sized shuffle
+  instead of an all-pairs matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def cosine_topk(ds: rd.Dataset, vec_col: str, id_col: str,
+                query_ids: np.ndarray, query_mat: np.ndarray, k: int,
+                exclude_self: bool = True) -> pd.DataFrame:
+    """Global top-k neighbors per query: (query_id, neighbor_id, rank).
+
+    Rank ties are broken by neighbor id (deterministic across runs and
+    engines)."""
+    q_ref = ray.put((np.asarray(query_ids), _norm_rows(np.asarray(query_mat, np.float64))))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col])
+        m = _norm_rows(np.array(t[vec_col].to_pylist(), dtype=np.float64))
+        qids, qm = ray.get(q_ref)
+        sims = qm @ m.T                      # (n_q, n_batch)
+        if exclude_self:
+            self_mask = qids[:, None] == ids[None, :]
+            sims[self_mask] = -np.inf
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        rows_n = ids[idx.reshape(-1)]
+        rows_s = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+        keep = np.isfinite(rows_s)
+        return pa.table({"query_id": rows_q[keep], "neighbor_id": rows_n[keep],
+                         "cos": rows_s[keep]})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    # deterministic final reduce: per query, best-k by (-cos, neighbor_id)
+    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def hyperplane_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """LSH bucket codes: sign pattern across `planes` → uint64."""
+    bits = (mat @ planes.T) > 0
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_topk(ds: rd.Dataset, vec_col: str, id_col: str,
+                    query_ids: np.ndarray, query_mat: np.ndarray, k: int,
+                    n_planes: int = 8, seed: int = 42) -> pd.DataFrame:
+    """Approximate top-k: corpus bucketed by hyperplane code; each query
+    probes only its own bucket (single-probe; multi-probe = flip one bit
+    per extra probe). Returns (query_id, neighbor_id, rank)."""
+    qm = _norm_rows(np.asarray(query_mat, np.float64))
+    dim = qm.shape[1]
+    planes = make_planes(dim, n_planes, seed)
+    q_codes = hyperplane_codes(qm, planes)
+    q_by_code: dict[int, list[int]] = {}
+    for qi, c in enumerate(q_codes):
+        q_by_code.setdefault(int(c), []).append(qi)
+    ctx = ray.put((np.asarray(query_ids), qm, planes, q_by_code))
+
+    def bucket_then_score(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col])
+        m = _norm_rows(np.array(t[vec_col].to_pylist(), dtype=np.float64))
+        qids, qmat, pl, qbc = ray.get(ctx)
+        codes = hyperplane_codes(m, pl)
+        outs = {"query_id": [], "neighbor_id": [], "cos": []}
+        for code in np.unique(codes):
+            qs = qbc.get(int(code))
+            if not qs:
+                continue
+            sel = codes == code
+            sims = qmat[qs] @ m[sel].T
+            sel_ids = ids[sel]
+            for row, qi in enumerate(qs):
+                mask = sel_ids != qids[qi]
+                outs["query_id"].extend([qids[qi]] * mask.sum())
+                outs["neighbor_id"].extend(sel_ids[mask])
+                outs["cos"].extend(sims[row][mask])
+        return pa.table({k2: pa.array(v) for k2, v in outs.items()}) if outs["query_id"] \
+            else pa.table({"query_id": pa.array([], pa.int64()),
+                           "neighbor_id": pa.array([], pa.int64()),
+                           "cos": pa.array([], pa.float64())})
+
+    cand = ds.map_batches(bucket_then_score, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)

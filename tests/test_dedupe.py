@@ -1,0 +1,96 @@
+"""Dedup stage tests on synthetic near-duplicate corpora (the testdata
+documents are all-distinct, so dup structure is injected here)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from realestate_scraper_ray.stages.dedupe import (
+    embedding_neardup_pairs, exact_dedup_first, minhash_lsh_pairs,
+    ngram_jaccard_pairs, simhash_pairs,
+)
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    # 10 clusters with disjoint 30-word vocabularies; 3 variants per
+    # cluster differing in 2 words (within-cluster Jaccard high,
+    # cross-cluster ≈ 0), plus fully random noise docs
+    texts, ids = [], []
+    for c in range(10):
+        base = [f"w{c}_{i}" for i in range(30)]
+        for v in range(3):
+            t = list(base)
+            t[10] = f"var{c}{v}a"
+            t[20] = f"var{c}{v}b"
+            texts.append(" ".join(t))
+            ids.append(c * 10 + v)
+    rng = np.random.default_rng(7)
+    for i in range(30):
+        texts.append(" ".join(f"n{i}_{j}" for j in rng.permutation(25)))
+        ids.append(1000 + i)
+    # exact duplicates
+    texts += [texts[0], texts[0]]
+    ids += [5000, 5001]
+    return rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+
+def _cluster(i):
+    return i // 10 if i < 1000 else ("exact" if i >= 5000 else None)
+
+
+def test_exact_dedup_first(corpus):
+    out = pa.Table.from_pylist(
+        exact_dedup_first(corpus, "text", "doc_id").take_all()).to_pandas()
+    # 62 rows, 60 distinct texts (text[0] appears three times)
+    assert len(out) == 60
+    trip = out[out.dupes == 3]
+    assert len(trip) == 1 and trip.doc_id.iloc[0] == 0  # keep-first = min id
+
+
+def test_minhash_lsh_finds_clusters(corpus):
+    pairs = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5,
+                              num_perm=64, bands=32)  # 2 rows/band: P(miss|J=0.65) ~ 3e-8
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    # every within-cluster pair found, no cross-cluster noise pairs
+    for c in range(10):
+        for x, y in [(0, 1), (0, 2), (1, 2)]:
+            assert (c * 10 + x, c * 10 + y) in got, (c, x, y)
+    for a, b in got:
+        ca, cb = _cluster(a), _cluster(b)
+        assert ca == cb or {ca, cb} <= {0, "exact"}  # 5000/5001 copy text[0]
+
+
+def test_simhash_pairs_exact_dups(corpus):
+    pairs = simhash_pairs(corpus, "text", "doc_id", max_hamming=3)
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 5000) in got and (0, 5001) in got and (5000, 5001) in got
+    ham0 = pairs[(pairs.id_a == 5000) & (pairs.id_b == 5001)]["hamming"].iloc[0]
+    assert ham0 == 0
+
+
+def test_ngram_jaccard_clusters(corpus):
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.6)
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for c in range(10):
+        assert (c * 10, c * 10 + 1) in got
+
+
+def test_embedding_neardup(ray_session):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = [base[i] for i in range(20)]
+    ids = list(range(20))
+    # near-dup: vec 100 ≈ vec 0 + tiny noise
+    vecs.append((base[0] + 0.01 * rng.standard_normal(16)).astype(np.float32))
+    ids.append(100)
+    ds = rd.from_arrow(pa.table({"vec_id": ids, "embedding": [v.tolist() for v in vecs]}))
+    pairs = embedding_neardup_pairs(ds, "embedding", "vec_id", tau=0.95)
+    assert [(a, b) for a, b in zip(pairs.id_a, pairs.id_b)] == [(0, 100)]
+
+
+def test_neardup_pairs_deterministic(corpus):
+    a = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5, num_perm=64, bands=32)
+    b = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5, num_perm=64, bands=32)
+    pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,56 @@
+"""Multimodal stage tests: binary columns through Arrow batches, MIME
+sniffing, actor-pool decode plumbing (stubbed pixel work)."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from realestate_scraper_ray.stages.media import (
+    MediaDecode, MediaResize, decode_media, sniff_mime, synth_media_table,
+)
+
+
+def test_sniff_mime():
+    # magic-byte sniff mirrors images.py:29-37
+    assert sniff_mime(b"\xff\xd8\xff\xe0rest") == ("image/jpeg", "jpg")
+    assert sniff_mime(b"\x89PNG\r\n\x1a\nrest") == ("image/png", "png")
+    assert sniff_mime(b"RIFF\x00\x00\x00\x00WEBPrest") == ("image/webp", "webp")
+    assert sniff_mime(b"ID3\x03") == ("audio/mpeg", "mp3")
+    assert sniff_mime(b"garbage") == ("application/octet-stream", "bin")
+
+
+def test_decode_stage_actor_pool(ray_session):
+    media = synth_media_table([f"payload {i}" for i in range(50)],
+                              [str(i) for i in range(50)])
+    out = decode_media(rd.from_arrow(media), concurrency=2, batch_size=16)
+    t = pa.Table.from_pylist(out.take_all())
+    assert t.num_rows == 50
+    assert set(t["mime"].to_pylist()) == {"image/jpeg", "image/png", "image/webp"}
+    assert all(w >= 64 for w in t["width"].to_pylist())
+    assert all(len(f) == MediaDecode.FEATURE_DIM for f in t["features"].to_pylist())
+    # deterministic: same payload → same sha/feature row
+    t2 = pa.Table.from_pylist(
+        decode_media(rd.from_arrow(media), concurrency=2, batch_size=16).take_all())
+    assert t.sort_by("media_id") == t2.sort_by("media_id")
+
+
+def test_decode_smoke_direct():
+    # actor __init__ errors surface late in Ray; smoke the class directly
+    dec = MediaDecode(decoder="fake")
+    out = dec(synth_media_table(["x"], ["1"]))
+    assert out["n_bytes"].to_pylist()[0] == 3 + 1  # jpeg magic + 1 byte
+
+
+def test_pil_backend_gated():
+    with pytest.raises(NotImplementedError):
+        MediaDecode(decoder="pil")
+    with pytest.raises(NotImplementedError):
+        MediaDecode(decoder="whatever")
+
+
+def test_resize_stub():
+    dec = MediaDecode()
+    meta = dec(synth_media_table(["abc", "def"], ["1", "2"]))
+    rs = MediaResize(max_side=128)
+    out = rs(meta)
+    assert max(out["out_width"].to_pylist() + out["out_height"].to_pylist()) <= 128
