@@ -88,6 +88,17 @@ class PortalConfig:
     # already-seen offers → triggers the reference's "no_new twice in a
     # row" auto-stop (morizon.py:697-709, gratka.py:788-800)
     tail_repeat_pages: int = 2
+    # cross-source near-duplicate listings (same property on several
+    # portals, ≤30 m coordinate drift, price ±90) — the population the
+    # spatial near-dup stage (stages/geo.py, reference backend.py:58-93)
+    # must find
+    spatial_dup_per_mille: int = 15
+    # when >0, pages render as ~this many bytes of HTML (boilerplate
+    # interleaved with the same facts) and the fetch stage runs the
+    # regex extractor chain over them — realistic fetched+parsed cost
+    # per page (real Otodom pages are 300-800 KB of Next.js HTML).
+    # 0 = span mode: pages are the interleaved-span documents directly.
+    html_bytes: int = 0
 
 
 @dataclass(frozen=True)

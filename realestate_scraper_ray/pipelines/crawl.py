@@ -33,6 +33,7 @@ Reference lifecycle analogue: /root/reference/scrapper/cli.py:731-816
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import shutil
@@ -42,7 +43,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ..config import CrawlConfig, PortalConfig
 from ..functions.urls import extract_offer_ids
@@ -62,7 +62,8 @@ OFFER_OUT_COLS = ["offer_id", "source", "url", "price_amount", "price_currency",
 PHOTO_OUT_COLS = ["offer_id", "seq", "url"]
 
 _SUMMARY_SCHEMA = pa.schema([
-    ("tag", pa.string()),        # meta_count | offer_count | pag_meta | pag_link | inv_next
+    # meta_count | offer_count | pag_meta | pag_link | inv_next | new_detail
+    ("tag", pa.string()),
     ("source", pa.string()), ("region", pa.string()),
     ("status", pa.string()), ("page_idx", pa.int32()),
     ("n", pa.int64()), ("url", pa.string()),
@@ -137,9 +138,74 @@ def make_dedup_fn(urlseen: UrlSeenService):
     return dedup
 
 
-def _summarize_batch(t: pa.Table) -> pa.Table:
+_FRAG_COUNTER = itertools.count()
+
+
+def _write_fragment(table: pa.Table, dirpath: str,
+                    row_group_size: int | None = None,
+                    prefix: str = "") -> None:
+    """Atomic parquet fragment write from inside a map_batches task.
+    Names are unique per (worker pid, in-process counter); the driver
+    removes the whole generation directory before (re)running a wave, so
+    retried waves replace rather than append (idempotent resume).
+    ``row_group_size`` keeps frontier fragments splittable: the next
+    wave's read fans out at row-group granularity (override_num_blocks),
+    so wave parallelism never collapses to the writer's task count.
+    ``prefix`` encodes frontier priority into the file name ("p0-" <
+    "p1-" < "p2-"): read_parquet lists paths in sorted order, so
+    pagination blocks stream into the fetch stage before investment and
+    detail blocks — the priority queue (north_rule; SURVEY.md §2.6 O2)
+    with no per-wave sort shuffle."""
+    if table.num_rows == 0:
+        return
+    os.makedirs(dirpath, exist_ok=True)
+    name = f"{prefix}{os.getpid()}-{next(_FRAG_COUNTER)}"
+    tmp = os.path.join(dirpath, f".tmp-{name}")
+    pq.write_table(table, tmp, row_group_size=row_group_size)
+    os.replace(tmp, os.path.join(dirpath, f"part-{name}.parquet"))
+
+
+def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
+                 politeness: PolitenessService, urlseen: UrlSeenService,
+                 workdir: str, gen: int):
+    """The whole wave as ONE map_batches stage: fetch+parse the frontier
+    batch, sink offer/photo fragments, push new links through the
+    URL-seen shards into the next frontier, and return only the (tiny)
+    per-batch summary rows the driver folds for stop decisions. One Ray
+    Data execution per wave instead of five — at small wave sizes the
+    crawl is otherwise dominated by execution-launch overhead."""
+    fetch = make_fetch_fn(portal_cfg, cfg, politeness)
+    offers_dir = os.path.join(workdir, "offers", f"gen-{gen}")
+    photos_dir = os.path.join(workdir, "photos", f"gen-{gen}")
+    next_dir = _frontier_dir(workdir, gen + 1)
+
+    def wave(batch: pa.Table) -> pa.Table:
+        t = fetch(batch)
+        _write_fragment(_filter_kind(t, "offer").select(OFFER_OUT_COLS), offers_dir)
+        _write_fragment(_filter_kind(t, "photo").select(PHOTO_OUT_COLS), photos_dir)
+        cand = _links_of(t, ["detail", "investment"])
+        if cand.num_rows:
+            mask = urlseen.filter_new(cand["url"].combine_chunks())
+            cand = cand.filter(pa.array(mask))
+        front = cand.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
+        inv = pc.equal(front["kind"], "investment")
+        _write_fragment(front.filter(inv), next_dir,
+                        row_group_size=cfg.fetch_batch_size, prefix="p1-")
+        det = front.filter(pc.invert(inv))
+        # fixed-size detail fragments: the next wave's read then yields
+        # uniform ~batch_size blocks, so no fetch task becomes a
+        # multi-hundred-page straggler (skew kills wave tail latency)
+        for off in range(0, det.num_rows, cfg.fetch_batch_size):
+            _write_fragment(det.slice(off, cfg.fetch_batch_size), next_dir,
+                            row_group_size=cfg.fetch_batch_size, prefix="p2-")
+        return _summarize_batch(t, cand)
+
+    return wave
+
+
+def _summarize_batch(t: pa.Table, new_links: pa.Table) -> pa.Table:
     """Per-batch partial summary: counts + the (tiny) control rows the
-    driver needs. One execution replaces five small ones per wave."""
+    driver needs, including first-seen detail counts per listing page."""
     rows: dict[str, list] = {n: [] for n in _SUMMARY_SCHEMA.names}
 
     def add(tag, **kv):
@@ -168,6 +234,15 @@ def _summarize_batch(t: pa.Table) -> pa.Table:
     for r in _links_of(t, ["investment_next"]).to_pylist():
         add("inv_next", source=r["source"], region=r["region"], url=r["url"],
             kind=r["kind"], priority=r["priority"], page_idx=r["page_idx"], pos=r["pos"])
+    if new_links.num_rows:
+        nd = new_links.filter(pc.and_(
+            pc.equal(new_links["kind"], "detail"),
+            pc.equal(new_links["fetch_kind"], "pagination")))
+        if nd.num_rows:
+            g = nd.group_by(["source", "region", "page_idx"]).aggregate([("url", "count")])
+            for r in g.to_pylist():
+                add("new_detail", source=r["source"], region=r["region"],
+                    page_idx=r["page_idx"], n=r["url_count"])
     return pa.Table.from_pydict(rows, schema=_SUMMARY_SCHEMA)
 
 
@@ -212,9 +287,10 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         gen = 0
         d = _frontier_dir(workdir, 0)
         os.makedirs(d)
-        pq.write_table(_seed_table(portal), os.path.join(d, "seeds.parquet"))
+        pq.write_table(_seed_table(portal), os.path.join(d, "part-p0-seeds.parquet"))
 
     retries_left = retry_rounds
+    last_ckpt = -1
     while True:
         if _frontier_rows(workdir, gen) == 0:
             failed = [k for k, st in state.items() if st.stop_reason == "fetch_fail"]
@@ -227,10 +303,17 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
             else:
                 break
         _run_wave(portal, cfg, workdir, gen, urlseen, politeness, state)
-        _write_checkpoint(workdir, gen, state, urlseen)
+        # checkpoint interval: skipped waves re-run deterministically on
+        # resume (replace-on-retry), trading a little recompute for less
+        # per-wave filter-dump I/O
+        if (gen + 1) % cfg.checkpoint_every == 0:
+            _write_checkpoint(workdir, gen, state, urlseen)
+            last_ckpt = gen
         gen += 1
         if stop_after_generations is not None and gen >= stop_after_generations:
             break  # simulated kill: checkpoint durable, work abandoned
+    if gen > 0 and last_ckpt != gen - 1 and stop_after_generations is None:
+        _write_checkpoint(workdir, gen - 1, state, urlseen)  # durable terminal state
 
     res = CrawlResult(workdir=workdir, generations=gen,
                       state={f"{s}|{r}": asdict(st) for (s, r), st in state.items()})
@@ -260,60 +343,40 @@ def _append_retry_rows(portal: Portal, state: dict, fdir: str) -> None:
     if rows:
         os.makedirs(fdir, exist_ok=True)
         pq.write_table(pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA),
-                       os.path.join(fdir, "retry.parquet"))
+                       os.path.join(fdir, "part-p0-retry.parquet"))
 
 
 def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
               urlseen: UrlSeenService, politeness: PolitenessService,
               state: dict) -> None:
-    ds = rd.read_parquet(_frontier_dir(workdir, gen))
-    # explicit priority queue: pagination (0) before investment (1) before
-    # detail (2) within the wave (north_rule; SURVEY.md §2.6 O2)
-    ds = ds.sort("priority")
-    mat = ds.map_batches(make_fetch_fn(portal.cfg, cfg, politeness),
-                         batch_format="pyarrow",
-                         batch_size=cfg.fetch_batch_size).materialize()
-
-    # ---- sinks -------------------------------------------------------------
-    mat.map_batches(lambda t: _filter_kind(t, "offer").select(OFFER_OUT_COLS),
-                    batch_format="pyarrow").write_parquet(
-        os.path.join(workdir, "offers", f"gen-{gen}"))
-    mat.map_batches(lambda t: _filter_kind(t, "photo").select(PHOTO_OUT_COLS),
-                    batch_format="pyarrow").write_parquet(
-        os.path.join(workdir, "photos", f"gen-{gen}"))
-
-    # ---- frontier expansion: first-seen links through cuckoo shards --------
-    new_links = (mat.map_batches(
-        lambda t: _links_of(t, ["detail", "investment"])
-        .select(FRONTIER_COLS + ["fetch_kind"]), batch_format="pyarrow")
-        .map_batches(make_dedup_fn(urlseen), batch_format="pyarrow",
-                     batch_size=4096)
-        .materialize())
+    # replace-on-retry: this wave's outputs are recreated from scratch
     next_dir = _frontier_dir(workdir, gen + 1)
-    shutil.rmtree(next_dir, ignore_errors=True)
-    new_links.map_batches(lambda t: t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
-                          batch_format="pyarrow").write_parquet(next_dir)
+    for d in (os.path.join(workdir, "offers", f"gen-{gen}"),
+              os.path.join(workdir, "photos", f"gen-{gen}"), next_dir):
+        shutil.rmtree(d, ignore_errors=True)
 
-    # per-(region, page) new-detail counts from *listing* pages → stop
-    # logic. Partial aggregation per batch, tiny global groupby after —
-    # the pre-aggregate pattern that keeps the shuffle small at scale.
+    # fan the wave out to ~one block per fetch batch (row-group-granular
+    # splits of the frontier fragments) so parallelism tracks wave size,
+    # not the previous wave's writer-task count
+    nblocks = max(1, -(-_frontier_rows(workdir, gen) // cfg.fetch_batch_size))
+    # priority queue: fragment names are "part-p{priority}-..." and
+    # read_parquet streams blocks in sorted path order, so pagination (0)
+    # blocks enter the fetch stage before investment (1) before detail
+    # (2) — no per-wave sort shuffle (north_rule; SURVEY.md §2.6 O2)
+    ds = rd.read_parquet(_frontier_dir(workdir, gen), override_num_blocks=nblocks)
+    # the whole wave is ONE streamed execution; only summary rows return
+    summary = ds.map_batches(
+        make_wave_fn(portal.cfg, cfg, politeness, urlseen, workdir, gen),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size).take_all()
+
     newc: dict[tuple[str, str, int], int] = {}
-    counts = (new_links.map_batches(
-        lambda t: t.filter(pc.and_(pc.equal(t["kind"], "detail"),
-                                   pc.equal(t["fetch_kind"], "pagination")))
-        .group_by(["source", "region", "page_idx"]).aggregate([("url", "count")]),
-        batch_format="pyarrow")
-        .groupby(["source", "region", "page_idx"])
-        .aggregate(Sum("url_count", alias_name="n")).take_all())
-    for row in counts:
-        newc[(row["source"], row["region"], row["page_idx"])] = int(row["n"])
-
-    # ---- one summary pass: metrics + control rows --------------------------
-    summary = mat.map_batches(_summarize_batch, batch_format="pyarrow").take_all()
     pag_meta, pag_links, inv_next = [], {}, []
     for r in summary:
         st: RegionState = state[(r["source"], r["region"])]
-        if r["tag"] == "meta_count":
+        if r["tag"] == "new_detail":
+            k = (r["source"], r["region"], int(r["page_idx"]))
+            newc[k] = newc.get(k, 0) + int(r["n"])
+        elif r["tag"] == "meta_count":
             if r["status"] == "fetch_fail":
                 st.failed += int(r["n"])
             else:
@@ -366,7 +429,7 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
     if next_rows:
         os.makedirs(next_dir, exist_ok=True)
         pq.write_table(pa.Table.from_pylist(next_rows, schema=FRONTIER_SCHEMA),
-                       os.path.join(next_dir, "driver.parquet"))
+                       os.path.join(next_dir, "part-p0-driver.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -392,7 +455,10 @@ def _write_checkpoint(workdir: str, gen: int, state: dict,
     final = os.path.join(root, f"gen-{gen}")
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp, final)  # atomic commit: wave `gen` is durably done
-    shutil.rmtree(os.path.join(root, f"gen-{gen - 2}"), ignore_errors=True)
+    gens = sorted(int(d.split("-", 1)[1]) for d in os.listdir(root)
+                  if d.startswith("gen-"))
+    for g in gens[:-2]:  # keep the newest two checkpoints
+        shutil.rmtree(os.path.join(root, f"gen-{g}"), ignore_errors=True)
 
 
 def latest_checkpoint_gen(workdir: str) -> int | None:

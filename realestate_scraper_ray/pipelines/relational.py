@@ -805,7 +805,8 @@ def _crawl_result():
     from .crawl import run_crawl
     if "res" not in _CRAWL_CACHE:
         pcfg = PortalConfig(regions=("pomorskie", "mazowieckie"),
-                            base_pages=2, page_size_scale=0.12)
+                            base_pages=2, page_size_scale=0.12,
+                            spatial_dup_per_mille=80)
         _CRAWL_CACHE["res"] = run_crawl(
             pcfg, CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
                               fetch_batch_size=64), "/tmp/rsr_entry_crawl")
@@ -828,3 +829,47 @@ def crawl_offers(sf_dir: str) -> pd.DataFrame:
 def crawl_photos(sf_dir: str) -> pd.DataFrame:
     t = _crawl_result().table("photos").to_pandas()
     return t.sort_values(["offer_id", "seq"]).reset_index(drop=True)
+
+
+@query("crawl_spatial_neardup")  # non-SQL: verified vs brute-force in tests
+def crawl_spatial_neardup(sf_dir: str) -> pd.DataFrame:
+    """J2: the reference's backend duplicate check (50 m radius, price
+    ±100, area ±1.0, backend.py:58-93) as a grid-bucketed distributed
+    self-join over the crawled offers (stages/geo.py)."""
+    from ..stages.geo import spatial_neardup_pairs
+    offers = rd.from_arrow(_crawl_result().table("offers"))
+    rows = spatial_neardup_pairs(offers).take_all()
+    if not rows:
+        return pd.DataFrame({"id_a": pd.Series(dtype=str),
+                             "id_b": pd.Series(dtype=str),
+                             "dist_m": pd.Series(dtype=float)})
+    out = pa.Table.from_pylist(rows).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@query("crawl_reverse_geocode")  # non-SQL: stateful actor-pool lookup stage
+def crawl_reverse_geocode(sf_dir: str) -> pd.DataFrame:
+    """ST5/J7: nearest-gazetteer-city actor pool over crawled offers
+    (reference loads a k-d tree at import, trojmiasto.py:7, 343-354)."""
+    from ..stages.geo import reverse_geocode
+    offers = rd.from_arrow(_crawl_result().table("offers"))
+    out = pa.Table.from_pylist(
+        reverse_geocode(offers).select_columns(
+            ["offer_id", "city_pred", "city_dist_m"]).take_all()).to_pandas()
+    return out.sort_values("offer_id").reset_index(drop=True)
+
+
+@query("crawl_geo_snap")  # non-SQL: broadcast-join snap stage
+def crawl_geo_snap(sf_dir: str) -> pd.DataFrame:
+    """J4/J5: broadcast geocode-cache join + >800 m snap
+    (morizon.py:472-487) over crawled offers."""
+    from ..sources.synth_portal import _unit
+    from ..stages.geo import snap_geo
+    offers_t = _crawl_result().table("offers")
+    cities = sorted(set(offers_t["city"].to_pylist()))
+    cache = {c: (round(49.3 + _unit(11, "glat", c) * 5.3, 6),
+                 round(14.3 + _unit(11, "glon", c) * 9.9, 6)) for c in cities}
+    out = pa.Table.from_pylist(
+        snap_geo(rd.from_arrow(offers_t), cache).select_columns(
+            ["offer_id", "lat", "lon", "geo_snapped"]).take_all()).to_pandas()
+    return out.sort_values("offer_id").reset_index(drop=True)

@@ -190,16 +190,30 @@ class Portal:
         c = self.cfg
         oid = self.oid(source, region, k)
         u = lambda tag: _unit(c.seed, tag, oid)  # noqa: E731
-        price = round(200_000 + u("price") * 1_800_000, -3)
-        true_area = round(20 + u("area") * 130, 1)
+        # cross-source near-duplicates: the same physical listing posted
+        # on several portals with tiny price/coordinate drift — the case
+        # the reference's backend spatial dup-check catches (50 m radius,
+        # price ±100, backend.py:58-93). Decided WITHOUT the source in
+        # the hash so all sources of (region, k) share the base facts.
+        spatial_dup = (_h64(c.seed, "spatialdup", region, k) % 1000
+                       < c.spatial_dup_per_mille)
+        base = f"dupbase|{region}|{k}" if spatial_dup else oid
+        ub = lambda tag: _unit(c.seed, tag, base)  # noqa: E731
+        price = round(200_000 + ub("price") * 1_800_000, -3)
+        true_area = round(20 + ub("area") * 130, 1)
+        rooms = 1 + _h64(c.seed, "rooms", base) % 6
+        lat = round(49.2 + ub("lat") * 5.5, 6)
+        lon = round(14.2 + ub("lon") * 10.1, 6)
+        if spatial_dup:  # per-source drift: ≤ ~30 m, price ≤ ±90
+            price = price + round(u("dprice") * 180 - 90, 0)
+            lat = round(lat + (u("dlat") - 0.5) * 0.0005, 6)
+            lon = round(lon + (u("dlon") - 0.5) * 0.0005, 6)
         ppm2 = round(price / true_area, 2)
-        rooms = 1 + _h64(c.seed, "rooms", oid) % 6
-        lat = round(49.0 + u("lat") * 5.9, 6)
-        lon = round(14.0 + u("lon") * 10.5, 6)
         n_photos = _h64(c.seed, "nph", oid) % (c.max_photos + 1)
         b = self._bucket("variant", oid)
         return {
             "oid": oid,
+            "spatial_dup": spatial_dup,
             "price": price,
             "true_area": true_area,
             "ppm2": ppm2,
@@ -335,6 +349,91 @@ class Portal:
             spans.append(span("link", media_ref=self.investment_url(ref.region, ref.k, ref.page + 1),
                               offset=len(chunk)))
         return spans
+
+    # -- HTML rendering (realistic fetched+parsed payloads) -----------------
+    #
+    # With ``cfg.html_bytes > 0`` a page is served as HTML: the same
+    # facts as the span document, embedded in deterministic boilerplate
+    # of roughly ``html_bytes`` bytes. The fetch stage then runs the
+    # regex extractor chain (stages/fetch.py ``html_to_spans``) — the
+    # Ray-side analogue of the reference's selector/regex parsers
+    # (otodom.py:315-376, gratka.py:429-499) — and must recover exactly
+    # the span document (tests/test_portal.py asserts equivalence).
+
+    _FILLER = (
+        "<p class=\"seo-text\">Nieruchomości na sprzedaż — sprawdź "
+        "najnowsze ogłoszenia, ceny za metr, lokalizacje i zdjęcia. "
+        "Rynek pierwotny i wtórny, mieszkania i apartamenty.</p>\n"
+        "<div class=\"ad-slot\" data-slot=\"baner\"><span>reklama</span></div>\n"
+    )
+
+    def _html_doc(self, elements: list[str]) -> str:
+        """Interleave elements with filler, padding to ~cfg.html_bytes so
+        every regex pass scans a realistically-sized document."""
+        target = self.cfg.html_bytes
+        parts = ["<!DOCTYPE html><html><head><title>ogloszenia</title></head><body>\n"]
+        n = max(1, len(elements))
+        gap = max(1, (target - sum(map(len, elements))) // (len(self._FILLER) * (n + 1)))
+        for el in elements:
+            parts.extend([self._FILLER] * gap)
+            parts.append(el)
+            parts.append("\n")
+        size = sum(map(len, parts))
+        if size < target:
+            parts.extend([self._FILLER] * ((target - size) // len(self._FILLER) + 1))
+        parts.append("</body></html>")
+        return "".join(parts)
+
+    def render_html(self, url: str) -> str | None:
+        spans = self.render(url)
+        if spans is None:
+            return None
+        ref = self.classify(url)
+        els: list[str] = []
+        if ref.kind in ("listing", "investment"):
+            for s in sorted(spans, key=lambda s: s["offset"]):
+                t = s["media_ref"]
+                if self.classify(t).kind == "listing" or (
+                        ref.kind == "investment" and "?page=" in t):
+                    els.append(f'<a class="pagination-next" href="{t}">następna</a>')
+                else:
+                    els.append(f'<article class="card"><a class="card-link" '
+                               f'href="{t}">oferta</a></article>')
+            return self._html_doc(els)
+        # offer pages: otodom/trojmiasto serve a __NEXT_DATA__ JSON state
+        # blob (the reference's primary parse path for these sources,
+        # otodom.py:57-190, trojmiasto.py:63-71); gratka/morizon serve
+        # param markup for the CSS/regex fallback chain
+        # (gratka.py:429-499). The JSON is padded with a realistic "seo"
+        # key forest so parsing walks real structure.
+        if ref.source in ("otodom", "trojmiasto"):
+            import json as _json
+            params = []
+            images = []
+            for s in sorted(spans, key=lambda s: s["offset"]):
+                if s["kind"] == "text":
+                    k, _, v = s["text"].partition("=")
+                    params.append([k, v])
+                else:
+                    images.append(s["media_ref"])
+            entry = {"tag": "listing-seo-link", "w": 120, "h": 80,
+                     "path": "/pl/wyniki/sprzedaz/mieszkanie", "active": True}
+            n_pad = max(0, (self.cfg.html_bytes - 2000) // 96)
+            payload = {"props": {"pageProps": {"ad": {
+                "id": ref.oid, "params": params, "images": images,
+                "seo": {f"k{i:05d}": entry for i in range(n_pad)},
+            }}}}
+            els.append('<script id="__NEXT_DATA__" type="application/json">'
+                       + _json.dumps(payload, separators=(",", ":"))
+                       + "</script>")
+            return self._html_doc(els)
+        for s in sorted(spans, key=lambda s: s["offset"]):
+            if s["kind"] == "text":
+                k, _, v = s["text"].partition("=")
+                els.append(f'<div class="param" data-field="{k}">{v}</div>')
+            else:
+                els.append(f'<img class="gallery" src="{s["media_ref"]}"/>')
+        return self._html_doc(els)
 
     # -- materialization (the Lance/parquet documents table) ---------------
 

@@ -32,6 +32,7 @@ spans with batch-vectorized numeric coercion (numpy / polars kernels):
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -66,6 +67,52 @@ COMBINED_SCHEMA = pa.schema([
 ])
 
 PRIORITY = {"pagination": 0, "investment": 1, "investment_next": 1, "detail": 2}
+
+# HTML extractor chain (portal html mode): the regex analogue of the
+# reference's selector parsers — cards (otodom.py:497-534 listing-item
+# links), next-page link, param divs (CSS fallback chain,
+# otodom.py:315-376), gallery imgs (photo-list parsers, M25). Compiled
+# once per worker; each pass scans the whole document.
+_CARD_RE = re.compile(r'<a class="card-link" href="([^"]+)"')
+_NEXT_RE = re.compile(r'<a class="pagination-next" href="([^"]+)"')
+_FIELD_RE = re.compile(r'<div class="param" data-field="([^"]+)">([^<]*)</div>')
+_IMG_RE = re.compile(r'<img class="gallery" src="([^"]+)"')
+_NEXT_DATA_RE = re.compile(
+    r'<script id="__NEXT_DATA__" type="application/json">(.*?)</script>', re.S)
+
+
+def html_to_spans(html: str) -> list[dict]:
+    """Parse a rendered portal page back into its span document — the
+    extractor chain with the reference's precedence: __NEXT_DATA__ JSON
+    state first (otodom.py:57-190), then the CSS/regex param fallback
+    (otodom.py:315-376), links and gallery passes over the whole
+    document. Inverse of Portal.render_html; tests assert crawl-output
+    equality between html mode and span mode."""
+    spans: list[dict] = []
+    links = _CARD_RE.findall(html)
+    for i, u in enumerate(links):
+        spans.append({"kind": "link", "text": "", "media_ref": u, "offset": i})
+    for u in _NEXT_RE.findall(html):
+        spans.append({"kind": "link", "text": "", "media_ref": u,
+                      "offset": len(links)})
+    m = _NEXT_DATA_RE.search(html)
+    if m:
+        import json as _json
+        ad = (_json.loads(m.group(1)).get("props", {})
+              .get("pageProps", {}).get("ad", {}))
+        for i, (k, v) in enumerate(ad.get("params", [])):
+            spans.append({"kind": "text", "text": f"{k}={v}", "media_ref": "",
+                          "offset": i})
+        for i, u in enumerate(ad.get("images", [])):
+            spans.append({"kind": "image", "text": "", "media_ref": u,
+                          "offset": i})
+        return spans
+    for i, (k, v) in enumerate(_FIELD_RE.findall(html)):
+        spans.append({"kind": "text", "text": f"{k}={v}", "media_ref": "",
+                      "offset": i})
+    for i, u in enumerate(_IMG_RE.findall(html)):
+        spans.append({"kind": "image", "text": "", "media_ref": u, "offset": i})
+    return spans
 
 
 def _round2(x: np.ndarray) -> np.ndarray:
@@ -118,10 +165,15 @@ class FetchParse:
 
     def _fetch(self, url: str) -> list[dict] | None:
         """Returns spans or None on hard fetch failure. The retry loop is
-        the in-actor analogue of the reference's tenacity policy."""
+        the in-actor analogue of the reference's tenacity policy. In html
+        mode the page arrives as HTML and goes through the regex
+        extractor chain — fetched+parsed means real parse work."""
         depth = self._fail_depth(url)
         for attempt in range(1, self.cfg.fetch_attempts + 1):
             if attempt > depth:
+                if self.portal.cfg.html_bytes > 0:
+                    html = self.portal.render_html(url)
+                    return None if html is None else html_to_spans(html)
                 return self.portal.render(url)
         return None
 

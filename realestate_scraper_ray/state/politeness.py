@@ -53,7 +53,11 @@ class PolitenessService:
     def __init__(self, n_shards: int, rps_per_host: float, burst: int = 1):
         self.n = n_shards
         self.rps = rps_per_host
-        self.shards = [PolitenessShard.remote(rps_per_host, burst) for _ in range(n_shards)]
+        # politeness off (synthetic-fetch benches) ⇒ no shard actors at
+        # all: don't reserve CPU for a service that is never called
+        self.shards = ([] if rps_per_host >= 1e8 else
+                       [PolitenessShard.remote(rps_per_host, burst)
+                        for _ in range(n_shards)])
 
     def shard_for(self, host: str) -> "ray.actor.ActorHandle":
         return self.shards[hash(host) % self.n]  # in-process routing only

@@ -1,0 +1,60 @@
+"""HTML fetch+parse mode (PortalConfig.html_bytes > 0): pages render as
+realistic HTML/JSON documents and the fetch stage recovers the span
+document through the regex/JSON extractor chain (stages/fetch.py
+``html_to_spans`` — the analogue of the reference's __NEXT_DATA__ +
+CSS parsers, otodom.py:57-190, 315-376). The crawl outputs must be
+identical to span mode — this ties the bench configuration (which runs
+in html mode) to the correctness gate."""
+
+import pandas as pd
+
+from realestate_scraper_ray.config import CrawlConfig, PortalConfig
+from realestate_scraper_ray.pipelines.crawl import run_crawl
+from realestate_scraper_ray.sources.synth_portal import Portal
+from realestate_scraper_ray.stages.fetch import html_to_spans
+
+SPAN_CFG = PortalConfig(regions=("pomorskie", "mazowieckie"),
+                        base_pages=2, page_size_scale=0.15)
+HTML_CFG = PortalConfig(regions=("pomorskie", "mazowieckie"),
+                        base_pages=2, page_size_scale=0.15, html_bytes=6000)
+CRAWL = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                    fetch_batch_size=64)
+
+
+def _norm(spans):
+    return sorted((s["kind"], s["text"], s["media_ref"], s["offset"])
+                  for s in spans)
+
+
+def test_html_roundtrip_all_sources_and_kinds():
+    span_p, html_p = Portal(SPAN_CFG), Portal(HTML_CFG)
+    for src in ("otodom", "gratka", "morizon", "trojmiasto"):
+        lst = span_p.listing_url(src, "pomorskie", 1)
+        assert _norm(span_p.render(lst)) == _norm(html_to_spans(html_p.render_html(lst)))
+        offer_urls = [s["media_ref"] for s in span_p.render(lst)
+                      if span_p.classify(s["media_ref"]).kind == "offer"]
+        for u in offer_urls[:5]:
+            assert _norm(span_p.render(u)) == _norm(html_to_spans(html_p.render_html(u)))
+    inv = html_p.investment_url("pomorskie", 3)
+    assert _norm(span_p.render(inv)) == _norm(html_to_spans(html_p.render_html(inv)))
+
+
+def test_next_data_path_used_for_otodom():
+    html_p = Portal(HTML_CFG)
+    u = html_p.offer_url("otodom", "pomorskie", 1)
+    assert "__NEXT_DATA__" in html_p.render_html(u)
+    u = html_p.offer_url("gratka", "pomorskie", 1)
+    assert "__NEXT_DATA__" not in html_p.render_html(u)
+    assert 'class="param"' in html_p.render_html(u)
+
+
+def test_html_mode_crawl_equals_span_mode(tmp_path, ray_session):
+    a = run_crawl(SPAN_CFG, CRAWL, str(tmp_path / "span"))
+    b = run_crawl(HTML_CFG, CRAWL, str(tmp_path / "html"))
+    for name in ("urls", "offers", "photos"):
+        ta = a.table(name).to_pandas()
+        tb = b.table(name).to_pandas()
+        ta = ta.sort_values(list(ta.columns)).reset_index(drop=True)
+        tb = tb.sort_values(list(tb.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(ta, tb, obj=name)
+    assert a.state == b.state
