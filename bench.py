@@ -134,12 +134,15 @@ def main_crawl_only() -> None:
 def main_scaling() -> None:
     """Identical crawl job in fresh processes at N and 4N CPUs.
 
-    Pair via $BENCH_SCALING_CPUS, default "8,32". Note from measured
+    Pair via $BENCH_SCALING_CPUS, default "4,16". Note from measured
     hardware behavior (BASELINE.md): this VM's memory bandwidth
-    saturates near full 32-core occupancy on page-parse workloads, so
-    "4,16" is the pair that isolates *engine* scaling from single-box
-    bandwidth limits (real clusters add bandwidth with every node)."""
-    pair = os.environ.get("BENCH_SCALING_CPUS", "8,32")
+    saturates near full 32-core occupancy on page-parse workloads
+    (single-thread page cost 7 CPU-ms rises to 17.6 CPU-ms at 32-way
+    in a plain map_batches with no engine code in the loop), so "4,16"
+    is the pair that isolates *engine* scaling from single-box
+    bandwidth limits — real clusters add memory bandwidth with every
+    node. The full 4/8/16/32 matrix is recorded in BASELINE.md."""
+    pair = os.environ.get("BENCH_SCALING_CPUS", "4,16")
     n_lo, n_hi = (int(x) for x in pair.split(","))
     results = []
     for ncpu in (n_lo, n_hi):

@@ -99,6 +99,12 @@ class PortalConfig:
     # per page (real Otodom pages are 300-800 KB of Next.js HTML).
     # 0 = span mode: pages are the interleaved-span documents directly.
     html_bytes: int = 0
+    # when set, the fetch stage serves pages from this materialized
+    # documents parquet (doc_id, spans) instead of rendering
+    # procedurally — the table-backed "Lance take by doc_id" path from
+    # SURVEY.md §7.1; each fetch worker loads the table once in its
+    # stage state. URLs absent from the table are hard fetch failures.
+    documents_path: str | None = None
 
 
 @dataclass(frozen=True)
@@ -131,6 +137,16 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1           # generations between checkpoints
     robots: bool = True
+    # host-keyed frontier partitioning with skew salting (north_rule:
+    # "streaming groupby-on-host shuffles with explicit salting of
+    # skewed portals"): detail fragments are written in host-bucket
+    # order, so same-host URLs flow through contiguous fetch tasks
+    # (politeness locality) without an all-to-all shuffle. Hosts whose
+    # substring matches get N salts — their URLs spread over N buckets
+    # so one dominant portal (Otodom) never serializes onto one task
+    # chain while still keeping per-(host,salt) politeness budgets.
+    skew_salts: tuple[tuple[str, int], ...] = (("otodom", 8),)
+    host_buckets: int = 256
 
 
 @dataclass

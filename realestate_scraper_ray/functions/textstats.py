@@ -114,19 +114,40 @@ def md5_fingerprints(texts) -> pa.Array:
                      for t in s.to_list()], pa.string())
 
 
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers(base: int, n: int) -> np.ndarray:
+    """[base^(n-1), ..., base^1, base^0] mod 2^64 (wrapping uint64)."""
+    cached = _POW_CACHE.get(base)
+    if cached is None or len(cached) < n:
+        size = max(n, 4096)
+        p = np.empty(size, dtype=np.uint64)
+        p[0] = 1
+        with np.errstate(over="ignore"):
+            b = np.uint64(base)
+            for i in range(1, size):
+                p[i] = p[i - 1] * b
+        _POW_CACHE[base] = cached = p
+    return cached[:n][::-1]
+
+
 def rolling_hash64(texts, base: int = 1_000_003) -> pa.Array:
-    """Deterministic 64-bit polynomial rolling hash of the whole text."""
-    out = np.empty(len(texts) if not isinstance(texts, (pa.Array, pa.ChunkedArray))
-                   else len(texts), dtype=np.uint64)
+    """Deterministic 64-bit polynomial rolling hash of the whole text:
+    h = seed*base^n + Σ byte_i * base^(n-1-i), all mod 2^64. Vectorized
+    per text (one dot product over the byte array; uint64 wraparound is
+    the modulus)."""
     s = _to_series(texts)
-    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
-    b = np.uint64(base)
-    for i, t in enumerate(s.to_list()):
-        h = np.uint64(1469598103934665603)
-        if t:
-            for chunk in np.frombuffer(t.encode(), dtype=np.uint8):
-                h = (h * b + np.uint64(chunk)) & mask
-        out[i] = h
+    out = np.empty(len(s), dtype=np.uint64)
+    seed = np.uint64(1469598103934665603)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(s.to_list()):
+            if not t:
+                out[i] = seed
+                continue
+            data = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.uint64)
+            pw = _powers(base, len(data) + 1)
+            out[i] = seed * pw[0] + np.multiply(data, pw[1:]).sum(dtype=np.uint64)
     return pa.array(out)
 
 

@@ -44,8 +44,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+import zlib
+
+import numpy as np
+
 from ..config import CrawlConfig, PortalConfig
-from ..functions.urls import extract_offer_ids
+from ..functions.urls import extract_offer_ids, host_of
 from ..sources.synth_portal import Portal
 from ..stages.fetch import make_fetch_fn
 from ..state.politeness import PolitenessService
@@ -141,6 +145,24 @@ def make_dedup_fn(urlseen: UrlSeenService):
 _FRAG_COUNTER = itertools.count()
 
 
+def _host_buckets(urls: pa.Array | pa.ChunkedArray, cfg: CrawlConfig) -> np.ndarray:
+    """Frontier partition key: hash(host) + per-URL salt for skewed
+    hosts (SURVEY.md §7.4). A host matching a ``skew_salts`` substring
+    spreads over N buckets; others map to one. Buckets order fragment
+    writes — the shuffle-free groupby-on-host."""
+    out = np.empty(len(urls), dtype=np.int64)
+    for i, u in enumerate(urls.to_pylist()):
+        h = host_of(u)
+        n_salt = 1
+        for frag, n in cfg.skew_salts:
+            if frag in h:
+                n_salt = max(1, n)
+                break
+        salt = zlib.crc32(u.encode()) % n_salt
+        out[i] = (zlib.crc32(h.encode()) + salt) % cfg.host_buckets
+    return out
+
+
 def _write_fragment(table: pa.Table, dirpath: str,
                     row_group_size: int | None = None,
                     prefix: str = "") -> None:
@@ -192,12 +214,21 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
         _write_fragment(front.filter(inv), next_dir,
                         row_group_size=cfg.fetch_batch_size, prefix="p1-")
         det = front.filter(pc.invert(inv))
-        # fixed-size detail fragments: the next wave's read then yields
-        # uniform ~batch_size blocks, so no fetch task becomes a
-        # multi-hundred-page straggler (skew kills wave tail latency)
-        for off in range(0, det.num_rows, cfg.fetch_batch_size):
-            _write_fragment(det.slice(off, cfg.fetch_batch_size), next_dir,
-                            row_group_size=cfg.fetch_batch_size, prefix="p2-")
+        # host-keyed partitioning with skew salting (north_rule): order
+        # detail rows by host bucket so same-(host,salt) URLs land in
+        # contiguous fragments → contiguous fetch tasks (politeness
+        # locality) with no all-to-all shuffle; fixed-size fragments so
+        # the next wave's read yields uniform ~batch_size blocks and no
+        # fetch task becomes a multi-hundred-page straggler
+        if det.num_rows:
+            buckets = _host_buckets(det["url"], cfg)
+            det = det.take(pa.array(np.argsort(buckets, kind="stable")))
+            bsorted = np.sort(buckets, kind="stable")
+            for off in range(0, det.num_rows, cfg.fetch_batch_size):
+                _write_fragment(
+                    det.slice(off, cfg.fetch_batch_size), next_dir,
+                    row_group_size=cfg.fetch_batch_size,
+                    prefix=f"p2-b{int(bsorted[off]):04d}-")
         return _summarize_batch(t, cand)
 
     return wave

@@ -405,6 +405,55 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+_TOPK_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events)
+SELECT user_id, event_id, value, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+@query("events_topk_per_user", _TOPK_SQL)
+def events_topk_per_user(sf_dir: str) -> rd.Dataset:
+    """Grouped top-k (rank window): per-group vectorized argsort inside
+    map_groups — k rows leave each group, so the post-shuffle volume is
+    k·|groups|, not the input size."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True]).head(3)
+        g = g.assign(rnk=np.arange(1, len(g) + 1))
+        return g[["user_id", "event_id", "value", "rnk"]]
+
+    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+
+
+_LAG_SQL = """
+SELECT event_id, user_id,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+"""
+
+
+@query("events_lag", _LAG_SQL)
+def events_lag(sf_dir: str) -> rd.Dataset:
+    """LAG window (the as-of-previous-row shape): shift over the
+    (ts, event_id)-sorted group."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "prev_value": g["value"].shift(1)})
+
+    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
 _RUNNING_SQL = """
 SELECT event_id, user_id,
        SUM(CAST(ROUND(value*100,0) AS BIGINT))
@@ -857,6 +906,20 @@ def crawl_reverse_geocode(sf_dir: str) -> pd.DataFrame:
         reverse_geocode(offers).select_columns(
             ["offer_id", "city_pred", "city_dist_m"]).take_all()).to_pandas()
     return out.sort_values("offer_id").reset_index(drop=True)
+
+
+@query("crawl_coverage_ratio")  # non-SQL: over crawl outputs
+def crawl_coverage_ratio(sf_dir: str) -> pd.DataFrame:
+    """A5: parsed/discovered coverage per source — the reference's
+    measurement-campaign metric (mierzalnosc_excel.py urls ⟕ offers)."""
+    res = _crawl_result()
+    urls = res.table("urls").to_pandas().groupby("source").size()
+    offers = res.table("offers").to_pandas().groupby("source").size()
+    out = pd.DataFrame({"n_discovered": urls, "n_parsed": offers}).fillna(0)
+    out["coverage"] = (out["n_parsed"] / out["n_discovered"]).round(4)
+    return (out.reset_index().astype({"n_discovered": "int64",
+                                      "n_parsed": "int64"})
+            .sort_values("source").reset_index(drop=True))
 
 
 @query("crawl_geo_snap")  # non-SQL: broadcast-join snap stage

@@ -443,7 +443,10 @@ class Portal:
         for s in self.cfg.sources:
             for r in self.cfg.regions:
                 cp = self.content_pages(s, r)
-                last = cp + (3 if self.tail_mode(s, r) == "no_new" else 1)
+                # reachable pages incl. the terminal empty page: otodom
+                # has no no_new stop, so it walks the 3 repeat pages and
+                # then fetches cp+4 (empty → no_links stop)
+                last = cp + (4 if self.tail_mode(s, r) == "no_new" else 1)
                 ps = self.page_size(s)
                 for p in range(1, last + 1):
                     out.append(self.listing_url(s, r, p))

@@ -154,6 +154,16 @@ class FetchParse:
         self.cfg = crawl_cfg
         self.politeness = politeness
         self._robots: dict[str, list[str]] = {}  # host → Disallow prefixes
+        # table-backed fetch (documents_path): load the interleaved-doc
+        # table once per worker — the test-scale stand-in for a Lance
+        # take by doc_id (SURVEY.md §7.1); at cluster scale this is a
+        # fragment-local index lookup, not a full-table load.
+        self._docs: dict[str, list[dict]] | None = None
+        if portal_cfg.documents_path:
+            import pyarrow.parquet as _pq
+            t = _pq.read_table(portal_cfg.documents_path)
+            self._docs = dict(zip(t["doc_id"].to_pylist(),
+                                  t["spans"].to_pylist()))
 
     # -- fetch (synthetic render + deterministic failure injection) ---------
 
@@ -171,6 +181,8 @@ class FetchParse:
         depth = self._fail_depth(url)
         for attempt in range(1, self.cfg.fetch_attempts + 1):
             if attempt > depth:
+                if self._docs is not None:
+                    return self._docs.get(url)
                 if self.portal.cfg.html_bytes > 0:
                     html = self.portal.render_html(url)
                     return None if html is None else html_to_spans(html)

@@ -58,3 +58,21 @@ def test_html_mode_crawl_equals_span_mode(tmp_path, ray_session):
         tb = tb.sort_values(list(tb.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(ta, tb, obj=name)
     assert a.state == b.state
+
+
+def test_table_backed_fetch_equals_procedural(tmp_path, ray_session):
+    # the input_hint substrate: crawl served from a materialized
+    # (doc_id, spans) parquet — must equal the procedural-render crawl
+    import dataclasses
+    docs_path = str(tmp_path / "documents.parquet")
+    Portal(SPAN_CFG).write_documents(docs_path)
+    table_cfg = dataclasses.replace(SPAN_CFG, documents_path=docs_path)
+    a = run_crawl(SPAN_CFG, CRAWL, str(tmp_path / "proc"))
+    b = run_crawl(table_cfg, CRAWL, str(tmp_path / "tab"))
+    for name in ("urls", "offers", "photos"):
+        ta = a.table(name).to_pandas()
+        tb = b.table(name).to_pandas()
+        ta = ta.sort_values(list(ta.columns)).reset_index(drop=True)
+        tb = tb.sort_values(list(tb.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(ta, tb, obj=name)
+    assert a.state == b.state
