@@ -145,7 +145,14 @@ def main_scaling() -> None:
     pair = os.environ.get("BENCH_SCALING_CPUS", "4,16")
     n_lo, n_hi = (int(x) for x in pair.split(","))
     results = []
-    for ncpu in (n_lo, n_hi):
+    for idx, ncpu in enumerate((n_lo, n_hi)):
+        if idx:  # let the previous Ray session's load decay (timing noise)
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                with open("/proc/loadavg") as f:
+                    if float(f.read().split()[0]) < 1.5:
+                        break
+                time.sleep(5)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only"],

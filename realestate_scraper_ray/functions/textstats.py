@@ -185,15 +185,21 @@ def _mix(h: np.ndarray, seed: int) -> np.ndarray:
 
 
 def minhash_signatures(texts, num_perm: int = 64, shingle_k: int = 3) -> np.ndarray:
-    """(n, num_perm) uint64 MinHash signatures (empty text → all-max)."""
+    """(n, num_perm) uint64 MinHash signatures (empty text → all-max).
+    One broadcast mix per document ((num_perm, n_shingles) in a single
+    vector op) instead of a per-permutation Python loop."""
     s = _to_series(texts).to_list()
     shingle_hashes = _hash_tokens_matrix(s, shingle_k)
     sig = np.full((len(s), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, h in enumerate(shingle_hashes):
-        if h.size == 0:
-            continue
-        for p in range(num_perm):
-            sig[i, p] = _mix(h, p).min()
+    seeds = np.arange(num_perm, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        for i, h in enumerate(shingle_hashes):
+            if h.size == 0:
+                continue
+            x = h[None, :] + seeds * _MIX_A
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            sig[i] = (x ^ (x >> np.uint64(31))).min(axis=1)
     return sig
 
 

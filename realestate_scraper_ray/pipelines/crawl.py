@@ -1,27 +1,31 @@
 """The crawl pipeline: frontier generation loop over Ray Data.
 
-Architecture (SURVEY.md §7.1): per generation ("wave"),
+Architecture (SURVEY.md §7.1): per generation ("wave"), ONE streamed
+Ray Data execution does everything row-shaped:
 
-    frontier/gen=G (parquet) ──read_parquet──▶ sort(priority)   (pagination first)
-      ─▶ map_batches(fetch+parse, per-worker cached state)      (politeness, robots, retries)
-      ─▶ materialize (bounded: one wave of *parsed* records — HTML never
-         enters the object store; fetch and parse share a stage)
-      ─▶ offers  → workdir/offers/gen=G    (deterministic per-gen dirs → idempotent)
-      ─▶ photos  → workdir/photos/gen=G
-      ─▶ links   → cuckoo URL-seen shards (test-and-set) → first-seen rows
-                   → frontier/gen=G+1 (the next wave, written distributed)
-      ─▶ one summary pass (partial aggregates per batch → tiny take_all)
-         → per-region stop logic on the driver (auto-stop watermarks,
-           SURVEY.md §2.9) → next pagination rows appended to frontier/gen=G+1
-      ─▶ checkpoint gen=G: region state + filter shard bytes (atomic dir
-         rename); resume re-enters at the first incomplete wave and
-         re-writes its outputs deterministically (replace-on-retry).
+    frontier/gen=G ──read_parquet (uniform blocks, priority-ordered
+                     paths: part-p0-… pagination streams first)──▶
+      map_batches(wave):  fetch+parse (per-worker cached state:
+                          politeness, robots, retries)
+        ├─▶ offers  → workdir/offers/gen=G   (atomic fragments)
+        ├─▶ photos  → workdir/photos/gen=G
+        ├─▶ links   → cuckoo URL-seen shards (test-and-set) →
+        │             first-seen rows → frontier/gen=G+1, written
+        │             host-bucket-ordered with skew salting
+        └─▶ returns per-batch summary rows only
+      take_all (tiny) ─▶ driver folds per-region stop logic (auto-stop
+        watermarks, SURVEY.md §2.9) → next pagination rows appended to
+        frontier/gen=G+1
+      checkpoint gen=G every `checkpoint_every` waves: region state +
+        filter shard bytes (atomic dir rename); resume re-enters at the
+        first unfinished wave and re-writes its outputs
+        deterministically (replace-on-retry).
 
 The driver holds only O(#regions) state: everything row-shaped flows
-through Datasets or per-generation parquet. Per-wave ``materialize()``
-is bounded by the wave's page count; at 10^10-URL scale a frontier
-window (split frontier/gen=G into fixed-size sub-waves) caps it — the
-loop structure is unchanged.
+through the Dataset or per-generation parquet fragments; page bodies
+never enter the object store (fetch and parse share a stage). At
+10^10-URL scale a frontier window (split frontier/gen=G into
+fixed-size sub-waves) bounds each execution — the loop is unchanged.
 
 The golden ``urls`` table (reference urls.csv, otodom.py:620-625) is
 derived from the frontier parquet (kind='detail' rows), not written
