@@ -41,6 +41,20 @@ SOURCE_WEIGHT: dict[str, float] = {
     "trojmiasto": 0.7,
 }
 
+# Per-source auto-stop policy: how many consecutive zero-new listing
+# pages end the region walk (SURVEY.md §2.9). None = never stop on
+# no-new (otodom walks until an empty page, otodom.py:507-510); 2 =
+# morizon/gratka (morizon.py:697-709, gratka.py:788-800); 1 =
+# trojmiasto (trojmiasto.py:262-265). A new source adapter registers
+# its policy here — the engine itself is source-agnostic.
+NO_NEW_STOP: dict[str, int | None] = {
+    "otodom": None,
+    "gratka": 2,
+    "morizon": 2,
+    "trojmiasto": 1,
+}
+
+
 # Fields required for an offer row to survive the completeness gate
 # (REQ_FIELDS, /root/reference/scrapper/pipelines/detail.py:21).
 REQ_FIELDS: tuple[str, ...] = (
@@ -147,6 +161,12 @@ class CrawlConfig:
     # chain while still keeping per-(host,salt) politeness budgets.
     skew_salts: tuple[tuple[str, int], ...] = (("otodom", 8),)
     host_buckets: int = 256
+    # frontier windowing: when a generation holds more rows than this,
+    # it is processed in file-granular sub-windows (each its own bounded
+    # streamed execution; summaries fold across windows). Caps driver
+    # and object-store footprint at any frontier size — at 10^10 URLs a
+    # generation never has to fit one execution. None = single window.
+    max_wave_rows: int | None = None
 
 
 @dataclass

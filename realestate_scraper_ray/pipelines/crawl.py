@@ -52,7 +52,7 @@ import zlib
 
 import numpy as np
 
-from ..config import CrawlConfig, PortalConfig
+from ..config import NO_NEW_STOP, CrawlConfig, PortalConfig
 from ..functions.urls import extract_offer_ids, host_of
 from ..sources.synth_portal import Portal
 from ..stages.fetch import make_fetch_fn
@@ -390,19 +390,37 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
               os.path.join(workdir, "photos", f"gen-{gen}"), next_dir):
         shutil.rmtree(d, ignore_errors=True)
 
-    # fan the wave out to ~one block per fetch batch (row-group-granular
-    # splits of the frontier fragments) so parallelism tracks wave size,
-    # not the previous wave's writer-task count
-    nblocks = max(1, -(-_frontier_rows(workdir, gen) // cfg.fetch_batch_size))
-    # priority queue: fragment names are "part-p{priority}-..." and
-    # read_parquet streams blocks in sorted path order, so pagination (0)
-    # blocks enter the fetch stage before investment (1) before detail
-    # (2) — no per-wave sort shuffle (north_rule; SURVEY.md §2.6 O2)
-    ds = rd.read_parquet(_frontier_dir(workdir, gen), override_num_blocks=nblocks)
-    # the whole wave is ONE streamed execution; only summary rows return
-    summary = ds.map_batches(
-        make_wave_fn(portal.cfg, cfg, politeness, urlseen, workdir, gen),
-        batch_format="pyarrow", batch_size=cfg.fetch_batch_size).take_all()
+    # frontier windowing: split the generation's fragment files into
+    # bounded sub-windows (file-granular; priority order preserved by
+    # the sorted "part-p{prio}-…" names) so one execution never has to
+    # hold an arbitrarily large frontier. Summaries fold across windows.
+    fdir = _frontier_dir(workdir, gen)
+    files = sorted(f for f in os.listdir(fdir) if f.endswith(".parquet"))
+    windows: list[list[str]] = [[]]
+    rows_in_win = 0
+    for f in files:
+        windows[-1].append(os.path.join(fdir, f))
+        rows_in_win += pq.ParquetFile(os.path.join(fdir, f)).metadata.num_rows
+        if cfg.max_wave_rows is not None and rows_in_win >= cfg.max_wave_rows:
+            windows.append([])
+            rows_in_win = 0
+    wave_fn = make_wave_fn(portal.cfg, cfg, politeness, urlseen, workdir, gen)
+    summary: list[dict] = []
+    for paths in windows:
+        if not paths:
+            continue
+        n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        # fan out to ~one block per fetch batch (row-group-granular
+        # splits) so parallelism tracks window size, not the previous
+        # wave's writer-task count; sorted paths keep the priority
+        # queue: pagination (p0) blocks stream into the fetch stage
+        # before investment (p1) before detail (p2) — no sort shuffle
+        # (north_rule; SURVEY.md §2.6 O2)
+        nblocks = max(1, -(-n_rows // cfg.fetch_batch_size))
+        ds = rd.read_parquet(paths, override_num_blocks=nblocks)
+        summary.extend(ds.map_batches(
+            wave_fn, batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size).take_all())
 
     newc: dict[tuple[str, str, int], int] = {}
     pag_meta, pag_links, inv_next = [], {}, []
@@ -443,13 +461,9 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
             st.no_new_streak += 1
         else:
             st.no_new_streak = 0
-        # two consecutive zero-new pages stop morizon/gratka
-        # (morizon.py:697-709); one stops trojmiasto
-        # (trojmiasto.py:262-265); otodom only stops on empty pages /
-        # max_pages (otodom.py:507-510)
-        src = m["source"]
-        limit = 1 if src == "trojmiasto" else 2
-        if src != "otodom" and st.no_new_streak >= limit:
+        # per-source no-new stop policy (config.NO_NEW_STOP registry)
+        limit = NO_NEW_STOP.get(m["source"], 2)
+        if limit is not None and st.no_new_streak >= limit:
             st.stop_reason = "no_new"
             continue
         nxt = pag_links.get(key)

@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..config import REQ_FIELDS, CrawlConfig, PortalConfig
+from ..config import NO_NEW_STOP, REQ_FIELDS, CrawlConfig, PortalConfig
 from ..sources.synth_portal import Portal
 
 _NUM = re.compile(r"(-?\d+(?:\.\d+)?)")
@@ -200,8 +200,8 @@ def _crawl_region(portal: Portal, cfg: CrawlConfig, source: str, region: str,
         st["last_page_done"] = page
         if new_on_page == 0:
             st["no_new_streak"] += 1
-            limit = 1 if source == "trojmiasto" else 2
-            if source != "otodom" and st["no_new_streak"] >= limit:
+            limit = NO_NEW_STOP.get(source, 2)
+            if limit is not None and st["no_new_streak"] >= limit:
                 st["stop_reason"] = "no_new"
                 break
         else:

@@ -405,6 +405,82 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@query("orders_with_returns_semi", _SEMI_SQL)
+def orders_with_returns_semi(sf_dir: str) -> pd.DataFrame:
+    """Semi join (TPC-H Q4 shape): distinct matching keys are reduced
+    FIRST (groupby on the join key — shuffle carries one row per key,
+    not per lineitem), then an inner join acts as the semi filter."""
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    keys = (li.map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R"))
+        .group_by("l_orderkey").aggregate([]), batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey"]))
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = orders.join(keys, join_type="inner", num_partitions=8,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+    out = pa.Table.from_pylist(
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count")).take_all()).to_pandas()
+    return (out.astype({"order_count": "int64"})
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@query("distinct_users_per_type", _DISTINCT_SQL)
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped distinct count: per-batch pair dedup (combiner) → global
+    pair dedup → count per group. The shuffle carries distinct pairs
+    only — the pre-aggregate pattern for COUNT(DISTINCT)."""
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    pairs = (ds.map_batches(
+        lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow")
+        .groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n")))
+    out = pa.Table.from_pylist(
+        pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+        .take_all()).to_pandas()
+    return (out.astype({"n_users": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+_MEDIAN_SQL = """
+SELECT event_type,
+       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+       PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+@query("value_percentiles_per_type", _MEDIAN_SQL)
+def value_percentiles_per_type(sf_dir: str) -> rd.Dataset:
+    """Exact grouped percentiles (PERCENTILE_DISC: element at index
+    ceil(q·n)−1 of the sorted group) via map_groups."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        idx = lambda q: min(n - 1, max(0, int(np.ceil(q * n)) - 1))  # noqa: E731
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "p50": [v[idx(0.5)]], "p90": [v[idx(0.9)]]})
+
+    return ds.groupby("event_type").map_groups(pct, batch_format="pandas")
+
+
 _TOPK_SQL = """
 WITH r AS (
   SELECT user_id, event_id, value,

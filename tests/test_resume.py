@@ -54,6 +54,19 @@ def test_fetch_fail_regions_resume(tmp_path, ray_session):
     assert r2.table("urls").num_rows >= r1.table("urls").num_rows
 
 
+def test_frontier_windowing_equals_single_window(tmp_path, ray_session):
+    # max_wave_rows splits a generation into bounded sub-executions;
+    # outputs and stop states must be identical to the unwindowed run
+    windowed = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                           fetch_batch_size=64, max_wave_rows=16)
+    a = run_crawl(PCFG, CCFG, str(tmp_path / "single"))
+    b = run_crawl(PCFG, windowed, str(tmp_path / "windowed"))
+    ta, tb = _tables(a), _tables(b)
+    for name in ("urls", "offers", "photos"):
+        pd.testing.assert_frame_equal(ta[name], tb[name], obj=name)
+    assert a.state == b.state
+
+
 def test_transient_failures_are_retried_in_stage(tmp_path, ray_session):
     # fail_depth < fetch_attempts → the in-actor retry loop succeeds and
     # the crawl result is identical to a failure-free run
