@@ -866,6 +866,22 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
 
 
+@query("ann_ivf_topk")  # approximate — no SQL oracle (rows-only check)
+def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN (scale path): deterministic coarse quantizer refined by
+    distributed Lloyd steps, n_probe-cell search per query."""
+    from ..stages.similarity import ivf_topk
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = pa.Table.from_pylist(
+        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)),
+                       batch_format="pyarrow").take_all())
+    qids = np.asarray(qrows["vec_id"])
+    qmat = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    out = ivf_topk(ds, "embedding", "vec_id", qids, qmat, k=5,
+                   n_centroids=16, n_probe=4)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
 @query("embedding_norm_stats",
        "SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS total_dims "
        "FROM embeddings GROUP BY label")

@@ -59,6 +59,85 @@ def cosine_topk(ds: rd.Dataset, vec_col: str, id_col: str,
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
+def ivf_centroids(ds: rd.Dataset, vec_col: str, id_col: str,
+                  n_centroids: int = 16, iters: int = 2) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: seeds = vectors of the
+    ``n_centroids`` smallest ids, refined by ``iters`` distributed
+    Lloyd steps (per-batch partial sums via map_batches — the shuffle
+    carries n_centroids rows per block, never the vectors)."""
+    seed_rows = ds.sort(id_col).limit(n_centroids).take_all()
+    cents = _norm_rows(np.array([r[vec_col] for r in seed_rows], np.float64))
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            m = _norm_rows(np.array(t[vec_col].to_pylist(), dtype=np.float64))
+            c = ray.get(c_ref)
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            return pa.table({"cid": np.arange(c.shape[0]),
+                             "vsum": list(sums),
+                             "n": counts.astype(np.int64)})
+
+        parts = pa.Table.from_pylist(
+            ds.map_batches(partial, batch_format="pyarrow").take_all())
+        sums = np.zeros_like(cents)
+        counts = np.zeros(cents.shape[0], dtype=np.int64)
+        for r in parts.to_pylist():
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            counts[r["cid"]] += r["n"]
+        nonempty = counts > 0
+        cents[nonempty] = _norm_rows(sums[nonempty] / counts[nonempty, None])
+    return cents
+
+
+def ivf_topk(ds: rd.Dataset, vec_col: str, id_col: str,
+             query_ids: np.ndarray, query_mat: np.ndarray, k: int,
+             n_centroids: int = 16, n_probe: int = 4,
+             iters: int = 2) -> pd.DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their nearest
+    centroid; each query scores only rows in its ``n_probe`` nearest
+    centroid cells. The scale path for ANN when hyperplane-LSH recall
+    is insufficient: probe count tunes recall vs compute, and the
+    centroid matrix (tiny) is the only broadcast state."""
+    cents = ivf_centroids(ds, vec_col, id_col, n_centroids, iters)
+    qm = _norm_rows(np.asarray(query_mat, np.float64))
+    order = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    probe_sets = [set(map(int, row)) for row in order]
+    ctx = ray.put((np.asarray(query_ids), qm, cents, probe_sets))
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col])
+        m = _norm_rows(np.array(t[vec_col].to_pylist(), dtype=np.float64))
+        qids, qmat, c, probes = ray.get(ctx)
+        assign = np.argmax(m @ c.T, axis=1)
+        sims = qmat @ m.T
+        outs = {"query_id": [], "neighbor_id": [], "cos": []}
+        for qi in range(len(qids)):
+            mask = np.fromiter((int(a) in probes[qi] for a in assign),
+                               dtype=bool, count=len(assign))
+            mask &= ids != qids[qi]
+            outs["query_id"].extend([qids[qi]] * int(mask.sum()))
+            outs["neighbor_id"].extend(ids[mask])
+            outs["cos"].extend(sims[qi][mask])
+        if not outs["query_id"]:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({k2: pa.array(v) for k2, v in outs.items()})
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
 def hyperplane_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """LSH bucket codes: sign pattern across `planes` → uint64."""
     bits = (mat @ planes.T) > 0

@@ -1,0 +1,50 @@
+"""Per-host politeness budget (state/politeness.py): token-bucket
+semantics and the end-to-end crawl wall-time bound. Reference analogue:
+the blocking min-interval limiter (http.py:11-21) — ours is per-host,
+so budget enforcement must hold per host while throughput scales with
+host-parallelism."""
+
+import time
+
+import pytest
+import ray
+
+from realestate_scraper_ray.config import CrawlConfig, PortalConfig
+from realestate_scraper_ray.pipelines.crawl import run_crawl
+from realestate_scraper_ray.state.politeness import PolitenessShard, PolitenessService
+
+
+def test_token_bucket_spacing(ray_session):
+    shard = PolitenessShard.remote(rps_per_host=10.0)  # 100 ms interval
+    d1 = ray.get(shard.acquire.remote("h.pl", 1))
+    assert d1 == 0.0                       # burst slot free immediately
+    d2 = ray.get(shard.acquire.remote("h.pl", 5))
+    d3 = ray.get(shard.acquire.remote("h.pl", 1))
+    # after booking 1+5 slots, the 7th slot opens ~0.5-0.6 s out
+    assert d3 > d2 >= 0.0
+    assert d3 == pytest.approx(0.6, abs=0.25)
+    # independent host: own bucket, immediate slot
+    assert ray.get(shard.acquire.remote("other.pl", 1)) == 0.0
+
+
+def test_disabled_politeness_spawns_no_actors(ray_session):
+    svc = PolitenessService(4, rps_per_host=1e9)
+    assert svc.shards == []
+    assert svc.acquire("x.pl", 100) == 0.0
+
+
+def test_crawl_respects_per_host_budget(tmp_path, ray_session):
+    # single shared-host source (trojmiasto) → every page hits one host;
+    # wall time must be at least (requests-1)/rps
+    pcfg = PortalConfig(sources=("trojmiasto",), regions=("pomorskie",),
+                        base_pages=2, page_size_scale=0.12)
+    rps = 4.0
+    cfg = CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 14,
+                      fetch_batch_size=8, rps_per_host=rps,
+                      politeness_shards=2)
+    t0 = time.time()
+    res = run_crawl(pcfg, cfg, str(tmp_path / "wd"))
+    wall = time.time() - t0
+    pages = res.pages_fetched + res.pages_failed
+    assert pages >= 8
+    assert wall >= (pages - 1) / rps * 0.9  # budget enforced (burst=1)

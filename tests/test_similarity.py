@@ -65,6 +65,32 @@ def test_lsh_bucket_topk_recall(ray_session):
     assert approx.values.tolist() == again.values.tolist()
 
 
+def test_ivf_topk_recall_and_determinism(ray_session):
+    from realestate_scraper_ray.stages.similarity import ivf_topk
+    ds, ids, mat = _data(n=400)
+    qids = ids[:10]
+    exact = _reference_topk(ids, mat, qids, 5)
+    approx = ivf_topk(ds, "embedding", "vec_id", qids, mat[:10], k=5,
+                      n_centroids=8, n_probe=4)
+    # probing half the cells: recall@5 should be substantial
+    hits = total = 0
+    for q in qids:
+        mine = set(approx[approx.query_id == q]["neighbor_id"].tolist())
+        assert q not in mine
+        hits += len(mine & set(exact[q]))
+        total += len(exact[q])
+    assert hits / total >= 0.5
+    again = ivf_topk(ds, "embedding", "vec_id", qids, mat[:10], k=5,
+                     n_centroids=8, n_probe=4)
+    assert approx.values.tolist() == again.values.tolist()
+    # full probe = exhaustive search = exact results
+    full = ivf_topk(ds, "embedding", "vec_id", qids, mat[:10], k=5,
+                    n_centroids=8, n_probe=8)
+    for q in qids:
+        mine = full[full.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == exact[q], q
+
+
 def test_hyperplane_codes_bucket_similar_vectors(ray_session):
     rng = np.random.default_rng(5)
     v = rng.standard_normal(16)
