@@ -96,6 +96,15 @@ class CrawlResult:
     pages_fetched: int = 0
     pages_failed: int = 0
     offers: int = 0
+    # --limit semantics (stream.py:145-149): the frontier is unaffected;
+    # only the first `limit_offers` detail URLs *in global crawl order*
+    # (source order, region order, page_idx, pos — the reference's
+    # sequential emission order) yield offer/photo rows. Applied as a
+    # deterministic truncation at table read; the crawl itself stays
+    # wave-parallel.
+    limit_offers: int | None = None
+    source_order: tuple[str, ...] = ()
+    region_order: tuple[str, ...] = ()
 
     def _read_gen_dirs(self, name: str) -> pa.Table | None:
         root = os.path.join(self.workdir, name)
@@ -107,6 +116,15 @@ class CrawlResult:
                     if f.endswith(".parquet"):
                         parts.append(pq.read_table(os.path.join(d, f)))
         return pa.concat_tables(parts, promote_options="default") if parts else None
+
+    def _limited_urlset(self) -> set[str] | None:
+        if self.limit_offers is None:
+            return None
+        u = self.table("urls").to_pandas()
+        u["_s"] = u["source"].map({s: i for i, s in enumerate(self.source_order)})
+        u["_r"] = u["region"].map({r: i for i, r in enumerate(self.region_order)})
+        u = u.sort_values(["_s", "_r", "page_idx", "pos"], kind="stable")
+        return set(u["offer_url"].head(self.limit_offers))
 
     def table(self, name: str) -> pa.Table:
         """Read an output table: 'offers', 'photos', or the derived 'urls'."""
@@ -121,7 +139,16 @@ class CrawlResult:
                 "page_idx": d["page_idx"], "source": d["source"],
                 "region": d["region"], "pos": d["pos"]})
         t = self._read_gen_dirs(name)
-        return t if t is not None else pa.table({})
+        if t is None:
+            return pa.table({})
+        keep = self._limited_urlset()
+        if keep is not None:
+            if name == "offers":
+                t = t.filter(pc.is_in(t["url"], value_set=pa.array(list(keep))))
+            elif name == "photos":
+                kept_offers = self.table("offers")["offer_id"]
+                t = t.filter(pc.is_in(t["offer_id"], value_set=kept_offers.combine_chunks()))
+        return t
 
 
 def _filter_kind(t: pa.Table, kind: str) -> pa.Table:
@@ -351,7 +378,10 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         _write_checkpoint(workdir, gen - 1, state, urlseen)  # durable terminal state
 
     res = CrawlResult(workdir=workdir, generations=gen,
-                      state={f"{s}|{r}": asdict(st) for (s, r), st in state.items()})
+                      state={f"{s}|{r}": asdict(st) for (s, r), st in state.items()},
+                      limit_offers=cfg.limit_offers,
+                      source_order=tuple(portal_cfg.sources),
+                      region_order=tuple(portal_cfg.regions))
     for st in state.values():
         res.pages_fetched += st.fetched
         res.pages_failed += st.failed

@@ -104,6 +104,28 @@ def test_region_stop_state_equality(run):
         assert est["parsed"] == ost["parsed"], key
 
 
+def test_limit_offers_and_photos_match_oracle(small_portal, tmp_path, ray_session):
+    # --limit / --limit-photos semantics (stream.py:145-149,
+    # photos.py:71-75): frontier unaffected; offers truncate to the
+    # first N detail URLs in global crawl order; photos cap per offer
+    cfg = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                      fetch_batch_size=64, limit_offers=25, limit_photos=3)
+    engine = run_crawl(small_portal.cfg, cfg, str(tmp_path / "wd"))
+    oracle = crawl_oracle(small_portal, cfg)
+    got_urls = _key_sorted(engine.table("urls").to_pandas())
+    exp_urls = _key_sorted(pd.DataFrame(oracle.urls))
+    assert got_urls["offer_url"].tolist() == exp_urls["offer_url"].tolist()
+    got = _key_sorted(engine.table("offers").to_pandas())
+    exp = _key_sorted(pd.DataFrame(oracle.offers))
+    assert got["offer_id"].tolist() == exp["offer_id"].tolist()
+    gp = engine.table("photos").to_pandas().sort_values(
+        ["offer_id", "seq"]).reset_index(drop=True)
+    ep = pd.DataFrame(oracle.photos).sort_values(
+        ["offer_id", "seq"]).reset_index(drop=True)
+    assert gp["url"].tolist() == ep["url"].tolist()
+    assert gp["seq"].max() <= 2
+
+
 def test_metrics_totals(run):
     engine, oracle, _ = run
     assert engine.offers == len(oracle.offers)
