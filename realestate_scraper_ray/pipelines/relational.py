@@ -746,6 +746,54 @@ def fingerprint_md5(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+_CLEAN_SQL = """
+WITH q AS (
+  SELECT doc_id, text, source,
+         CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         length(text) AS n_chars,
+         md5(text) AS fp
+  FROM documents),
+kept AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical
+  FROM q
+  WHERE n_words >= 40 AND n_punct <= 0.2 * n_chars)
+SELECT doc_id, source, n_words
+FROM kept WHERE doc_id = canonical
+"""
+
+
+@query("documents_clean_corpus", _CLEAN_SQL)
+def documents_clean_corpus(sf_dir: str) -> pd.DataFrame:
+    """Flagship training-data cleaning pipeline (C4-style): vectorized
+    quality stats → quality gate (≥40 words, punct ≤ 20 % of chars) →
+    exact dedup keep-first (md5 hash-partition + per-group min id).
+    Streams: per-batch stats+filter+hash, one groupby on the content
+    hash, broadcast-free."""
+    from ..functions.textstats import md5_fingerprints, quality_stats
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        q = quality_stats(txt)
+        keep = pc.and_(pc.greater_equal(q["n_words"], 40),
+                       pc.less_equal(pc.cast(q["n_punct"], pa.float64()),
+                                     pc.multiply(pc.cast(q["n_chars_m"], pa.float64()),
+                                                 0.2)))
+        t = (t.append_column("n_words", q["n_words"])
+              .append_column("fp", md5_fingerprints(txt)))
+        return t.filter(keep).select(["doc_id", "source", "n_words", "fp"])
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    canon = gated.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
+    kept = gated.join(canon.select_columns(["doc_id"]), join_type="inner",
+                      num_partitions=8, on=("doc_id",))
+    out = pa.Table.from_pylist(
+        kept.select_columns(["doc_id", "source", "n_words"]).take_all()).to_pandas()
+    return (out.astype({"doc_id": "int64", "n_words": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 @query("dedup_exact_text",
        "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes FROM documents GROUP BY text")
 def dedup_exact_text(sf_dir: str) -> rd.Dataset:
