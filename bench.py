@@ -32,8 +32,8 @@ HEADLINE_QUERIES = [
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
     "events_hourly_window", "events_sessionize",
     "token_count", "quality_stats", "lang_id_pred",
-    "dedup_exact_text", "dedup_minhash_lsh",
-    "ann_cosine_topk", "embedding_neardup",
+    "documents_clean_corpus", "dedup_exact_text", "dedup_minhash_lsh",
+    "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a
