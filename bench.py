@@ -58,7 +58,7 @@ def _bench_configs():
     ccfg = CrawlConfig(fetch_batch_size=64, fetch_concurrency=ncpu,
                        urlseen_shards=max(2, ncpu // 4),
                        urlseen_capacity=1 << 19,
-                       checkpoint_every=5)
+                       checkpoint_every=5, checkpoint_full_every=4)
     return pcfg, ccfg
 
 

@@ -150,6 +150,10 @@ class CrawlConfig:
     # checkpointing
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1           # generations between checkpoints
+    # every Nth checkpoint dumps full filter bytes; the rest store only
+    # the keys admitted since the previous checkpoint (delta chain —
+    # full dumps are O(capacity), deltas O(new URLs))
+    checkpoint_full_every: int = 1
     robots: bool = True
     # host-keyed frontier partitioning with skew salting (north_rule:
     # "streaming groupby-on-host shuffles with explicit salting of

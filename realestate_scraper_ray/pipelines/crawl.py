@@ -232,10 +232,20 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
     photos_dir = os.path.join(workdir, "photos", f"gen-{gen}")
     next_dir = _frontier_dir(workdir, gen + 1)
 
+    quarantine_dir = os.path.join(workdir, "quarantine", f"gen-{gen}")
+
     def wave(batch: pa.Table) -> pa.Table:
         t = fetch(batch)
         _write_fragment(_filter_kind(t, "offer").select(OFFER_OUT_COLS), offers_dir)
         _write_fragment(_filter_kind(t, "photo").select(PHOTO_OUT_COLS), photos_dir)
+        # quarantine: failed fetches persisted per generation — the
+        # debug-sink analogue (detail.py:241-247) and the audit trail
+        # behind the fetch_fail resume path
+        meta = _filter_kind(t, "pagemeta")
+        _write_fragment(
+            meta.filter(pc.equal(meta["status"], "fetch_fail"))
+            .select(["url", "source", "region", "page_idx", "fetch_kind"]),
+            quarantine_dir)
         cand = _links_of(t, ["detail", "investment"])
         if cand.num_rows:
             mask = urlseen.filter_new(cand["url"].combine_chunks())
@@ -343,7 +353,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         _clean_partial(workdir, gen)
         _append_retry_rows(portal, state, _frontier_dir(workdir, gen))
     else:
-        for name in ("offers", "photos", "frontier", "checkpoint"):
+        for name in ("offers", "photos", "quarantine", "frontier", "checkpoint"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
         os.makedirs(workdir, exist_ok=True)
         gen = 0
@@ -353,6 +363,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
 
     retries_left = retry_rounds
     last_ckpt = -1
+    ckpt_idx = 0
     while True:
         if _frontier_rows(workdir, gen) == 0:
             failed = [k for k, st in state.items() if st.stop_reason == "fetch_fail"]
@@ -369,7 +380,9 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         # resume (replace-on-retry), trading a little recompute for less
         # per-wave filter-dump I/O
         if (gen + 1) % cfg.checkpoint_every == 0:
-            _write_checkpoint(workdir, gen, state, urlseen)
+            _write_checkpoint(workdir, gen, state, urlseen,
+                              full=ckpt_idx % cfg.checkpoint_full_every == 0)
+            ckpt_idx += 1
             last_ckpt = gen
         gen += 1
         if stop_after_generations is not None and gen >= stop_after_generations:
@@ -417,7 +430,8 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
     # replace-on-retry: this wave's outputs are recreated from scratch
     next_dir = _frontier_dir(workdir, gen + 1)
     for d in (os.path.join(workdir, "offers", f"gen-{gen}"),
-              os.path.join(workdir, "photos", f"gen-{gen}"), next_dir):
+              os.path.join(workdir, "photos", f"gen-{gen}"),
+              os.path.join(workdir, "quarantine", f"gen-{gen}"), next_dir):
         shutil.rmtree(d, ignore_errors=True)
 
     # frontier windowing: split the generation's fragment files into
@@ -517,7 +531,13 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
 
 
 def _write_checkpoint(workdir: str, gen: int, state: dict,
-                      urlseen: UrlSeenService) -> None:
+                      urlseen: UrlSeenService, full: bool = True) -> None:
+    """Atomic checkpoint commit. ``full`` dumps complete filter bytes;
+    otherwise only the keys admitted since the previous checkpoint
+    (incremental — at 10^10 keys full dumps are ~20 GB, deltas are
+    proportional to the wave's new URLs). Region state is always full
+    (tiny). Retention keeps everything back to the second-newest full
+    checkpoint so a delta chain is always restorable."""
     root = os.path.join(workdir, "checkpoint")
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, f".tmp-gen-{gen}")
@@ -527,17 +547,23 @@ def _write_checkpoint(workdir: str, gen: int, state: dict,
         json.dump({"generation": gen,
                    "regions": {f"{s}|{r}": asdict(st) for (s, r), st in state.items()}},
                   f)
-    os.makedirs(os.path.join(tmp, "filters"))
-    for i, blob in enumerate(urlseen.dump()):
-        with open(os.path.join(tmp, "filters", f"shard_{i}.bin"), "wb") as f:
+    sub = "filters" if full else "deltas"
+    blobs = urlseen.dump() if full else urlseen.dump_deltas()
+    os.makedirs(os.path.join(tmp, sub))
+    for i, blob in enumerate(blobs):
+        with open(os.path.join(tmp, sub, f"shard_{i}.bin"), "wb") as f:
             f.write(blob)
     final = os.path.join(root, f"gen-{gen}")
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp, final)  # atomic commit: wave `gen` is durably done
     gens = sorted(int(d.split("-", 1)[1]) for d in os.listdir(root)
                   if d.startswith("gen-"))
-    for g in gens[:-2]:  # keep the newest two checkpoints
-        shutil.rmtree(os.path.join(root, f"gen-{g}"), ignore_errors=True)
+    fulls = [g for g in gens
+             if os.path.isdir(os.path.join(root, f"gen-{g}", "filters"))]
+    if len(fulls) >= 2:
+        for g in gens:
+            if g < fulls[-2]:
+                shutil.rmtree(os.path.join(root, f"gen-{g}"), ignore_errors=True)
 
 
 def latest_checkpoint_gen(workdir: str) -> int | None:
@@ -548,22 +574,37 @@ def latest_checkpoint_gen(workdir: str) -> int | None:
     return max(gens) if gens else None
 
 
+def _read_shard_blobs(d: str) -> list[bytes]:
+    blobs = []
+    for i in range(len(os.listdir(d))):
+        with open(os.path.join(d, f"shard_{i}.bin"), "rb") as f:
+            blobs.append(f.read())
+    return blobs
+
+
 def _restore_checkpoint(workdir: str, state: dict, urlseen: UrlSeenService) -> int:
     last = latest_checkpoint_gen(workdir)
     if last is None:
         raise FileNotFoundError(f"no checkpoint under {workdir}")
-    d = os.path.join(workdir, "checkpoint", f"gen-{last}")
-    with open(os.path.join(d, "state.json")) as f:
+    root = os.path.join(workdir, "checkpoint")
+    with open(os.path.join(root, f"gen-{last}", "state.json")) as f:
         payload = json.load(f)
     for key, st in payload["regions"].items():
         s, r = key.split("|")
         state[(s, r)] = RegionState(**st)
-    fdir = os.path.join(d, "filters")
-    blobs = []
-    for i in range(len(os.listdir(fdir))):
-        with open(os.path.join(fdir, f"shard_{i}.bin"), "rb") as f:
-            blobs.append(f.read())
-    urlseen.restore(blobs)
+    # filter state: newest full dump ≤ last, then replay delta chain
+    gens = sorted(int(d.split("-", 1)[1]) for d in os.listdir(root)
+                  if d.startswith("gen-") and int(d.split("-", 1)[1]) <= last)
+    fulls = [g for g in gens
+             if os.path.isdir(os.path.join(root, f"gen-{g}", "filters"))]
+    if not fulls:
+        raise FileNotFoundError(f"no full filter checkpoint under {root}")
+    base = fulls[-1]
+    urlseen.restore(_read_shard_blobs(os.path.join(root, f"gen-{base}", "filters")))
+    for g in gens:
+        if g > base and os.path.isdir(os.path.join(root, f"gen-{g}", "deltas")):
+            urlseen.apply_deltas(
+                _read_shard_blobs(os.path.join(root, f"gen-{g}", "deltas")))
     return last + 1
 
 
@@ -572,6 +613,7 @@ def _clean_partial(workdir: str, resume_gen: int) -> None:
     (possibly partial) outputs and any partially-written next frontier
     are dropped and re-written deterministically (replace-on-retry)."""
     for name, cutoff in (("offers", resume_gen), ("photos", resume_gen),
+                         ("quarantine", resume_gen),
                          ("frontier", resume_gen + 1)):
         root = os.path.join(workdir, name)
         if not os.path.isdir(root):

@@ -39,13 +39,24 @@ def url_keys(urls: list[str] | pa.Array | pa.ChunkedArray) -> np.ndarray:
 class UrlSeenShard:
     """One cuckoo-filter partition. num_cpus=0.25: shards are mostly
     idle between RPCs; four shards share one core without starving the
-    fetch pool."""
+    fetch pool.
+
+    Incremental checkpointing (SURVEY.md §7.5): the shard journals the
+    keys newly admitted since the last dump; ``dump_delta`` serializes
+    only those (8 bytes/key), while a periodic ``dump`` writes the full
+    filter. At 10^10 keys a full dump is ~20 GB across shards — deltas
+    keep steady-state checkpoint I/O proportional to crawl progress."""
 
     def __init__(self, capacity: int, fp_bits: int = 32):
         self.filter = CuckooFilter(capacity, fp_bits)
+        self._delta: list[np.ndarray] = []
 
     def contains_and_add(self, keys: np.ndarray) -> np.ndarray:
-        return self.filter.contains_and_add(keys)
+        seen = self.filter.contains_and_add(keys)
+        new = keys[~seen]
+        if new.size:
+            self._delta.append(new.copy())
+        return seen
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         return self.filter.contains(keys)
@@ -54,10 +65,24 @@ class UrlSeenShard:
         return self.filter.count
 
     def dump(self) -> bytes:
+        self._delta = []
         return self.filter.dump()
+
+    def dump_delta(self) -> bytes:
+        blob = (np.concatenate(self._delta) if self._delta
+                else np.empty(0, dtype=np.uint64)).tobytes()
+        self._delta = []
+        return blob
+
+    def apply_delta(self, blob: bytes) -> None:
+        keys = np.frombuffer(blob, dtype=np.uint64)
+        if keys.size:
+            self.filter.contains_and_add(keys)
+        self._delta = []
 
     def restore(self, blob: bytes) -> None:
         self.filter = CuckooFilter.restore(blob)
+        self._delta = []
 
 
 class UrlSeenService:
@@ -92,6 +117,13 @@ class UrlSeenService:
 
     def dump(self) -> list[bytes]:
         return ray.get([s.dump.remote() for s in self.shards])
+
+    def dump_deltas(self) -> list[bytes]:
+        return ray.get([s.dump_delta.remote() for s in self.shards])
+
+    def apply_deltas(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.n
+        ray.get([s.apply_delta.remote(b) for s, b in zip(self.shards, blobs)])
 
     def restore(self, blobs: list[bytes]) -> None:
         assert len(blobs) == self.n

@@ -45,6 +45,11 @@ def test_fetch_fail_regions_resume(tmp_path, ray_session):
     failed = [k for k, v in r1.state.items() if v["stop_reason"] == "fetch_fail"]
     if not failed:
         pytest.skip("failure injection hit no listing page at this size")
+    # quarantine table persists the failed fetches (S16/S17 analogue)
+    q = r1.table("quarantine")
+    assert q.num_rows == r1.pages_failed
+    assert set(q.column_names) == {"url", "source", "region", "page_idx",
+                                   "fetch_kind"}
     r2 = run_crawl(PCFG, CCFG, wd, resume=True)
     assert all(v["stop_reason"] != "fetch_fail" for v in r2.state.values())
     # every region reached a terminal stop reason
@@ -52,6 +57,28 @@ def test_fetch_fail_regions_resume(tmp_path, ray_session):
                for v in r2.state.values())
     # resumed run discovered at least as much as the crippled one
     assert r2.table("urls").num_rows >= r1.table("urls").num_rows
+
+
+def test_incremental_filter_checkpoint_resume(tmp_path, ray_session):
+    # delta-chain checkpoints (full every 3rd) must restore the same
+    # URL-seen state: kill mid-run on a delta checkpoint, resume, and
+    # the final tables equal the uninterrupted run's
+    import os
+    inc = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                      fetch_batch_size=64, checkpoint_full_every=3)
+    full = run_crawl(PCFG, CCFG, str(tmp_path / "full"))
+    killed_dir = str(tmp_path / "killed")
+    run_crawl(PCFG, inc, killed_dir, stop_after_generations=4)
+    root = os.path.join(killed_dir, "checkpoint")
+    kinds = {d: os.path.isdir(os.path.join(root, d, "filters"))
+             for d in sorted(os.listdir(root))}
+    assert kinds == {"gen-0": True, "gen-1": False, "gen-2": False,
+                     "gen-3": True}
+    resumed = run_crawl(PCFG, inc, killed_dir, resume=True)
+    ft, rt = _tables(full), _tables(resumed)
+    for name in ("urls", "offers", "photos"):
+        pd.testing.assert_frame_equal(ft[name], rt[name], obj=name)
+    assert resumed.state == full.state
 
 
 def test_frontier_windowing_equals_single_window(tmp_path, ray_session):
