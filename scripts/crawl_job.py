@@ -1,0 +1,91 @@
+"""Cluster job entrypoint for the crawl engine.
+
+Deployment path (north_rule): submit to a fixed-size Ray cluster with
+
+    ray job submit --working-dir . -- python scripts/crawl_job.py \
+        --workdir /shared/crawl_out --base-pages 50 --regions all \
+        [--resume] [--html-bytes 200000] [--max-wave-rows 2000000]
+
+On the sandbox's single node it runs the same job against a local Ray
+(`RAY_ADDRESS=local`). The script owns the Ray session (the library
+never calls ray.init); all state lives under --workdir, so re-running
+with --resume continues from the last checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--base-pages", type=int, default=6)
+    ap.add_argument("--regions", default="all",
+                    help="'all' (16 voivodeships) or comma-separated slugs")
+    ap.add_argument("--html-bytes", type=int, default=0)
+    ap.add_argument("--max-pages", type=int, default=None)
+    ap.add_argument("--limit-offers", type=int, default=None)
+    ap.add_argument("--limit-photos", type=int, default=None)
+    ap.add_argument("--rps-per-host", type=float, default=1e9)
+    ap.add_argument("--retry-rounds", type=int, default=0)
+    ap.add_argument("--max-wave-rows", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=96)
+    ap.add_argument("--urlseen-shards", type=int, default=8)
+    ap.add_argument("--urlseen-capacity", type=int, default=1 << 19)
+    ap.add_argument("--checkpoint-every", type=int, default=5)
+    ap.add_argument("--checkpoint-full-every", type=int, default=4)
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local mode only; on a cluster omit (uses all nodes)")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+
+    from realestate_scraper_ray.config import (
+        VOIVODESHIPS, CrawlConfig, PortalConfig,
+    )
+    from realestate_scraper_ray.pipelines.crawl import run_crawl
+
+    regions = (VOIVODESHIPS if args.regions == "all"
+               else tuple(args.regions.split(",")))
+    pcfg = PortalConfig(regions=regions, base_pages=args.base_pages,
+                        html_bytes=args.html_bytes)
+    ccfg = CrawlConfig(
+        max_pages=args.max_pages, limit_offers=args.limit_offers,
+        limit_photos=args.limit_photos, rps_per_host=args.rps_per_host,
+        urlseen_shards=args.urlseen_shards,
+        urlseen_capacity=args.urlseen_capacity,
+        fetch_batch_size=args.batch_size,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_full_every=args.checkpoint_full_every,
+        max_wave_rows=args.max_wave_rows)
+    t0 = time.time()
+    res = run_crawl(pcfg, ccfg, args.workdir, resume=args.resume,
+                    retry_rounds=args.retry_rounds)
+    dt = time.time() - t0
+    pages = res.pages_fetched + res.pages_failed
+    print(json.dumps({
+        "workdir": res.workdir, "generations": res.generations,
+        "pages": pages, "offers": res.offers, "failed": res.pages_failed,
+        "sec": round(dt, 2), "pages_per_sec": round(pages / max(dt, 1e-9), 2),
+        "regions_fetch_fail": sorted(
+            k for k, v in res.state.items() if v["stop_reason"] == "fetch_fail"),
+    }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
