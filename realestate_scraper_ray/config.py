@@ -148,7 +148,6 @@ class CrawlConfig:
     fail_per_mille: int = 0
     fail_depth: int = 2
     # checkpointing
-    checkpoint_dir: str | None = None
     checkpoint_every: int = 1           # generations between checkpoints
     # every Nth checkpoint dumps full filter bytes; the rest store only
     # the keys admitted since the previous checkpoint (delta chain —
