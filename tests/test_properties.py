@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the scalar kernels and the
+cuckoo filter — invariants that example tests can't sweep."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from realestate_scraper_ray.functions.urls import (
+    canonicalize_urls, coerce_float, normalize_url,
+)
+from realestate_scraper_ray.state.cuckoo import CuckooFilter
+
+url_path = st.text(
+    alphabet=st.sampled_from("abcdefgh0123456789-/"), min_size=0, max_size=30)
+query_tok = st.text(
+    alphabet=st.sampled_from("abcz019="), min_size=1, max_size=8)
+
+
+@st.composite
+def urls(draw):
+    host = draw(st.sampled_from(
+        ["x.otodom.pl", "gratka.pl", "ogloszenia.trojmiasto.pl"]))
+    path = draw(url_path).strip("/")
+    q = draw(st.lists(query_tok, max_size=4))
+    frag = draw(st.sampled_from(["", "#top", "#a/b?c=1"]))
+    u = f"https://{host}/{path}"
+    if q:
+        u += "?" + "&".join(q)
+    return u + frag
+
+
+@given(urls())
+@settings(max_examples=200, deadline=None)
+def test_normalize_url_idempotent_and_matches_vectorized(u):
+    once = normalize_url(u)
+    assert normalize_url(once) == once                      # idempotent
+    assert "#" not in once
+    got = canonicalize_urls([u])[0].as_py()
+    assert got == once                                      # scalar ≡ vector
+
+
+@given(st.lists(urls(), min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_canonicalize_batch_elementwise(batch):
+    vec = [v.as_py() for v in canonicalize_urls(batch)]
+    assert vec == [normalize_url(u) for u in batch]
+
+
+@given(st.floats(min_value=0.01, max_value=9_999_999, allow_nan=False),
+       st.sampled_from(["{:.2f}", "{:.1f}", "{:.0f}"]),
+       st.sampled_from(["", " zł", " m²", " zł/m2"]),
+       st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_coerce_float_roundtrip(x, fmt, suffix, use_comma):
+    s = fmt.format(x)
+    expect = float(s)
+    if use_comma:
+        s = s.replace(".", ",")
+    got = coerce_float(s + suffix)
+    assert got is not None
+    assert abs(got - expect) < 1e-9
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**63 - 1),
+                min_size=1, max_size=300, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_cuckoo_no_false_negatives(keys):
+    f = CuckooFilter(4096, 32)
+    arr = np.array(keys, dtype=np.uint64)
+    seen_first = f.contains_and_add(arr)
+    assert not seen_first.any()              # fresh keys admitted as new
+    assert f.contains(arr).all()             # no false negatives
+    seen_again = f.contains_and_add(arr)
+    assert seen_again.all()                  # test-and-set is idempotent
+    assert f.count == len(keys)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**63 - 1),
+                min_size=1, max_size=200, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_cuckoo_dump_restore_preserves_membership(keys):
+    f = CuckooFilter(2048, 32)
+    arr = np.array(keys, dtype=np.uint64)
+    f.contains_and_add(arr)
+    g = CuckooFilter.restore(f.dump())
+    assert g.contains(arr).all()
+    assert g.count == f.count
