@@ -55,7 +55,7 @@ def _bench_configs():
     # service shards scale with the cluster, as a real deployment's
     # would — a fixed shard count makes small-cluster runs donate a
     # disproportionate CPU share to the URL-seen service
-    ccfg = CrawlConfig(fetch_batch_size=64, fetch_concurrency=ncpu,
+    ccfg = CrawlConfig(fetch_batch_size=64,
                        urlseen_shards=max(2, ncpu // 4),
                        urlseen_capacity=1 << 19,
                        checkpoint_every=5, checkpoint_full_every=4)

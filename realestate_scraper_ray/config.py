@@ -137,9 +137,10 @@ class CrawlConfig:
     urlseen_shards: int = 8
     urlseen_capacity: int = 1 << 17     # keys per shard (test scale)
     fingerprint_bits: int = 32          # 32-bit fp → FP rate ~2e-9 (exactness)
-    # fetch stage sizing
+    # fetch stage sizing; fetch_concurrency caps concurrent fetch tasks
+    # (None = let the streaming executor use every available slot)
     fetch_batch_size: int = 256
-    fetch_concurrency: int = 8
+    fetch_concurrency: int | None = None
     # per-URL retry attempts before emitting a fetch_fail row
     # (tenacity: 5 attempts, http.py:51-62)
     fetch_attempts: int = 5

@@ -464,7 +464,8 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
         ds = rd.read_parquet(paths, override_num_blocks=nblocks)
         summary.extend(ds.map_batches(
             wave_fn, batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size).take_all())
+            batch_size=cfg.fetch_batch_size,
+            concurrency=cfg.fetch_concurrency).take_all())
 
     newc: dict[tuple[str, str, int], int] = {}
     pag_meta, pag_links, inv_next = [], {}, []
