@@ -142,6 +142,15 @@ def decode_media(ds: rd.Dataset, concurrency: int = 4,
                           concurrency=concurrency, num_cpus=1)
 
 
+def photo_path(root: str, source: str, offer_id: str, seq: int, ext: str) -> str:
+    """Deterministic media output layout
+    ``{root}/{source}/{offer_id}/{seq:03d}.{ext}`` — the reference's
+    photo_path (/root/reference/scrapper/core/storage.py:88-111,
+    asserted by its test_images.py path check). Resumable by
+    construction: a re-run overwrites the same path."""
+    return f"{root}/{source}/{offer_id}/{seq:03d}.{ext}"
+
+
 def synth_media_table(texts: list[str], ids: list[str]) -> pa.Table:
     """Deterministic fake payloads (JPEG/PNG/WebP magic + text bytes) —
     the test substrate for the media stages."""

@@ -48,6 +48,15 @@ def test_pil_backend_gated():
         MediaDecode(decoder="whatever")
 
 
+def test_photo_path_layout():
+    # mirrors the reference's path assertion (test_images.py:19-43:
+    # {tmp}/otodom/ID123456/000.jpg)
+    from realestate_scraper_ray.stages.media import photo_path
+    assert photo_path("/tmp/img", "otodom", "ID123456", 0, "jpg") == \
+        "/tmp/img/otodom/ID123456/000.jpg"
+    assert photo_path("/x", "gratka", "42", 17, "webp") == "/x/gratka/42/017.webp"
+
+
 def test_resize_stub():
     dec = MediaDecode()
     meta = dec(synth_media_table(["abc", "def"], ["1", "2"]))
