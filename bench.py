@@ -171,11 +171,62 @@ def main_scaling() -> None:
         "runs": results}))
 
 
+def main_politeness() -> None:
+    """Host-breadth scaling under a FIXED per-host budget: the same
+    crawl at half vs full region count with rps_per_host=3. Per-host
+    pressure is identical in both runs (politeness invariant); total
+    throughput should scale with the host count — the property that
+    makes a polite crawl scale across nodes (SURVEY.md §7.5)."""
+    from realestate_scraper_ray.config import CrawlConfig, PortalConfig
+    from realestate_scraper_ray.pipelines.crawl import run_crawl
+    ncpu = _num_cpus()
+    _init_ray(ncpu)
+    results = []
+    # region-scoped hosts only: trojmiasto serves every region from ONE
+    # shared host, which would bottleneck both runs identically (a real
+    # single-host ceiling, demonstrated by tests/test_politeness.py);
+    # host-breadth scaling needs hosts ∝ regions
+    for label, regions in (("half", BENCH_REGIONS[:24]),
+                           ("full", BENCH_REGIONS[:48])):
+        pcfg = PortalConfig(regions=regions, seed=7, base_pages=2,
+                            page_size_scale=0.3,
+                            sources=("otodom", "gratka", "morizon"))
+        # I/O-bound configuration: small same-host batches (short sleeps)
+        # and fractional CPUs so throttled tasks oversubscribe the slots
+        # instead of starving them (see CrawlConfig.fetch_num_cpus)
+        ccfg = CrawlConfig(fetch_batch_size=16, fetch_num_cpus=0.25,
+                           urlseen_shards=max(2, ncpu // 4),
+                           checkpoint_every=5, checkpoint_full_every=4,
+                           rps_per_host=2.0,
+                           politeness_shards=max(1, ncpu // 8))
+        with tempfile.TemporaryDirectory(prefix="bench_polite_") as wd:
+            t0 = time.time()
+            res = run_crawl(pcfg, ccfg, wd)
+            dt = time.time() - t0
+        pages = res.pages_fetched + res.pages_failed
+        hosts = len(regions) * 3  # one host per (region, source)
+        results.append({"label": label, "regions": len(regions),
+                        "hosts": hosts, "pages": pages,
+                        "sec": round(dt, 2),
+                        "pages_per_sec": round(pages / dt, 2),
+                        "per_host_rps": round(pages / dt / hosts, 3)})
+    ratio = results[1]["pages_per_sec"] / results[0]["pages_per_sec"]
+    print(json.dumps({
+        "metric": "polite-crawl throughput vs host breadth (rps_per_host=2)",
+        "value": round(ratio, 3),
+        "unit": "throughput ratio (2.0 = ideal for 2x hosts)",
+        "runs": results}))
+    import ray
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         main_scaling()
     elif "--crawl-only" in sys.argv:
         main_crawl_only()
+    elif "--politeness" in sys.argv:
+        main_politeness()
     else:
         main_default()

@@ -141,6 +141,11 @@ class CrawlConfig:
     # (None = let the streaming executor use every available slot)
     fetch_batch_size: int = 256
     fetch_concurrency: int | None = None
+    # CPU share per fetch task. 1.0 for compute-bound synthetic parse;
+    # politeness-throttled (I/O-bound) crawls should use a fraction so
+    # tasks sleeping on per-host budgets oversubscribe the slots and
+    # don't starve the CPUs — the sync-fetch analogue of async I/O.
+    fetch_num_cpus: float = 1.0
     # per-URL retry attempts before emitting a fetch_fail row
     # (tenacity: 5 attempts, http.py:51-62)
     fetch_attempts: int = 5

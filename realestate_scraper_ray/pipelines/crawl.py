@@ -465,7 +465,8 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
         summary.extend(ds.map_batches(
             wave_fn, batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
-            concurrency=cfg.fetch_concurrency).take_all())
+            concurrency=cfg.fetch_concurrency,
+            num_cpus=cfg.fetch_num_cpus).take_all())
 
     newc: dict[tuple[str, str, int], int] = {}
     pag_meta, pag_links, inv_next = [], {}, []
