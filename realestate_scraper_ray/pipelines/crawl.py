@@ -41,6 +41,7 @@ import itertools
 import json
 import os
 import shutil
+import uuid
 from dataclasses import asdict, dataclass, field
 
 import pyarrow as pa
@@ -174,6 +175,10 @@ def make_dedup_fn(urlseen: UrlSeenService):
 
 
 _FRAG_COUNTER = itertools.count()
+# per-worker-process token: pids alone are NOT unique across the nodes
+# of a `ray job submit` cluster sharing one --workdir, so a pid+counter
+# fragment name could silently overwrite another node's fragment
+_FRAG_TOKEN = uuid.uuid4().hex[:8]
 
 
 def _host_buckets(urls: pa.Array | pa.ChunkedArray, cfg: CrawlConfig) -> np.ndarray:
@@ -198,7 +203,8 @@ def _write_fragment(table: pa.Table, dirpath: str,
                     row_group_size: int | None = None,
                     prefix: str = "") -> None:
     """Atomic parquet fragment write from inside a map_batches task.
-    Names are unique per (worker pid, in-process counter); the driver
+    Names are unique per (worker uuid token, pid, in-process counter)
+    — the token guards against pid collisions across nodes; the driver
     removes the whole generation directory before (re)running a wave, so
     retried waves replace rather than append (idempotent resume).
     ``row_group_size`` keeps frontier fragments splittable: the next
@@ -212,7 +218,7 @@ def _write_fragment(table: pa.Table, dirpath: str,
     if table.num_rows == 0:
         return
     os.makedirs(dirpath, exist_ok=True)
-    name = f"{prefix}{os.getpid()}-{next(_FRAG_COUNTER)}"
+    name = f"{prefix}{_FRAG_TOKEN}-{os.getpid()}-{next(_FRAG_COUNTER)}"
     tmp = os.path.join(dirpath, f".tmp-{name}")
     pq.write_table(table, tmp, row_group_size=row_group_size)
     os.replace(tmp, os.path.join(dirpath, f"part-{name}.parquet"))
@@ -220,14 +226,14 @@ def _write_fragment(table: pa.Table, dirpath: str,
 
 def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
                  politeness: PolitenessService, urlseen: UrlSeenService,
-                 workdir: str, gen: int):
+                 workdir: str, gen: int, run_token: str = ""):
     """The whole wave as ONE map_batches stage: fetch+parse the frontier
     batch, sink offer/photo fragments, push new links through the
     URL-seen shards into the next frontier, and return only the (tiny)
     per-batch summary rows the driver folds for stop decisions. One Ray
     Data execution per wave instead of five — at small wave sizes the
     crawl is otherwise dominated by execution-launch overhead."""
-    fetch = make_fetch_fn(portal_cfg, cfg, politeness)
+    fetch = make_fetch_fn(portal_cfg, cfg, politeness, run_token)
     offers_dir = os.path.join(workdir, "offers", f"gen-{gen}")
     photos_dir = os.path.join(workdir, "photos", f"gen-{gen}")
     next_dir = _frontier_dir(workdir, gen + 1)
@@ -344,6 +350,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
     cfg = crawl_cfg
     urlseen = UrlSeenService(cfg.urlseen_shards, cfg.urlseen_capacity, cfg.fingerprint_bits)
     politeness = PolitenessService(cfg.politeness_shards, cfg.rps_per_host)
+    run_token = uuid.uuid4().hex[:12]  # keys warm-worker stage caches per run
 
     state: dict[tuple[str, str], RegionState] = {
         (s, r): RegionState() for s in portal_cfg.sources for r in portal_cfg.regions
@@ -375,7 +382,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
                     break
             else:
                 break
-        _run_wave(portal, cfg, workdir, gen, urlseen, politeness, state)
+        _run_wave(portal, cfg, workdir, gen, urlseen, politeness, state, run_token)
         # checkpoint interval: skipped waves re-run deterministically on
         # resume (replace-on-retry), trading a little recompute for less
         # per-wave filter-dump I/O
@@ -426,7 +433,7 @@ def _append_retry_rows(portal: Portal, state: dict, fdir: str) -> None:
 
 def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
               urlseen: UrlSeenService, politeness: PolitenessService,
-              state: dict) -> None:
+              state: dict, run_token: str = "") -> None:
     # replace-on-retry: this wave's outputs are recreated from scratch
     next_dir = _frontier_dir(workdir, gen + 1)
     for d in (os.path.join(workdir, "offers", f"gen-{gen}"),
@@ -448,7 +455,8 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
         if cfg.max_wave_rows is not None and rows_in_win >= cfg.max_wave_rows:
             windows.append([])
             rows_in_win = 0
-    wave_fn = make_wave_fn(portal.cfg, cfg, politeness, urlseen, workdir, gen)
+    wave_fn = make_wave_fn(portal.cfg, cfg, politeness, urlseen, workdir, gen,
+                           run_token)
     summary: list[dict] = []
     for paths in windows:
         if not paths:

@@ -43,7 +43,10 @@ _NUM = re.compile(r"(-?\d+(?:\.\d+)?)")
 
 
 def _coerce(text: str) -> float | None:
-    t = text.replace(" ", "").replace(" ", "").replace(",", ".")
+    # separator set matches the engine's coerce_float: space, NBSP
+    # (U+00A0), narrow NBSP (U+202F) — all Polish thousands seps
+    t = (text.replace(" ", "").replace(" ", "")
+         .replace(" ", "").replace(",", "."))
     m = _NUM.search(t)
     return float(m.group(1)) if m else None
 

@@ -250,7 +250,10 @@ class Portal:
         ref = self.classify(url)
         if ref.kind == "listing":
             return self._render_listing(ref)
-        if ref.kind == "offer":
+        if ref.kind in ("offer", "blocked"):
+            # blocked pages exist and render their offer content — robots
+            # is advisory; with cfg.robots=False the engine/oracle crawl
+            # them like any detail page (reference has no robots at all)
             return self._render_offer(ref)
         if ref.kind == "investment":
             return self._render_investment(ref)
@@ -453,7 +456,8 @@ class Portal:
                 for k in range(cp * ps):
                     t = self._link_target(s, r, k)
                     tref = self.classify(t)
-                    if tref.kind == "offer":
+                    if tref.kind in ("offer", "blocked"):
+                        # blocked pages are reachable when robots=False
                         out.append(t)
                     elif tref.kind == "investment":
                         out.append(t)

@@ -123,7 +123,8 @@ _PROCESS_CACHE: dict[str, "FetchParse"] = {}
 
 
 def make_fetch_fn(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig,
-                  politeness: "PolitenessService | None" = None):
+                  politeness: "PolitenessService | None" = None,
+                  run_token: str = ""):
     """Stateless-task adapter around :class:`FetchParse` with
     per-worker-process state caching.
 
@@ -135,12 +136,18 @@ def make_fetch_fn(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig,
     setup once per worker — without per-wave actor churn. A long-lived
     streaming deployment (single execution) would use the actor-pool
     form directly: ``map_batches(FetchParse, fn_constructor_args=...)``.
+
+    ``run_token`` (a per-run nonce from run_crawl) keys the cache so a
+    second run with identical configs in the same driver gets fresh
+    state bound to *its* politeness/urlseen actors, not the previous
+    run's handles.
     """
-    key = repr((portal_cfg, crawl_cfg))
+    key = repr((portal_cfg, crawl_cfg, run_token))
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
         fp = _PROCESS_CACHE.get(key)
         if fp is None:
+            _PROCESS_CACHE.clear()  # evict prior runs' state (stale handles)
             fp = _PROCESS_CACHE[key] = FetchParse(portal_cfg, crawl_cfg, politeness)
         return fp(batch)
 
@@ -265,7 +272,11 @@ class FetchParse:
                      source=r["source"], region=r["region"],
                      page_idx=r["page_idx"] + 1, pos=0, fetch_kind=provenance)
                 continue
-            if ref.kind == "blocked" or (ref.kind != "void" and self._disallowed(target)):
+            # robots gate: '/private' links are skipped only when
+            # cfg.robots is on (the reference has no robots handling, so
+            # robots=False must match the oracle's URL-seen set —
+            # _disallowed is already gated on cfg.robots)
+            if ref.kind != "void" and self._disallowed(target):
                 continue
             if target in local_seen:
                 continue  # per-page keep-first (D2)
@@ -279,7 +290,7 @@ class FetchParse:
                     emit("link", url=target, kind="investment", priority=1,
                          source=r["source"], region=r["region"],
                          page_idx=r["page_idx"], pos=s["offset"], fetch_kind=provenance)
-            elif ref.kind == "offer":
+            elif ref.kind in ("offer", "blocked"):
                 if is_invest:
                     pos = r["pos"] * 10000 + (inv_page - 1) * 100 + s["offset"] + 1
                 else:

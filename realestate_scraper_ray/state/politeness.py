@@ -59,9 +59,6 @@ class PolitenessService:
                        [PolitenessShard.remote(rps_per_host, burst)
                         for _ in range(n_shards)])
 
-    def shard_for(self, host: str) -> "ray.actor.ActorHandle":
-        return self.shards[hash(host) % self.n]  # in-process routing only
-
     def acquire(self, host: str, n: int) -> float:
         """Blocking helper: books n slots, sleeps the mandated delay."""
         if self.rps >= 1e8:

@@ -126,6 +126,27 @@ def test_limit_offers_and_photos_match_oracle(small_portal, tmp_path, ray_sessio
     assert gp["seq"].max() <= 2
 
 
+def test_robots_off_matches_oracle(tmp_path, ray_session):
+    # With robots=False the engine must crawl '/private' links exactly
+    # like the oracle (the reference has no robots handling at all):
+    # URL-seen set and offers include the blocked pages' content.
+    from realestate_scraper_ray.config import PortalConfig
+    from realestate_scraper_ray.sources.synth_portal import Portal
+    portal = Portal(PortalConfig(regions=("pomorskie",), base_pages=2,
+                                 page_size_scale=0.15,
+                                 robots_blocked_per_mille=150))
+    cfg = CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 14,
+                      fetch_batch_size=64, robots=False)
+    engine = run_crawl(portal.cfg, cfg, str(tmp_path / "wd"))
+    oracle = crawl_oracle(portal, cfg)
+    got = set(engine.table("urls")["offer_url"].to_pylist())
+    assert got == {r["offer_url"] for r in oracle.urls}
+    assert any("/private/" in u for u in got)  # blocked pages crawled
+    go = _key_sorted(engine.table("offers").to_pandas())
+    eo = _key_sorted(pd.DataFrame(oracle.offers))
+    assert go["offer_id"].tolist() == eo["offer_id"].tolist()
+
+
 def test_metrics_totals(run):
     engine, oracle, _ = run
     assert engine.offers == len(oracle.offers)

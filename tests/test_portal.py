@@ -58,7 +58,7 @@ def test_classify_roundtrip():
     p = _portal()
     for u in p.all_urls():
         ref = p.classify(u)
-        assert ref.kind in ("listing", "offer", "investment")
+        assert ref.kind in ("listing", "offer", "investment", "blocked")
 
 
 def test_inquiry_offer_has_no_price():
