@@ -116,41 +116,46 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 
 @query("q3_top_orders", _Q3_SQL)
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Join + grouped agg + top-k. customer side is small → broadcast
-    key-set semi-join inside map_batches (no shuffle); revenue
-    pre-aggregated per batch on the already-sorted-by-file order key."""
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = {r["c_custkey"] for r in cust.take_all() if r["c_mktsegment"] == "BUILDING"}
-    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
-
+    """Join + grouped agg + top-k, shuffle-join shape: BUILDING customers
+    semi-filter orders through a hash-partitioned ``Dataset.join`` (both
+    sides scale with SF — no broadcast of fact-side key sets); lineitem
+    revenue pre-aggregates per batch on l_orderkey (combiner), reduces in
+    one groupby, joins the qualifying order keys, and only per-block
+    top-10 candidates reach the driver."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]), batch_format="pyarrow")
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def semi(t: pa.Table) -> pa.Table:
-        k = ray.get(keys_ref)
-        mask = np.isin(np.asarray(t["o_custkey"]), k)
-        return t.filter(pa.array(mask)).select(["o_orderkey"])
-
-    okeys = orders.map_batches(semi, batch_format="pyarrow")
-    okeys_ref = ray.put(np.array(sorted(r["o_orderkey"] for r in okeys.take_all()),
-                                 dtype=np.int64))
+    okeys = orders.join(cust, join_type="inner", num_partitions=8,
+                        on=("o_custkey",), right_on=("c_custkey",)
+                        ).select_columns(["o_orderkey"])
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial_rev(t: pa.Table) -> pa.Table:
-        k = ray.get(okeys_ref)
-        t = t.filter(pa.array(np.isin(np.asarray(t["l_orderkey"]), k)))
         rev = pc.cast(pc.round(pc.multiply(pc.multiply(
             t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 10000.0)),
             pa.int64())
-        p = pa.table({"o_orderkey": t["l_orderkey"], "r": rev})
-        return p.group_by(["o_orderkey"]).aggregate([("r", "sum")])
+        p = pa.table({"l_orderkey": t["l_orderkey"], "r": rev})
+        return p.group_by(["l_orderkey"]).aggregate([("r", "sum")])
 
-    rev = (li.map_batches(partial_rev, batch_format="pyarrow")
-           .groupby("o_orderkey").aggregate(Sum("r_sum", alias_name="r"))
-           .to_pandas())
-    rev["revenue"] = rev["r"] / 10000.0
-    rev = rev.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
-    return rev[["o_orderkey", "revenue"]].reset_index(drop=True)
+    li_rev = (li.map_batches(partial_rev, batch_format="pyarrow")
+              .groupby("l_orderkey").aggregate(Sum("r_sum", alias_name="r")))
+    rev = li_rev.join(okeys, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        p = pa.table({"o_orderkey": t["l_orderkey"], "r": t["r"]})
+        idx = pc.select_k_unstable(p, 10, [("r", "descending"),
+                                           ("o_orderkey", "ascending")])
+        return p.take(idx)
+
+    cand = pa.Table.from_pylist(
+        rev.map_batches(local_topk, batch_format="pyarrow").take_all()).to_pandas()
+    cand["revenue"] = cand["r"] / 10000.0
+    out = cand.sort_values(["revenue", "o_orderkey"],
+                           ascending=[False, True]).head(10)
+    return out[["o_orderkey", "revenue"]].reset_index(drop=True)
 
 
 _Q5_SQL = """
@@ -167,47 +172,54 @@ GROUP BY n.n_name
 
 @query("q5_region_revenue", _Q5_SQL)
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
-    """Multi-way star join: all dimension sides broadcast (region →
-    nation → customer chain resolved driver-side, then one broadcast map
-    orderkey→nation applied to the lineitem stream)."""
+    """Star join, scale shape: only the true dimensions (region 5 rows,
+    nation 25 rows) resolve driver-side into a broadcast
+    nationkey→name dict; customer (a fact-scale table) maps its nation
+    via that dict per batch, then customer⋈orders and
+    lineitem-revenue⋈orders run as hash-partitioned ``Dataset.join``s —
+    nothing fact-sized is ever materialized on the driver."""
     region = pa.Table.from_pylist(_pq(sf_dir, "region").take_all()).to_pandas()
     nation = pa.Table.from_pylist(_pq(sf_dir, "nation").take_all()).to_pandas()
-    cust = pa.Table.from_pylist(
-        _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()).to_pandas()
     r_name = region.sort_values("r_regionkey")["r_name"].iloc[0]
     rkey = region[region.r_name == r_name]["r_regionkey"].iloc[0]
     nat = nation[nation.n_regionkey == rkey]
-    cust = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
-    cust_to_nation = dict(zip(cust["c_custkey"], cust["n_name"]))
+    n2name = {int(k): n for k, n in zip(nat["n_nationkey"], nat["n_name"])}
+    n2n_ref = ray.put(n2name)
 
+    def cust_nation(t: pa.Table) -> pa.Table:
+        m = ray.get(n2n_ref)
+        names = pa.array([m.get(int(k)) for k in t["c_nationkey"].to_pylist()],
+                         pa.string())
+        out = t.append_column("n_name", names)
+        return out.filter(pc.is_valid(out["n_name"])).select(
+            ["c_custkey", "n_name"])
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_nation, batch_format="pyarrow")
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    c2n_ref = ray.put(cust_to_nation)
-
-    def order_nation(t: pa.Table) -> pa.Table:
-        c2n = ray.get(c2n_ref)
-        nat_col = [c2n.get(c) for c in t["o_custkey"].to_pylist()]
-        out = t.append_column("n_name", pa.array(nat_col, pa.string()))
-        return out.filter(pc.is_valid(out["n_name"])).select(["o_orderkey", "n_name"])
-
-    o2n = {r["o_orderkey"]: r["n_name"]
-           for r in orders.map_batches(order_nation, batch_format="pyarrow").take_all()}
-    o2n_ref = ray.put(o2n)
+    onat = orders.join(cust, join_type="inner", num_partitions=8,
+                       on=("o_custkey",), right_on=("c_custkey",)
+                       ).select_columns(["o_orderkey", "n_name"])
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        m = ray.get(o2n_ref)
-        nat_col = [m.get(k) for k in t["l_orderkey"].to_pylist()]
-        t = t.append_column("n_name", pa.array(nat_col, pa.string()))
-        t = t.filter(pc.is_valid(t["n_name"]))
+    def partial_rev(t: pa.Table) -> pa.Table:
         rev = pc.cast(pc.round(pc.multiply(pc.multiply(
             t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 10000.0)),
             pa.int64())
-        p = pa.table({"n_name": t["n_name"], "r": rev})
-        return p.group_by(["n_name"]).aggregate([("r", "sum")])
+        p = pa.table({"l_orderkey": t["l_orderkey"], "r": rev})
+        return p.group_by(["l_orderkey"]).aggregate([("r", "sum")])
 
-    out = (li.map_batches(partial, batch_format="pyarrow")
-           .groupby("n_name").aggregate(Sum("r_sum", alias_name="r")).to_pandas())
+    li_rev = (li.map_batches(partial_rev, batch_format="pyarrow")
+              .groupby("l_orderkey").aggregate(Sum("r_sum", alias_name="r")))
+    rev = li_rev.join(onat, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    out = (rev.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"], "r": t["r"]})
+        .group_by(["n_name"]).aggregate([("r", "sum")]),
+        batch_format="pyarrow")
+        .groupby("n_name").aggregate(Sum("r_sum", alias_name="r")).to_pandas())
     out["revenue"] = out["r"] / 10000.0
     return out[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
 
