@@ -857,7 +857,36 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     return out[["id_a", "id_b", "hamming"]].astype("int64")
 
 
-@query("dedup_ngram_jaccard")  # non-SQL: blocked exact-Jaccard pairs
+# Exact 3-word-shingle Jaccard is SQL-expressible, so the blocked
+# engine path is machine-checked end-to-end: any blocking-completeness
+# bug shows up as a missing pair here. Shingle semantics mirror
+# word_shingle_set (split on whitespace; <3 words → the whole text as
+# one shingle; empty → no shingles). Integer threshold: i·1000 ≥ 600·u.
+_NGRAM_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(tt, '\s+') AS w FROM t0 WHERE tt <> ''),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    [array_to_string(list_slice(w, i, i + 2), ' ') FOR i IN range(1, len(w) - 1)])) AS s
+  FROM toks WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE i * 1000 >= 600 * (ca.n + cb.n - i)
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_SQL)
 def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedupe import ngram_jaccard_pairs
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])

@@ -15,10 +15,13 @@ Operators:
   - embedding near-dup: cosine ≥ τ pairs via blocked matmul against a
                  broadcast matrix (scale path: hyperplane-LSH buckets)
 
-Verification joins need both texts of a candidate pair; at test scale
-the id→text map is broadcast via ``ray.put`` (read once per task). At
-100 TB the same verify runs as a bucketed self-join (hash(text_id) %
-B) — the candidate-generation shuffle keys are unchanged.
+Verification joins need both texts of a candidate pair; they run as two
+hash-partitioned ``Dataset.join``s (pairs ⋈ texts on id_a, then on
+id_b) followed by a vectorized per-pair Jaccard — fully distributed, no
+driver-side text map at any scale.
+
+Threshold comparisons are integer-exact (len(∩)·1000 ≥ ⌈θ·1000⌉·len(∪))
+so the engine and a SQL oracle agree bit-for-bit at the boundary.
 """
 
 from __future__ import annotations
@@ -26,12 +29,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from ..functions.textstats import (
-    jaccard, minhash_signatures, rolling_hash64, simhash64, word_shingle_set,
+    minhash_signatures, rolling_hash64, simhash64, word_shingle_set,
 )
 
 
@@ -110,23 +112,53 @@ def minhash_lsh_pairs(ds: rd.Dataset, text_col: str, id_col: str,
             .map_groups(bucket_pairs, batch_format="pandas")
             .groupby(["id_a", "id_b"])
             .aggregate(Count(alias_name="n_buckets"))
-            .to_pandas())
-    if cand.empty:
+            .materialize())  # small (pairs only); joined twice below
+    if cand.count() == 0:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-
-    texts = dict(zip(*[c.to_pylist() for c in _id_text_arrays(ds, id_col, text_col)]))
-    texts_ref = ray.put({i: word_shingle_set(t, shingle_k) for i, t in texts.items()})
-    shingles = ray.get(texts_ref)
-    jac = [jaccard(shingles[a], shingles[b])
-           for a, b in zip(cand["id_a"], cand["id_b"])]
-    cand = cand.assign(jaccard=jac)
-    out = cand[cand["jaccard"] >= threshold][["id_a", "id_b", "jaccard"]]
+    out = _verify_pairs_jaccard(cand, ds, id_col, text_col, shingle_k, threshold)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def _id_text_arrays(ds: rd.Dataset, id_col: str, text_col: str):
-    t = pa.Table.from_pylist(ds.select_columns([id_col, text_col]).take_all())
-    return t[id_col], t[text_col]
+def _verify_pairs_jaccard(cand: rd.Dataset, ds: rd.Dataset, id_col: str,
+                          text_col: str, shingle_k: int,
+                          threshold: float) -> pd.DataFrame:
+    """Distributed exact-Jaccard verify: join each side's text onto the
+    candidate pairs with hash-partitioned ``Dataset.join``s, then score
+    per pair inside ``map_batches``. The pair table and the text table
+    both stay distributed; nothing is broadcast or driver-materialized.
+    Boundary-exact: keep iff len(∩)·1000 ≥ round(θ·1000)·len(∪)."""
+    thr_mille = int(round(threshold * 1000))
+
+    def side(suffix: str) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t, s=suffix: pa.table({f"key_{s}": t[id_col],
+                                          f"text_{s}": t[text_col]}),
+            batch_format="pyarrow")
+
+    joined = (cand.join(side("a"), join_type="inner", num_partitions=8,
+                        on=("id_a",), right_on=("key_a",))
+              .join(side("b"), join_type="inner", num_partitions=8,
+                    on=("id_b",), right_on=("key_b",)))
+
+    def score(t: pa.Table) -> pa.Table:
+        ia, ib, jac = [], [], []
+        for a, b, ta, tb in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist(),
+                                t["text_a"].to_pylist(), t["text_b"].to_pylist()):
+            sa = word_shingle_set(ta, shingle_k)
+            sb = word_shingle_set(tb, shingle_k)
+            if not sa and not sb:
+                continue  # empty docs carry no content to compare
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * 1000 >= thr_mille * union:
+                ia.append(a); ib.append(b); jac.append(inter / max(1, union))
+        return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib),
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    rows = joined.map_batches(score, batch_format="pyarrow").take_all()
+    if not rows:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    return pa.Table.from_pylist(rows).to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -180,22 +212,28 @@ def simhash_pairs(ds: rd.Dataset, text_col: str, id_col: str,
 
 
 def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
-                        shingle_k: int = 3, threshold: float = 0.5,
-                        length_bucket: int = 32) -> pd.DataFrame:
-    """Exact pairwise Jaccard within length-bucket blocking groups
-    (a pair above `threshold` has near-equal shingle counts, so
-    comparing adjacent length buckets only is a sound blocker)."""
+                        shingle_k: int = 3, threshold: float = 0.5) -> pd.DataFrame:
+    """Exact pairwise Jaccard within *sound* blocking groups.
+
+    Blocking key: ⌊log_r(n)⌋ where n is the doc's distinct-shingle count
+    and r = 1/θ. J(A,B) ≥ θ implies |A∩B| ≥ θ·|A∪B| ⇒ min(|A|,|B|) ≥
+    θ·max(|A|,|B|), i.e. the count ratio is ≤ r — so the two log-r
+    buckets differ by at most 1, and emitting every doc into its own and
+    the next bucket guarantees every qualifying pair co-occurs in ≥1
+    group (completeness proof in tests via brute force). Verification is
+    exact integer-threshold Jaccard within the group."""
+    r = 1.0 / threshold
+    log_r = np.log(r)
+    thr_mille = int(round(threshold * 1000))
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        n = pc.utf8_length(t[text_col])
-        b = pc.cast(pc.floor(pc.divide(pc.cast(n, pa.float64()), length_bucket)),
-                    pa.int32())
+        texts = t[text_col].to_pylist()
+        n_sh = np.array([max(1, len(word_shingle_set(x, shingle_k)))
+                         for x in texts], dtype=np.float64)
+        b = np.floor(np.log(n_sh) / log_r).astype(np.int32)
         out = t.select([id_col, text_col])
-        # each row lands in its own and the next bucket → adjacent
-        # lengths meet in at least one group
-        lo = out.append_column("block", b)
-        hi = out.append_column("block", pc.cast(pc.add(b, 1), pa.int32()))
+        lo = out.append_column("block", pa.array(b))
+        hi = out.append_column("block", pa.array(b + 1))
         return pa.concat_tables([lo, hi])
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -204,10 +242,14 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
         sets = [word_shingle_set(t, shingle_k) for t in g[text_col]]
         ia, ib, js = [], [], []
         for i in range(len(ids)):
+            if not sets[i]:
+                continue
             for j in range(i + 1, len(ids)):
-                val = jaccard(sets[i], sets[j])
-                if val >= threshold:
-                    ia.append(ids[i]); ib.append(ids[j]); js.append(val)
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if inter * 1000 >= thr_mille * union:
+                    ia.append(ids[i]); ib.append(ids[j])
+                    js.append(inter / max(1, union))
         return pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": js})
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -216,6 +258,8 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
            .groupby(["id_a", "id_b"])
            .aggregate(Min("jaccard", alias_name="jaccard"))
            .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -225,30 +269,71 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
 
 
 def embedding_neardup_pairs(ds: rd.Dataset, vec_col: str, id_col: str,
-                            tau: float) -> pd.DataFrame:
-    """Pairs (id_a < id_b) with cosine similarity ≥ τ.
+                            tau: float, n_blocks: int = 4) -> pd.DataFrame:
+    """Exact pairs (id_a < id_b) with cosine similarity ≥ τ, as a
+    distributed block-pair (triangle) self-join.
 
-    Test-scale path: the (small) full matrix is broadcast via ``ray.put``
-    once; each batch does one float64 matmul against it. Scale path:
-    hyperplane-LSH bucket column + per-bucket pairs (same groupby shape
-    as MinHash) — see ``similarity.lsh_buckets``.
-    """
-    all_rows = pa.Table.from_pylist(ds.select_columns([id_col, vec_col]).take_all())
-    ids = np.asarray(all_rows[id_col])
-    mat = np.array(all_rows[vec_col].to_pylist(), dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put((ids, mat))
+    Rows hash into ``n_blocks`` blocks; each row is replicated to every
+    unordered block pair it participates in, one ``map_groups`` task per
+    (bi, bj) runs the cross (or upper-triangular) matmul. Shuffle volume
+    is n·n_blocks rows and per-group memory is ~2n/n_blocks vectors —
+    choose n_blocks ≈ n·dim·8 / group_mem_budget at scale. No driver
+    materialization and no full-matrix broadcast; exactness is preserved
+    (every pair co-occurs in exactly one group). The approximate
+    alternative for much larger n is hyperplane-LSH bucketing
+    (similarity.hyperplane_codes) at the cost of recall."""
 
-    def batch_pairs(t: pa.Table) -> pa.Table:
-        bids = np.asarray(t[id_col])
-        bm = np.array(t[vec_col].to_pylist(), dtype=np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-        gids, gmat = ray.get(mat_ref)
-        sims = bm @ gmat.T
-        ai, bj = np.nonzero(sims >= tau)
-        keep = bids[ai] < gids[bj]
-        return pa.table({"id_a": bids[ai][keep], "id_b": gids[bj][keep],
-                         "cos": sims[ai, bj][keep]})
+    def replicate(t: pa.Table) -> pd.DataFrame:
+        df = t.select([id_col, vec_col]).to_pandas()
+        b = (df[id_col].to_numpy().astype(np.int64) % n_blocks).astype(np.int32)
+        df["b"] = b
+        out = []
+        for j in range(n_blocks):
+            rep = df.copy()
+            rep["bi"] = np.minimum(b, j)
+            rep["bj"] = np.maximum(b, j)
+            out.append(rep)
+        return pd.concat(out, ignore_index=True)
 
-    out = ds.map_batches(batch_pairs, batch_format="pyarrow").to_pandas()
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cos": pd.Series([], dtype="float64")})
+        bi, bj = int(g["bi"].iloc[0]), int(g["bj"].iloc[0])
+        g = g.drop_duplicates([id_col, "b"])
+        if bi == bj:
+            ids = g[id_col].to_numpy()
+            m = np.array(g[vec_col].tolist(), dtype=np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ m.T
+            ia, ib = np.nonzero(sims >= tau)
+            keep = ids[ia] < ids[ib]
+            ia, ib = ia[keep], ib[keep]
+            if ia.size == 0:
+                return empty
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                                 "cos": sims[ia, ib]})
+        gi, gj = g[g["b"] == bi], g[g["b"] == bj]
+        if gi.empty or gj.empty:
+            return empty
+        ids_i, ids_j = gi[id_col].to_numpy(), gj[id_col].to_numpy()
+        mi = np.array(gi[vec_col].tolist(), dtype=np.float64)
+        mj = np.array(gj[vec_col].tolist(), dtype=np.float64)
+        mi /= np.maximum(np.linalg.norm(mi, axis=1, keepdims=True), 1e-12)
+        mj /= np.maximum(np.linalg.norm(mj, axis=1, keepdims=True), 1e-12)
+        sims = mi @ mj.T
+        ia, ib = np.nonzero(sims >= tau)
+        if ia.size == 0:
+            return empty
+        a, b = ids_i[ia], ids_j[ib]
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
+                             "cos": sims[ia, ib]})
+
+    out_rows = (ds.map_batches(replicate, batch_format="pyarrow")
+                .groupby(["bi", "bj"])
+                .map_groups(pairs, batch_format="pandas")
+                .take_all())
+    if not out_rows:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+    out = pa.Table.from_pylist(out_rows).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

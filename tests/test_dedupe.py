@@ -90,6 +90,58 @@ def test_embedding_neardup(ray_session):
     assert [(a, b) for a, b in zip(pairs.id_a, pairs.id_b)] == [(0, 100)]
 
 
+def test_ngram_jaccard_equals_brute_force(ray_session):
+    # Blocking completeness at the margin: Jaccard ≥ 0.5 admits length
+    # ratios up to 2×, which the old 32-char length buckets missed. The
+    # blocked result must equal unblocked brute force exactly —
+    # including a pair whose shingle counts differ by ~1.9×.
+    from realestate_scraper_ray.functions.textstats import word_shingle_set
+    texts, ids = [], []
+    base = [f"t{i}" for i in range(40)]
+    texts.append(" ".join(base)); ids.append(0)                 # 38 shingles
+    texts.append(" ".join(base + [f"x{i}" for i in range(30)])); ids.append(1)
+    texts.append(" ".join(base[:20])); ids.append(2)            # 18 shingles
+    rng = np.random.default_rng(11)
+    for i in range(20):
+        n = int(rng.integers(3, 120))
+        texts.append(" ".join(f"r{i}_{j}" for j in range(n))); ids.append(10 + i)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    for thr in (0.5, 0.6):
+        got = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=thr)
+        got_pairs = {(a, b) for a, b in zip(got.id_a, got.id_b)}
+        thr_mille = int(round(thr * 1000))
+        sets = {i: word_shingle_set(t, 3) for i, t in zip(ids, texts)}
+        exp = set()
+        for i in ids:
+            for j in ids:
+                if i < j and sets[i]:
+                    inter, union = len(sets[i] & sets[j]), len(sets[i] | sets[j])
+                    if inter * 1000 >= thr_mille * union:
+                        exp.add((i, j))
+        assert got_pairs == exp, thr
+    # the 1.9×-count pair really is above 0.5 (i.e. the case that matters)
+    s0, s1 = sets[0], sets[1]
+    assert len(s1) / len(s0) > 1.5
+    assert len(s0 & s1) / len(s0 | s1) >= 0.5
+
+
+def test_embedding_neardup_equals_brute_force(ray_session):
+    rng = np.random.default_rng(5)
+    n, d = 60, 12
+    mat = rng.standard_normal((n, d))
+    # plant some near-dups across different hash blocks
+    for a, b in ((0, 13), (7, 22), (30, 31)):
+        mat[b] = mat[a] + 0.05 * rng.standard_normal(d)
+    ds = rd.from_arrow(pa.table({"vec_id": list(range(n)),
+                                 "embedding": [v.tolist() for v in mat]}))
+    got = embedding_neardup_pairs(ds, "embedding", "vec_id", tau=0.6, n_blocks=4)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    exp = {(i, j) for i in range(n) for j in range(i + 1, n) if sims[i, j] >= 0.6}
+    assert {(a, b) for a, b in zip(got.id_a, got.id_b)} == exp
+    assert (0, 13) in exp
+
+
 def test_neardup_pairs_deterministic(corpus):
     a = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5, num_perm=64, bands=32)
     b = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5, num_perm=64, bands=32)
