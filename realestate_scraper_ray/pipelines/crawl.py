@@ -127,6 +127,62 @@ class CrawlResult:
         u = u.sort_values(["_s", "_r", "page_idx", "pos"], kind="stable")
         return set(u["offer_url"].head(self.limit_offers))
 
+    def _gen_files(self, name: str) -> list[str]:
+        root = os.path.join(self.workdir, name)
+        out: list[str] = []
+        if os.path.isdir(root):
+            for gen in sorted(os.listdir(root)):
+                d = os.path.join(root, gen)
+                out.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                           if f.endswith(".parquet"))
+        return out
+
+    def dataset(self, name: str) -> "rd.Dataset":
+        """Streaming reader over the crawl output: a ``ray.data.Dataset``
+        from the per-generation parquet fragments — the API downstream
+        pipelines should consume (``table()`` is the test-scale
+        verification twin that concatenates driver-side). 'urls' derives
+        from the frontier's detail rows per batch; ``limit_offers`` is
+        applied as a broadcast keep-set filter (the set is ≤ limit rows
+        by construction, so broadcasting it is bounded)."""
+        if name == "urls":
+            files = self._gen_files("frontier")
+            if not files:
+                return rd.from_arrow(pa.table({}))
+
+            def derive(t: pa.Table) -> pa.Table:
+                d = t.filter(pc.equal(t["kind"], "detail"))
+                return pa.table({
+                    "offer_url": d["url"],
+                    "offer_id": extract_offer_ids(d["url"].combine_chunks()),
+                    "page_idx": d["page_idx"], "source": d["source"],
+                    "region": d["region"], "pos": d["pos"]})
+
+            return rd.read_parquet(files).map_batches(derive, batch_format="pyarrow")
+        files = self._gen_files(name)
+        if not files:
+            return rd.from_arrow(pa.table({}))
+        ds = rd.read_parquet(files)
+        keep = self._limited_urlset()
+        if keep is not None:
+            import ray as _ray
+            if name == "offers":
+                keep_ref = _ray.put(pa.array(sorted(keep)))
+
+                def lim(t: pa.Table) -> pa.Table:
+                    return t.filter(pc.is_in(t["url"], value_set=_ray.get(keep_ref)))
+
+                ds = ds.map_batches(lim, batch_format="pyarrow")
+            elif name == "photos":
+                kept = self.table("offers")["offer_id"].combine_chunks()
+                kept_ref = _ray.put(kept)
+
+                def lim_p(t: pa.Table) -> pa.Table:
+                    return t.filter(pc.is_in(t["offer_id"], value_set=_ray.get(kept_ref)))
+
+                ds = ds.map_batches(lim_p, batch_format="pyarrow")
+        return ds
+
     def table(self, name: str) -> pa.Table:
         """Read an output table: 'offers', 'photos', or the derived 'urls'."""
         if name == "urls":

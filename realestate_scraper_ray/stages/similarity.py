@@ -65,8 +65,17 @@ def ivf_centroids(ds: rd.Dataset, vec_col: str, id_col: str,
     ``n_centroids`` smallest ids, refined by ``iters`` distributed
     Lloyd steps (per-batch partial sums via map_batches — the shuffle
     carries n_centroids rows per block, never the vectors)."""
-    seed_rows = ds.sort(id_col).limit(n_centroids).take_all()
-    cents = _norm_rows(np.array([r[vec_col] for r in seed_rows], np.float64))
+    # seed selection: per-batch min-k + tiny driver merge (no global sort)
+    import pyarrow.compute as pc
+
+    def local_min(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(t, n_centroids, [(id_col, "ascending")])
+        return t.take(idx).select([id_col, vec_col])
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(local_min, batch_format="pyarrow").take_all()).to_pandas()
+    cand = cand.sort_values(id_col).head(n_centroids)
+    cents = _norm_rows(np.array(cand[vec_col].tolist(), np.float64))
     for _ in range(iters):
         c_ref = ray.put(cents)
 

@@ -147,6 +147,21 @@ def test_robots_off_matches_oracle(tmp_path, ray_session):
     assert go["offer_id"].tolist() == eo["offer_id"].tolist()
 
 
+def test_dataset_reader_equals_table(run):
+    # the streaming Dataset reader must agree with the driver-side
+    # verification table() on every output table
+    import pyarrow as pa
+    engine, _, _ = run
+    for name in ("urls", "offers", "photos"):
+        got = pa.Table.from_pylist(engine.dataset(name).take_all()).to_pandas()
+        exp = engine.table(name).to_pandas()
+        key = ["offer_id", "seq"] if name == "photos" else \
+            ["source", "region", "page_idx", "pos"]
+        got = got[sorted(got.columns)].sort_values(key).reset_index(drop=True)
+        exp = exp[sorted(exp.columns)].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_metrics_totals(run):
     engine, oracle, _ = run
     assert engine.offers == len(oracle.offers)
