@@ -102,6 +102,10 @@ class PortalConfig:
     # already-seen offers → triggers the reference's "no_new twice in a
     # row" auto-stop (morizon.py:697-709, gratka.py:788-800)
     tail_repeat_pages: int = 2
+    # photo payloads whose magic bytes are not a supported image format
+    # → the media stage marks them status='failed' (the reference's
+    # content-type / magic-sniff rejection, images.py:56-75)
+    bad_photo_per_mille: int = 15
     # cross-source near-duplicate listings (same property on several
     # portals, ≤30 m coordinate drift, price ±90) — the population the
     # spatial near-dup stage (stages/geo.py, reference backend.py:58-93)
@@ -160,6 +164,11 @@ class CrawlConfig:
     # full dumps are O(capacity), deltas O(new URLs))
     checkpoint_full_every: int = 1
     robots: bool = True
+    # when True the wave downloads each photo's payload (synthetic
+    # bytes), sniffs/hashes it and emits a media table row per photo —
+    # the reference's image pipeline (core/images.py:48-91) wired into
+    # the crawl as an in-wave stage
+    media_fetch: bool = False
     # host-keyed frontier partitioning with skew salting (north_rule:
     # "streaming groupby-on-host shuffles with explicit salting of
     # skewed portals"): detail fragments are written in host-bucket

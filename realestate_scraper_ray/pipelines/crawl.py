@@ -173,7 +173,7 @@ class CrawlResult:
                     return t.filter(pc.is_in(t["url"], value_set=_ray.get(keep_ref)))
 
                 ds = ds.map_batches(lim, batch_format="pyarrow")
-            elif name == "photos":
+            elif name in ("photos", "media"):
                 kept = self.table("offers")["offer_id"].combine_chunks()
                 kept_ref = _ray.put(kept)
 
@@ -202,7 +202,7 @@ class CrawlResult:
         if keep is not None:
             if name == "offers":
                 t = t.filter(pc.is_in(t["url"], value_set=pa.array(list(keep))))
-            elif name == "photos":
+            elif name in ("photos", "media"):
                 kept_offers = self.table("offers")["offer_id"]
                 t = t.filter(pc.is_in(t["offer_id"], value_set=kept_offers.combine_chunks()))
         return t
@@ -292,6 +292,7 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
     fetch = make_fetch_fn(portal_cfg, cfg, politeness, run_token)
     offers_dir = os.path.join(workdir, "offers", f"gen-{gen}")
     photos_dir = os.path.join(workdir, "photos", f"gen-{gen}")
+    media_dir = os.path.join(workdir, "media", f"gen-{gen}")
     next_dir = _frontier_dir(workdir, gen + 1)
 
     quarantine_dir = os.path.join(workdir, "quarantine", f"gen-{gen}")
@@ -299,7 +300,19 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
     def wave(batch: pa.Table) -> pa.Table:
         t = fetch(batch)
         _write_fragment(_filter_kind(t, "offer").select(OFFER_OUT_COLS), offers_dir)
-        _write_fragment(_filter_kind(t, "photo").select(PHOTO_OUT_COLS), photos_dir)
+        photos = _filter_kind(t, "photo")
+        _write_fragment(photos.select(PHOTO_OUT_COLS), photos_dir)
+        if cfg.media_fetch and photos.num_rows:
+            # media download in the same task that parsed the photo
+            # spans: payload bytes are fetched, sniffed and hashed here
+            # and never enter the object store (S11/M27, images.py:48-91)
+            from ..stages.media import media_download_rows
+            portal = Portal(portal_cfg)
+            _write_fragment(
+                media_download_rows(
+                    photos.select(["offer_id", "seq", "url", "source"]),
+                    portal.photo_bytes),
+                media_dir)
         # quarantine: failed fetches persisted per generation — the
         # debug-sink analogue (detail.py:241-247) and the audit trail
         # behind the fetch_fail resume path
@@ -416,7 +429,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         _clean_partial(workdir, gen)
         _append_retry_rows(portal, state, _frontier_dir(workdir, gen))
     else:
-        for name in ("offers", "photos", "quarantine", "frontier", "checkpoint"):
+        for name in ("offers", "photos", "media", "quarantine", "frontier", "checkpoint"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
         os.makedirs(workdir, exist_ok=True)
         gen = 0
@@ -494,6 +507,7 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
     next_dir = _frontier_dir(workdir, gen + 1)
     for d in (os.path.join(workdir, "offers", f"gen-{gen}"),
               os.path.join(workdir, "photos", f"gen-{gen}"),
+              os.path.join(workdir, "media", f"gen-{gen}"),
               os.path.join(workdir, "quarantine", f"gen-{gen}"), next_dir):
         shutil.rmtree(d, ignore_errors=True)
 
@@ -679,7 +693,7 @@ def _clean_partial(workdir: str, resume_gen: int) -> None:
     (possibly partial) outputs and any partially-written next frontier
     are dropped and re-written deterministically (replace-on-retry)."""
     for name, cutoff in (("offers", resume_gen), ("photos", resume_gen),
-                         ("quarantine", resume_gen),
+                         ("media", resume_gen), ("quarantine", resume_gen),
                          ("frontier", resume_gen + 1)):
         root = os.path.join(workdir, name)
         if not os.path.isdir(root):

@@ -60,6 +60,7 @@ class OracleResult:
     urls: list[dict] = field(default_factory=list)     # URLS schema rows, crawl order
     offers: list[dict] = field(default_factory=list)   # OFFERS schema rows, crawl order
     photos: list[dict] = field(default_factory=list)   # PHOTOS schema rows, crawl order
+    media: list[dict] = field(default_factory=list)    # MEDIA rows (download results)
     seen: set[str] = field(default_factory=set)        # normalized URL-seen set
     state: dict = field(default_factory=dict)          # (source, region) -> stop state
 
@@ -272,3 +273,22 @@ def _emit_offer(portal: Portal, cfg: CrawlConfig, source: str, region: str,
     cap = cfg.limit_photos if cfg.limit_photos is not None else len(photo_urls)
     for seq, purl in enumerate(photo_urls[:cap]):
         res.photos.append({"offer_id": offer["offer_id"], "seq": seq, "url": purl})
+        if cfg.media_fetch:
+            # sequential twin of the media download chain
+            # (images.py:48-91): fetch bytes → sniff → sha256 → path
+            import hashlib
+
+            from ..stages.media import photo_path, sniff_mime
+            blob = portal.photo_bytes(purl)
+            row = {"offer_id": offer["offer_id"], "seq": seq, "url": purl,
+                   "source": source, "mime": None, "ext": None, "n_bytes": 0,
+                   "sha256": None, "status": "failed", "local_path": None}
+            if blob is not None:
+                mime, ext = sniff_mime(blob)
+                row.update(mime=mime, ext=ext, n_bytes=len(blob))
+                if mime.startswith("image/"):
+                    row.update(status="ok",
+                               sha256=hashlib.sha256(blob).hexdigest(),
+                               local_path=photo_path("media", source,
+                                                     offer["offer_id"], seq, ext))
+            res.media.append(row)

@@ -1039,7 +1039,8 @@ def _crawl_result():
                             spatial_dup_per_mille=80)
         _CRAWL_CACHE["res"] = run_crawl(
             pcfg, CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
-                              fetch_batch_size=64), "/tmp/rsr_entry_crawl")
+                              fetch_batch_size=64, media_fetch=True),
+            "/tmp/rsr_entry_crawl")
     return _CRAWL_CACHE["res"]
 
 
@@ -1058,6 +1059,15 @@ def crawl_offers(sf_dir: str) -> pd.DataFrame:
 @query("crawl_photos")
 def crawl_photos(sf_dir: str) -> pd.DataFrame:
     t = _crawl_result().table("photos").to_pandas()
+    return t.sort_values(["offer_id", "seq"]).reset_index(drop=True)
+
+
+@query("crawl_media")  # non-SQL: verified against the sequential oracle in tests
+def crawl_media(sf_dir: str) -> pd.DataFrame:
+    """S11/M27: the photo download chain (HEAD→MIME→GET→sniff→sha256→
+    {source}/{offer_id}/{seq:03d}.{ext} layout, images.py:48-91) wired
+    into the crawl wave; one typed metadata row per photo."""
+    t = _crawl_result().table("media").to_pandas()
     return t.sort_values(["offer_id", "seq"]).reset_index(drop=True)
 
 

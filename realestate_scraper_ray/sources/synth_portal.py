@@ -73,6 +73,8 @@ _OFFER_RE = re.compile(
     r"(?P<private>/private)?/(?:pl/oferta|oferta|nieruchomosci)/mieszkanie-"
     r"(?P<region>[a-z-]+)-(?P<k>\d+)(?:-ID|-mzn|-ogl|/ob/)(?P<oid>\d+)$"
 )
+_PHOTO_RE = re.compile(
+    r"^https://img\.(?P<source>[a-z]+)\.pl/(?P<oid>\d+)/(?P<seq>\d+)\.jpg$")
 _INVEST_RE = re.compile(
     r"^https://(?P<region>[a-z-]+)\.otodom\.pl/pl/inwestycja/osiedle-"
     r"(?P<k>\d+)-ID(?P<oid>\d+)(?:\?page=(?P<page>\d+))?$"
@@ -242,6 +244,28 @@ class Portal:
 
     def photo_url(self, source: str, oid: str, seq: int) -> str:
         return f"https://img.{source}.pl/{oid}/{seq}.jpg"
+
+    # -- photo payload serving (media download substrate) -------------------
+
+    _PHOTO_MAGICS = (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n",
+                     b"RIFF\x00\x00\x00\x00WEBP")
+
+    def photo_bytes(self, url: str) -> bytes | None:
+        """Deterministic image payload for a photo URL — the synthetic
+        stand-in for the reference's HEAD+GET download
+        (/root/reference/scrapper/core/images.py:48-91). A hash bucket of
+        ``bad_photo_per_mille`` URLs serves a non-image payload (the
+        content-type/magic mismatch the reference rejects)."""
+        m = _PHOTO_RE.match(url)
+        if not m:
+            return None
+        oid, seq = m.group("oid"), int(m.group("seq"))
+        h = _h64(self.cfg.seed, "pbytes", oid, seq)
+        body = hashlib.sha256(f"img|{self.cfg.seed}|{oid}|{seq}".encode()).digest()
+        body = (body * (1 + (200 + h % 600) // len(body)))[: 200 + h % 600]
+        if h % 1000 < self.cfg.bad_photo_per_mille:
+            return b"GIF89a" + body  # unsupported format → sniff rejects
+        return self._PHOTO_MAGICS[h % 3] + body
 
     # -- rendering ----------------------------------------------------------
 

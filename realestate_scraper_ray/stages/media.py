@@ -142,6 +142,56 @@ def decode_media(ds: rd.Dataset, concurrency: int = 4,
                           concurrency=concurrency, num_cpus=1)
 
 
+MEDIA_OUT_COLS = ["offer_id", "seq", "url", "source", "mime", "ext",
+                  "n_bytes", "sha256", "status", "local_path"]
+MEDIA_OUT_SCHEMA = pa.schema([
+    ("offer_id", pa.string()), ("seq", pa.int32()), ("url", pa.string()),
+    ("source", pa.string()), ("mime", pa.string()), ("ext", pa.string()),
+    ("n_bytes", pa.int64()), ("sha256", pa.string()),
+    ("status", pa.string()),        # ok | failed (non-image payload)
+    ("local_path", pa.string()),    # {root}/{source}/{offer_id}/{seq:03d}.{ext}
+])
+
+
+def media_download_rows(photos: pa.Table, fetch_bytes, root: str = "media",
+                        attempts: int = 1) -> pa.Table:
+    """The reference's per-photo download chain
+    (/root/reference/scrapper/core/images.py:48-91: HEAD→MIME gate→GET→
+    magic sniff→sha256→atomic write to {source}/{offer_id}/{seq:03d}.{ext};
+    asserted by its tests/test_images.py:19-43) as a batch kernel run
+    inside the crawl wave: payload bytes never enter the object store —
+    fetch, sniff and hash happen in the same task that holds the bytes,
+    and only the typed metadata row flows on. Non-image payloads get
+    status='failed' with no path/hash, like the reference's content-type
+    rejection."""
+    cols: dict[str, list] = {n: [] for n in MEDIA_OUT_COLS}
+    for offer_id, seq, url, source in zip(
+            photos["offer_id"].to_pylist(), photos["seq"].to_pylist(),
+            photos["url"].to_pylist(), photos["source"].to_pylist()):
+        blob = None
+        for _ in range(max(1, attempts)):
+            blob = fetch_bytes(url)
+            if blob is not None:
+                break
+        if blob is None:
+            mime, ext, status, sha, path, nb = None, None, "failed", None, None, 0
+        else:
+            mime, ext = sniff_mime(blob)
+            nb = len(blob)
+            if mime.startswith("image/"):
+                status = "ok"
+                sha = hashlib.sha256(blob).hexdigest()
+                path = photo_path(root, source, offer_id, int(seq), ext)
+            else:
+                status, sha, path = "failed", None, None
+        cols["offer_id"].append(offer_id); cols["seq"].append(seq)
+        cols["url"].append(url); cols["source"].append(source)
+        cols["mime"].append(mime); cols["ext"].append(ext)
+        cols["n_bytes"].append(nb); cols["sha256"].append(sha)
+        cols["status"].append(status); cols["local_path"].append(path)
+    return pa.Table.from_pydict(cols, schema=MEDIA_OUT_SCHEMA)
+
+
 def photo_path(root: str, source: str, offer_id: str, seq: int, ext: str) -> str:
     """Deterministic media output layout
     ``{root}/{source}/{offer_id}/{seq:03d}.{ext}`` — the reference's

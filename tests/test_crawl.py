@@ -147,6 +147,37 @@ def test_robots_off_matches_oracle(tmp_path, ray_session):
     assert go["offer_id"].tolist() == eo["offer_id"].tolist()
 
 
+def test_crawl_media_matches_oracle(small_portal, tmp_path, ray_session):
+    # media download wired into the crawl (reference core/images.py:48-91;
+    # its tests/test_images.py:19-43 asserts status/bytes/ext/mime/sha256
+    # length and the exact path {source}/{offer_id}/{seq:03d}.{ext})
+    import re
+    cfg = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                      fetch_batch_size=64, media_fetch=True)
+    engine = run_crawl(small_portal.cfg, cfg, str(tmp_path / "wd"))
+    oracle = crawl_oracle(small_portal, cfg)
+    got = engine.table("media").to_pandas().sort_values(
+        ["offer_id", "seq"]).reset_index(drop=True)
+    exp = pd.DataFrame(oracle.media).sort_values(
+        ["offer_id", "seq"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for col in ("offer_id", "seq", "url", "source", "mime", "ext", "n_bytes",
+                "sha256", "status", "local_path"):
+        assert got[col].tolist() == exp[col].tolist(), col
+    ok = got[got.status == "ok"]
+    assert len(ok) > 0
+    pat = re.compile(r"^media/(otodom|gratka|morizon|trojmiasto)/\d+/\d{3}\.(jpg|png|webp)$")
+    assert ok["local_path"].map(lambda p: bool(pat.match(p))).all()
+    # path seq matches the row's seq, zero-padded (storage.py:88-111)
+    assert (ok["local_path"].str.extract(r"/(\d{3})\.")[0].astype(int)
+            == ok["seq"]).all()
+    assert (ok["sha256"].str.len() == 64).all()
+    assert (ok["n_bytes"] > 0).all()
+    assert (got.status == "failed").any()  # bad-magic payloads rejected
+    failed = got[got.status == "failed"]
+    assert failed["local_path"].isna().all() and failed["sha256"].isna().all()
+
+
 def test_dataset_reader_equals_table(run):
     # the streaming Dataset reader must agree with the driver-side
     # verification table() on every output table
