@@ -132,6 +132,14 @@ class CrawlConfig:
     max_pages: int | None = None        # --max-pages (otodom.py:485-487)
     limit_offers: int | None = None     # --limit (stream.py:145-149)
     limit_photos: int | None = None     # --limit-photos (photos.py:71-75)
+    # recency pushdown: only offers posted within the last N days are
+    # crawled — baked into the listing URLs so the *server* prunes
+    # (morizon.py:652-659 ps[date_from]; gratka.py:750-758)
+    last_days: int | None = None
+    # deterministic crawl clock for first_seen/last_seen stamps — the
+    # reference stamps datetime.utcnow() per offer (detail.py:89-90);
+    # a fixed configured clock keeps output tables reproducible
+    now: str = "2026-02-01T00:00:00"
     # politeness: per-host requests/sec budget (config.py:10 default 0.3;
     # the reference's limiter is process-global & host-oblivious — ours is
     # per-host, which is what lets throughput scale with host-parallelism)

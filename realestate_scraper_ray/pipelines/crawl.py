@@ -65,8 +65,14 @@ FRONTIER_SCHEMA = pa.schema([
     ("url", pa.string()), ("kind", pa.string()), ("priority", pa.int32()),
     ("source", pa.string()), ("region", pa.string()),
     ("page_idx", pa.int32()), ("pos", pa.int32())])
+# the reference's wide 20-col offer schema (storage.py:13-20 + the
+# posted_at/updated_at datetimes from the pydantic model,
+# validate.py:9-50) plus the engine's order keys
 OFFER_OUT_COLS = ["offer_id", "source", "url", "price_amount", "price_currency",
                   "price_per_m2", "city", "lat", "lon", "area_m2", "rooms",
+                  "title", "district", "street", "floor", "floors",
+                  "market_type", "property_type", "posted_at", "updated_at",
+                  "first_seen", "last_seen",
                   "region", "page_idx", "pos"]
 PHOTO_OUT_COLS = ["offer_id", "seq", "url"]
 
@@ -427,7 +433,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
     if resume:
         gen = _restore_checkpoint(workdir, state, urlseen)
         _clean_partial(workdir, gen)
-        _append_retry_rows(portal, state, _frontier_dir(workdir, gen))
+        _append_retry_rows(portal, state, _frontier_dir(workdir, gen), cfg)
     else:
         for name in ("offers", "photos", "media", "quarantine", "frontier", "checkpoint"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
@@ -435,7 +441,8 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         gen = 0
         d = _frontier_dir(workdir, 0)
         os.makedirs(d)
-        pq.write_table(_seed_table(portal), os.path.join(d, "part-p0-seeds.parquet"))
+        pq.write_table(_seed_table(portal, cfg),
+                       os.path.join(d, "part-p0-seeds.parquet"))
 
     retries_left = retry_rounds
     last_ckpt = -1
@@ -446,7 +453,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
             if failed and retries_left > 0:
                 retries_left -= 1
                 os.makedirs(_frontier_dir(workdir, gen), exist_ok=True)
-                _append_retry_rows(portal, state, _frontier_dir(workdir, gen))
+                _append_retry_rows(portal, state, _frontier_dir(workdir, gen), cfg)
                 if _frontier_rows(workdir, gen) == 0:
                     break
             else:
@@ -478,20 +485,23 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
     return res
 
 
-def _seed_table(portal: Portal) -> pa.Table:
+def _seed_table(portal: Portal, cfg: CrawlConfig) -> pa.Table:
     return pa.Table.from_pylist(
         [{"url": s["url"], "kind": "pagination", "priority": 0, "source": s["source"],
-          "region": s["region"], "page_idx": 1, "pos": 0} for s in portal.seeds()],
+          "region": s["region"], "page_idx": 1, "pos": 0}
+         for s in portal.seeds(cfg.last_days)],
         schema=FRONTIER_SCHEMA)
 
 
-def _append_retry_rows(portal: Portal, state: dict, fdir: str) -> None:
+def _append_retry_rows(portal: Portal, state: dict, fdir: str,
+                       cfg: CrawlConfig) -> None:
     """fetch-failed regions resume at last_page_done+1 (cli.py:756-762)."""
     rows = []
     for (s, r), st in state.items():
         if st.stop_reason == "fetch_fail":
             p = st.last_page_done + 1
-            rows.append({"url": portal.listing_url(s, r, p), "kind": "pagination",
+            rows.append({"url": portal.listing_url(s, r, p, cfg.last_days),
+                         "kind": "pagination",
                          "priority": 0, "source": s, "region": r, "page_idx": p, "pos": 0})
             st.stop_reason = ""
     if rows:

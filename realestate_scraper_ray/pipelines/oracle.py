@@ -55,6 +55,24 @@ def _in_poland(lat: float, lon: float) -> bool:
     return 49.0 <= lat <= 54.9 and 14.0 <= lon <= 24.5
 
 
+_DATE_FORMATS = ("%d.%m.%Y %H:%M:%S", "%d.%m.%Y %H:%M", "%d.%m.%Y",
+                 "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d")
+
+
+def _parse_date(text: str | None):
+    """Scalar twin of functions.urls.parse_polish_dates (M5,
+    otodom.py:210-217 / gratka.py:43-74): same format chain, same order."""
+    if text is None:
+        return None
+    from datetime import datetime
+    for fmt in _DATE_FORMATS:
+        try:
+            return datetime.strptime(text, fmt)
+        except ValueError:
+            continue
+    return None
+
+
 @dataclass
 class OracleResult:
     urls: list[dict] = field(default_factory=list)     # URLS schema rows, crawl order
@@ -113,6 +131,16 @@ def parse_offer_spans(spans: list[dict]) -> tuple[dict, list[str]]:
         "lon": lon,
         "area_m2": area,
         "rooms": int(fields["rooms"]) if "rooms" in fields else None,
+        # wide columns (storage.py:13-20; datetimes validate.py:9-50)
+        "title": fields.get("title"),
+        "district": fields.get("district"),
+        "street": fields.get("street"),
+        "floor": int(fields["floor"]) if "floor" in fields else None,
+        "floors": int(fields["floors"]) if "floors" in fields else None,
+        "market_type": fields.get("market_type"),
+        "property_type": fields.get("property_type"),
+        "posted_at": _parse_date(fields.get("posted_at")),
+        "updated_at": _parse_date(fields.get("updated_at")),
     })
     return out, photo_urls
 
@@ -160,7 +188,7 @@ def _crawl_region(portal: Portal, cfg: CrawlConfig, source: str, region: str,
         if cfg.max_pages is not None and page > cfg.max_pages:
             st["stop_reason"] = "max_pages"
             break
-        url = portal.listing_url(source, region, page)
+        url = portal.listing_url(source, region, page, cfg.last_days)
         if inject.hard_fails(url):
             st["stop_reason"] = "fetch_fail"
             st["failed"] += 1
@@ -268,7 +296,10 @@ def _emit_offer(portal: Portal, cfg: CrawlConfig, source: str, region: str,
     if any(offer.get(f) is None for f in REQ_FIELDS):
         return  # completeness gate (detail.py:30-31)
     st["parsed"] += 1
-    offer.update({"url": url, "region": region, "page_idx": page_idx, "pos": pos})
+    from datetime import datetime
+    now = datetime.fromisoformat(cfg.now)  # detail.py:89-90 stamps
+    offer.update({"url": url, "region": region, "page_idx": page_idx, "pos": pos,
+                  "first_seen": now, "last_seen": now})
     res.offers.append(offer)
     cap = cfg.limit_photos if cfg.limit_photos is not None else len(photo_urls)
     for seq, purl in enumerate(photo_urls[:cap]):

@@ -1062,6 +1062,43 @@ def crawl_photos(sf_dir: str) -> pd.DataFrame:
     return t.sort_values(["offer_id", "seq"]).reset_index(drop=True)
 
 
+@query("crawl_offers_wide")  # non-SQL: oracle-equality-tested in pytest
+def crawl_offers_wide(sf_dir: str) -> pd.DataFrame:
+    """The reference's wide 20-col offer schema (storage.py:13-20) +
+    posted_at/updated_at (validate.py) + first_seen/last_seen stamps
+    (detail.py:89-90): title/district/street/floor/floors/market_type/
+    property_type parsed through the portal → parse → offers chain,
+    Polish dd.mm.yyyy dates coerced to timestamps (M5)."""
+    t = _crawl_result().table("offers").to_pandas()
+    cols = ["offer_id", "source", "url", "title", "district", "street",
+            "floor", "floors", "market_type", "property_type",
+            "posted_at", "updated_at", "first_seen", "last_seen",
+            "region", "page_idx", "pos"]
+    return t[cols].sort_values(
+        ["source", "region", "page_idx", "pos"]).reset_index(drop=True)
+
+
+@query("crawl_last_days")  # non-SQL: oracle-equality-tested in pytest
+def crawl_last_days(sf_dir: str) -> pd.DataFrame:
+    """M30: last-days recency pushdown — a separate crawl with
+    last_days=15 baked into the listing URLs (server-side pruning,
+    morizon.py:652-659)."""
+    from ..config import CrawlConfig, PortalConfig
+    from .crawl import run_crawl
+    if "last_days" not in _CRAWL_CACHE:
+        pcfg = PortalConfig(regions=("pomorskie", "mazowieckie"),
+                            base_pages=2, page_size_scale=0.12,
+                            spatial_dup_per_mille=80)
+        _CRAWL_CACHE["last_days"] = run_crawl(
+            pcfg, CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                              fetch_batch_size=64, last_days=15),
+            "/tmp/rsr_entry_crawl_lastdays")
+    t = _CRAWL_CACHE["last_days"].table("offers").to_pandas()
+    return t[["offer_id", "source", "url", "posted_at", "region",
+              "page_idx", "pos"]].sort_values(
+        ["source", "region", "page_idx", "pos"]).reset_index(drop=True)
+
+
 @query("crawl_media")  # non-SQL: verified against the sequential oracle in tests
 def crawl_media(sf_dir: str) -> pd.DataFrame:
     """S11/M27: the photo download chain (HEAD→MIME→GET→sniff→sha256→

@@ -66,7 +66,7 @@ _LISTING_RE = re.compile(
     r"^https://(?:(?P<region>[a-z-]+)\.(?P<source>otodom|gratka|morizon)\.pl"
     r"|(?P<tm>ogloszenia\.trojmiasto\.pl))"
     r"(?:/pl/wyniki/sprzedaz/mieszkanie/[a-z-]+|/nieruchomosci/(?P<tmr>[a-z-]+)|/mieszkania)"
-    r"\?(?:limit=\d+&)?(?:page|strona)=(?P<page>\d+)$"
+    r"\?(?:limit=\d+&)?(?:page|strona)=(?P<page>\d+)(?:&days=(?P<days>\d+))?$"
 )
 _OFFER_RE = re.compile(
     r"^https://(?:[a-z-]+\.(?:otodom|gratka|morizon)\.pl|ogloszenia\.trojmiasto\.pl)"
@@ -91,6 +91,17 @@ class PageRef:
     page: int = 0
     k: int = 0
     oid: str = ""
+    # listing pages only: the recency pushdown parameter (&days=N) — the
+    # reference's last-days filter baked into the listing URL
+    # (morizon.py:652-659 ps[date_from]; gratka.py:750-758)
+    days: int | None = None
+
+
+# The portal's fixed "today" — the anchor for posted_at stamps and the
+# last-days recency filter (deterministic stand-in for date.today(),
+# morizon.py:656).
+PORTAL_TODAY = "2026-02-01"
+PORTAL_TODAY_ORD = 739648  # datetime.date(2026, 2, 1).toordinal()
 
 
 class Portal:
@@ -104,13 +115,16 @@ class Portal:
             return "ogloszenia.trojmiasto.pl"
         return f"{region}.{source}.pl"
 
-    def listing_url(self, source: str, region: str, page: int) -> str:
+    def listing_url(self, source: str, region: str, page: int,
+                    last_days: int | None = None) -> str:
         h = self.host(source, region)
+        d = f"&days={last_days}" if last_days is not None else ""
         if source == "otodom":
-            return f"https://{h}/pl/wyniki/sprzedaz/mieszkanie/{region}?limit=72&page={page}"
+            return (f"https://{h}/pl/wyniki/sprzedaz/mieszkanie/{region}"
+                    f"?limit=72&page={page}{d}")
         if source == "trojmiasto":
-            return f"https://{h}/nieruchomosci/{region}?strona={page}"
-        return f"https://{h}/mieszkania?page={page}"
+            return f"https://{h}/nieruchomosci/{region}?strona={page}{d}"
+        return f"https://{h}/mieszkania?page={page}{d}"
 
     def oid(self, source: str, region: str, k: int) -> str:
         si = self.cfg.sources.index(source) + 1
@@ -150,9 +164,12 @@ class Portal:
                            int(m.group("page") or 1), int(m.group("k")), m.group("oid"))
         m = _LISTING_RE.match(url)
         if m:
+            days = int(m.group("days")) if m.group("days") else None
             if m.group("tm"):
-                return PageRef("listing", "trojmiasto", m.group("tmr"), int(m.group("page")))
-            return PageRef("listing", m.group("source"), m.group("region"), int(m.group("page")))
+                return PageRef("listing", "trojmiasto", m.group("tmr"),
+                               int(m.group("page")), days=days)
+            return PageRef("listing", m.group("source"), m.group("region"),
+                           int(m.group("page")), days=days)
         return PageRef("void")
 
     # -- topology -----------------------------------------------------------
@@ -171,9 +188,9 @@ class Portal:
         page cp+1 is empty."""
         return "no_new" if _h64(self.cfg.seed, "tail", source, region) % 2 == 0 else "no_links"
 
-    def seeds(self) -> list[dict]:
+    def seeds(self, last_days: int | None = None) -> list[dict]:
         return [
-            {"url": self.listing_url(s, r, 1), "source": s, "region": r,
+            {"url": self.listing_url(s, r, 1, last_days), "source": s, "region": r,
              "kind": "pagination", "priority": 0, "page_idx": 0, "pos": 0}
             for s in self.cfg.sources
             for r in self.cfg.regions
@@ -186,6 +203,19 @@ class Portal:
 
     def _bucket(self, tag: str, *key: object) -> int:
         return _h64(self.cfg.seed, tag, *key) % 1000
+
+    def posted_days_ago(self, source: str, region: str, k: int) -> int:
+        """Offer age in days relative to PORTAL_TODAY (0..44). Drives the
+        posted_at stamp and the last-days listing filter (the reference's
+        recency pushdown, morizon.py:652-659)."""
+        return _h64(self.cfg.seed, "posted", self.oid(source, region, k)) % 45
+
+    def _fmt_date(self, days_ago: int, polish: bool) -> str:
+        import datetime
+        d = datetime.date.fromordinal(PORTAL_TODAY_ORD - days_ago)
+        if polish:
+            return f"{d.day:02d}.{d.month:02d}.{d.year} 12:30"
+        return f"{d.isoformat()}T12:30:00"
 
     def offer_facts(self, source: str, region: str, k: int) -> dict:
         """Deterministic ground-truth fields for offer (source, region, k)."""
@@ -213,7 +243,25 @@ class Portal:
         ppm2 = round(price / true_area, 2)
         n_photos = _h64(c.seed, "nph", oid) % (c.max_photos + 1)
         b = self._bucket("variant", oid)
+        # wide-schema fields (reference OFFER_COLUMNS, storage.py:13-20)
+        hb = lambda tag, n: _h64(c.seed, tag, base) % n  # noqa: E731
+        districts = ("Centrum", "Wrzeszcz", "Mokotow", "Podgorze",
+                     "Jezyce", "Srodmiescie", "Zaspa", "Oliwa")
+        streets = ("Polna", "Lesna", "Dluga", "Krotka", "Sloneczna",
+                   "Ogrodowa", "Lipowa", "Kwiatowa", "Szkolna", "Parkowa")
+        floor = hb("floor", 11)            # 0..10
         return {
+            "district": districts[hb("district", len(districts))],
+            # street optional ~20% of the time (reference fields optional)
+            "street": (None if hb("street_opt", 10) < 2
+                       else f"ul. {streets[hb('street', len(streets))]} {1 + hb('streetno', 120)}"),
+            "floor": floor,
+            "floors": floor + hb("floors_extra", 6),
+            "market_type": "pierwotny" if hb("market", 10) < 3 else "wtorny",
+            "property_type": "apartament" if hb("ptype", 10) < 2 else "mieszkanie",
+            "posted_days_ago": self.posted_days_ago(source, region, k),
+            "updated_days_ago": max(
+                0, self.posted_days_ago(source, region, k) - _h64(c.seed, "upd", oid) % 5),
             "oid": oid,
             "spatial_dup": spatial_dup,
             "price": price,
@@ -305,7 +353,13 @@ class Portal:
 
         def links_of_page(page: int) -> list[str]:
             lo, hi = (page - 1) * ps, page * ps
-            return [self._link_target(s, r, k) for k in range(lo, hi)]
+            ks = range(lo, hi)
+            if ref.days is not None:
+                # server-side recency pushdown: only offers posted within
+                # the last `days` appear in the result list
+                # (morizon.py:652-659 ps[date_from] semantics)
+                ks = [k for k in ks if self.posted_days_ago(s, r, k) <= ref.days]
+            return [self._link_target(s, r, k) for k in ks]
 
         if p <= cp:
             # overlap re-links from the previous page first (dup exercise)
@@ -320,7 +374,8 @@ class Portal:
         else:
             return []  # empty page → 'no_links' stop
 
-        spans.append(span("link", media_ref=self.listing_url(s, r, p + 1), offset=pos))
+        spans.append(span("link", media_ref=self.listing_url(s, r, p + 1, ref.days),
+                          offset=pos))
         return spans
 
     def _render_offer(self, ref: PageRef) -> list[dict]:
@@ -344,16 +399,21 @@ class Portal:
             if not f["omit_ppm2"]:
                 text("price_per_m2", f"{f['ppm2']} zł/m2")
         text("city", f["city"])
+        text("district", f["district"])
+        if f["street"] is not None:
+            text("street", f["street"])
         if not f["missing_geo"]:
             text("lat", f["lat"])
             text("lon", f["lon"])
         area = round(f["true_area"] * 1.2, 1) if f["bad_area"] else f["true_area"]
         text("area_m2", f"{area} m²")
         text("rooms", f["rooms"])
-        if f["polish_date"]:
-            text("posted_at", "15.01.2026 12:30")
-        else:
-            text("posted_at", "2026-01-15T12:30:00")
+        text("floor", f["floor"])
+        text("floors", f["floors"])
+        text("market_type", f["market_type"])
+        text("property_type", f["property_type"])
+        text("posted_at", self._fmt_date(f["posted_days_ago"], f["polish_date"]))
+        text("updated_at", self._fmt_date(f["updated_days_ago"], not f["polish_date"]))
 
         urls = [self.photo_url(ref.source, f["oid"], i) for i in range(f["n_photos"])]
         if f["dup_photo"]:

@@ -60,6 +60,18 @@ COMBINED_SCHEMA = pa.schema([
     ("lon", pa.float64()),
     ("area_m2", pa.float64()),
     ("rooms", pa.int32()),
+    # wide offer columns (storage.py:13-20 + validate.py datetimes)
+    ("title", pa.string()),
+    ("district", pa.string()),
+    ("street", pa.string()),
+    ("floor", pa.int32()),
+    ("floors", pa.int32()),
+    ("market_type", pa.string()),
+    ("property_type", pa.string()),
+    ("posted_at", pa.timestamp("us")),
+    ("updated_at", pa.timestamp("us")),
+    ("first_seen", pa.timestamp("us")),
+    ("last_seen", pa.timestamp("us")),
     ("seq", pa.int32()),
     ("status", pa.string()),         # pagemeta: ok|empty|fetch_fail
     ("n_links", pa.int32()),
@@ -222,7 +234,9 @@ class FetchParse:
         offer_ctx: list[dict] = []
         offer_raw: dict[str, list] = {k: [] for k in (
             "offer_id", "source", "title", "price_amount", "price_currency",
-            "price_per_m2", "city", "lat", "lon", "area_m2", "rooms", "inquiry")}
+            "price_per_m2", "city", "lat", "lon", "area_m2", "rooms", "inquiry",
+            "district", "street", "floor", "floors", "market_type",
+            "property_type", "posted_at", "updated_at")}
         offer_photos: list[list[str]] = []
 
         def emit(rec_kind: str, **kv):
@@ -335,6 +349,16 @@ class FetchParse:
         rooms = np.array([int(v) if v is not None else -1 for v in raw["rooms"]])
         inquiry = np.array([v is not None for v in raw["inquiry"]])
         cur = [(c.upper() if c else None) for c in raw["price_currency"]]
+        floor = [int(v) if v is not None else None for v in raw["floor"]]
+        floors = [int(v) if v is not None else None for v in raw["floors"]]
+        # Polish/ISO date coercion, vectorized over the whole batch
+        # (M5, otodom.py:210-217 / gratka.py:43-74)
+        from ..functions.urls import parse_polish_dates
+        posted = parse_polish_dates(raw["posted_at"]).to_pylist()
+        updated = parse_polish_dates(raw["updated_at"]).to_pylist()
+        from datetime import datetime
+        now = datetime.fromisoformat(self.cfg.now)  # first/last_seen stamps
+        # (detail.py:89-90 — deterministic clock instead of utcnow)
 
         # inquiry-price gate: null all price fields (M20)
         price[inquiry] = np.nan
@@ -371,7 +395,13 @@ class FetchParse:
                 continue  # completeness gate (M22)
             r = ctx[i]
             emit("offer", url=r["url"], source=offer["source"], region=r["region"],
-                 page_idx=r["page_idx"], pos=r["pos"], **{
+                 page_idx=r["page_idx"], pos=r["pos"],
+                 title=raw["title"][i], district=raw["district"][i],
+                 street=raw["street"][i], floor=floor[i], floors=floors[i],
+                 market_type=raw["market_type"][i],
+                 property_type=raw["property_type"][i],
+                 posted_at=posted[i], updated_at=updated[i],
+                 first_seen=now, last_seen=now, **{
                      k: offer[k] for k in (
                          "offer_id", "price_amount", "price_currency", "price_per_m2",
                          "city", "lat", "lon", "area_m2", "rooms")})

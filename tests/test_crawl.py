@@ -71,10 +71,16 @@ def test_offers_table_equality(run):
     exp = _key_sorted(pd.DataFrame(oracle.offers))
     assert len(got) == len(exp)
     for col in ("offer_id", "source", "url", "price_amount", "price_currency",
-                "price_per_m2", "city", "lat", "lon", "area_m2", "rooms"):
+                "price_per_m2", "city", "lat", "lon", "area_m2", "rooms",
+                "title", "district", "street", "floor", "floors",
+                "market_type", "property_type", "posted_at", "updated_at",
+                "first_seen", "last_seen"):
         pd.testing.assert_series_equal(
             got[col], exp[col].astype(got[col].dtype), check_names=False,
             obj=col)
+    # datetimes really parsed (not null) and Polish-format dates covered
+    assert got["posted_at"].notna().all()
+    assert (got["first_seen"] == pd.Timestamp("2026-02-01")).all()
 
 
 def test_span_sequence_equality(run):
@@ -145,6 +151,28 @@ def test_robots_off_matches_oracle(tmp_path, ray_session):
     go = _key_sorted(engine.table("offers").to_pandas())
     eo = _key_sorted(pd.DataFrame(oracle.offers))
     assert go["offer_id"].tolist() == eo["offer_id"].tolist()
+
+
+def test_last_days_pushdown_matches_oracle(small_portal, tmp_path, ray_session):
+    # recency pushdown (morizon.py:652-659): only offers posted within
+    # last_days appear in listing results; baked into the listing URL so
+    # the server prunes. Engine and oracle must agree, and the filtered
+    # crawl must be a strict subset of the unfiltered one.
+    cfg = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                      fetch_batch_size=64, last_days=15)
+    engine = run_crawl(small_portal.cfg, cfg, str(tmp_path / "wd"))
+    oracle = crawl_oracle(small_portal, cfg)
+    got = set(engine.table("urls")["offer_url"].to_pylist())
+    assert got == {r["offer_url"] for r in oracle.urls}
+    go = _key_sorted(engine.table("offers").to_pandas())
+    eo = _key_sorted(pd.DataFrame(oracle.offers))
+    assert go["offer_id"].tolist() == eo["offer_id"].tolist()
+    # every direct (non-investment) offer is fresh enough
+    direct = go[go["pos"] % 10000 == 0]
+    cutoff = pd.Timestamp("2026-02-01") - pd.Timedelta(days=15)
+    assert (direct["posted_at"] >= cutoff).all()
+    full = crawl_oracle(small_portal, CrawlConfig())
+    assert got < {r["offer_url"] for r in full.urls}  # strict subset
 
 
 def test_crawl_media_matches_oracle(small_portal, tmp_path, ray_session):
