@@ -1150,6 +1150,23 @@ def crawl_coverage_ratio(sf_dir: str) -> pd.DataFrame:
             .sort_values("source").reset_index(drop=True))
 
 
+@query("crawl_geocode")  # non-SQL: stateful cache actor + fallback chain
+def crawl_geocode(sf_dir: str) -> pd.DataFrame:
+    """ST4/J4 with the miss path: per-offer fallback-query chain
+    (street→district→city, gratka.py:326-426) resolved through the
+    geocode cache actor (misses computed + cached + flushed,
+    morizon.py:406-425), then the >800 m snap (J5)."""
+    from ..stages.geo import GeocoderActor, geocode_and_snap
+    offers = rd.from_arrow(_crawl_result().table("offers"))
+    g = GeocoderActor.remote(cache_path="/tmp/rsr_entry_geocache.json")
+    out = pa.Table.from_pylist(
+        geocode_and_snap(offers, g).select_columns(
+            ["offer_id", "lat", "lon", "geo_snapped", "geo_level"])
+        .take_all()).to_pandas()
+    ray.get(g.flush.remote())
+    return out.sort_values("offer_id").reset_index(drop=True)
+
+
 @query("crawl_geo_snap")  # non-SQL: broadcast-join snap stage
 def crawl_geo_snap(sf_dir: str) -> pd.DataFrame:
     """J4/J5: broadcast geocode-cache join + >800 m snap

@@ -163,6 +163,140 @@ def reverse_geocode(ds: rd.Dataset, concurrency: int = 2,
                           batch_size=batch_size, batch_format="pyarrow")
 
 
+# -- geocoder service: miss path + fallback chain + persisted cache ----------
+# Reference ST4/J4: OSM geocode cache (query → (lat,lon) JSON, read +
+# write-back per miss, morizon.py:406-425) and the fallback-query chain
+# with per-level queries (street→district→city, gratka.py:326-426).
+# Here: a deterministic synthetic geocoder behind a cache actor that
+# loads its JSON cache at construction, answers batched lookups
+# (computing + caching misses), and flushes atomically.
+
+
+def _geo_h64(seed: int, *key: object) -> int:
+    import hashlib
+    b = hashlib.sha1(("%d|" % seed + "|".join(map(str, key))).encode()).digest()
+    return int.from_bytes(b[:8], "big")
+
+
+def synthetic_geocode(query: str, seed: int = 11,
+                      unknown_per_mille: int = 250) -> tuple[float, float] | None:
+    """Deterministic stand-in for the Nominatim lookup
+    (morizon.py:427-468): a pure function of the query string. Queries
+    with a ',' (street-/district-level) are unknown for a hash bucket of
+    ``unknown_per_mille`` — exercising the fallback chain; bare city
+    queries always resolve (the chain terminates)."""
+    if ("," in query
+            and _geo_h64(seed, "gknown", query) % 1000 < unknown_per_mille):
+        return None
+    lat = round(49.3 + (_geo_h64(seed, "glat", query) / 2.0**64) * 5.3, 6)
+    lon = round(14.3 + (_geo_h64(seed, "glon", query) / 2.0**64) * 9.9, 6)
+    return lat, lon
+
+
+@ray.remote(num_cpus=0.25)
+class GeocoderActor:
+    """ST4 as a Ray actor: in-memory query→point cache with JSON
+    persistence. ``lookup`` is batched (one RPC per fetch batch's
+    distinct queries); misses hit the synthetic geocoder and are cached
+    + journaled; ``flush`` commits the cache atomically (tmp+rename) so
+    a killed run resumes with every previously-resolved query warm."""
+
+    def __init__(self, cache_path: str | None = None, seed: int = 11):
+        import json
+        import os
+        self.seed = seed
+        self.cache_path = cache_path
+        self.cache: dict[str, tuple[float, float] | None] = {}
+        self.hits = 0
+        self.misses = 0
+        if cache_path and os.path.exists(cache_path):
+            with open(cache_path) as f:
+                self.cache = {k: (tuple(v) if v is not None else None)
+                              for k, v in json.load(f).items()}
+
+    def lookup(self, queries: list[str]) -> list[tuple[float, float] | None]:
+        out = []
+        for q in queries:
+            if q in self.cache:
+                self.hits += 1
+            else:
+                self.misses += 1
+                self.cache[q] = synthetic_geocode(q, self.seed)
+            out.append(self.cache[q])
+        return out
+
+    def flush(self) -> int:
+        import json
+        import os
+        if not self.cache_path:
+            return len(self.cache)
+        tmp = self.cache_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: (list(v) if v is not None else None)
+                       for k, v in self.cache.items()}, f)
+        os.replace(tmp, self.cache_path)
+        return len(self.cache)
+
+    def stats(self) -> dict:
+        return {"hits": self.hits, "misses": self.misses,
+                "cached": len(self.cache)}
+
+
+def geocode_queries(street, district, city) -> list[tuple[str, str]]:
+    """The fallback-query chain (gratka.py:326-426): most-specific
+    first, bare city last (always resolvable). Returns (level, query)."""
+    out = []
+    if street and city:
+        out.append(("street", f"{street}, {city}"))
+    if district and city:
+        out.append(("district", f"{district}, {city}"))
+    if city:
+        out.append(("city", city))
+    return out
+
+
+def geocode_and_snap(ds: rd.Dataset, geocoder, max_dist_m: float = 800.0) -> rd.Dataset:
+    """J4+J5 with the miss path: per batch, resolve each offer's
+    fallback chain through the cache actor (one batched RPC over the
+    batch's distinct queries), take the first resolved level, and snap
+    the parsed point when the geocoder's point is >``max_dist_m`` away
+    (morizon.py:472-487). Adds lat/lon (possibly snapped), geo_snapped,
+    and geo_level ('street'|'district'|'city'|'none')."""
+
+    def snap(t: pa.Table) -> pa.Table:
+        streets = t["street"].to_pylist() if "street" in t.column_names else [None] * t.num_rows
+        districts = t["district"].to_pylist() if "district" in t.column_names else [None] * t.num_rows
+        cities = t["city"].to_pylist()
+        chains = [geocode_queries(s, d, c)
+                  for s, d, c in zip(streets, districts, cities)]
+        distinct = sorted({q for ch in chains for _, q in ch})
+        resolved = dict(zip(distinct, ray.get(geocoder.lookup.remote(distinct))))
+        lat = np.asarray(t["lat"], dtype=np.float64).copy()
+        lon = np.asarray(t["lon"], dtype=np.float64).copy()
+        snapped = np.zeros(t.num_rows, dtype=bool)
+        levels = []
+        for i, ch in enumerate(chains):
+            pt, lvl = None, "none"
+            for level, q in ch:
+                if resolved.get(q) is not None:
+                    pt, lvl = resolved[q], level
+                    break
+            levels.append(lvl)
+            if pt is None or np.isnan(lat[i]):
+                continue
+            d = float(haversine_m(lat[i], lon[i], pt[0], pt[1]))
+            if d > max_dist_m:
+                lat[i], lon[i] = pt
+                snapped[i] = True
+        t = t.drop_columns(["lat", "lon"])
+        return (t.append_column("lat", pa.array(lat))
+                 .append_column("lon", pa.array(lon))
+                 .append_column("geo_snapped", pa.array(snapped))
+                 .append_column("geo_level", pa.array(levels, pa.string())))
+
+    return ds.map_batches(snap, batch_format="pyarrow")
+
+
 # -- geo snap (J4/J5) --------------------------------------------------------
 
 

@@ -4,6 +4,8 @@ Reference parity: spatial near-dup = backend.py:58-93 predicate;
 reverse geocode = trojmiasto.py:343-354; geo snap = morizon.py:472-487;
 haversine = morizon.py:337-346."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -117,3 +119,67 @@ def test_geo_snap_far_points_replaced(ray_session):
     assert out.loc["far", "lat"] == pytest.approx(54.3520)
     assert not out.loc["unknown", "geo_snapped"]      # no cache entry
     assert out.loc["unknown", "lat"] == pytest.approx(51.0)
+
+
+def test_geocoder_miss_path_and_persistence(ray_session, tmp_path):
+    # ST4 with the miss path: cold actor computes + caches, flush
+    # persists, a recreated actor answers from the loaded cache
+    # (morizon.py:406-425 cache JSON semantics)
+    import ray
+    from realestate_scraper_ray.stages.geo import GeocoderActor, synthetic_geocode
+    path = str(tmp_path / "geocache.json")
+    g1 = GeocoderActor.remote(cache_path=path)
+    pts = ray.get(g1.lookup.remote(["Gdansk", "ul. Polna 3, Gdansk"]))
+    assert pts[0] == synthetic_geocode("Gdansk")
+    st = ray.get(g1.stats.remote())
+    assert st == {"hits": 0, "misses": 2, "cached": 2}
+    ray.get(g1.flush.remote())
+    assert os.path.exists(path)
+    g2 = GeocoderActor.remote(cache_path=path)  # resume: cache warm
+    pts2 = ray.get(g2.lookup.remote(["Gdansk", "ul. Polna 3, Gdansk"]))
+    assert pts2 == pts
+    st2 = ray.get(g2.stats.remote())
+    assert st2 == {"hits": 2, "misses": 0, "cached": 2}
+
+
+def test_geocode_fallback_chain_and_snap(ray_session, tmp_path):
+    import ray
+    from realestate_scraper_ray.stages.geo import (
+        GeocoderActor, geocode_and_snap, synthetic_geocode)
+    # find a street query the synthetic geocoder does NOT know, so the
+    # chain falls back to district level
+    unknown_street = None
+    for i in range(200):
+        q = f"ul. Testowa {i}, Gdansk"
+        if synthetic_geocode(q) is None:
+            unknown_street = f"ul. Testowa {i}"
+            break
+    assert unknown_street is not None
+    known_street = None
+    for i in range(200):
+        q = f"ul. Znana {i}, Gdansk"
+        if synthetic_geocode(q) is not None:
+            known_street = f"ul. Znana {i}"
+            break
+    g = GeocoderActor.remote()
+    city_pt = synthetic_geocode("Gdansk")
+    t = pa.table({
+        "offer_id": ["a", "b", "c"],
+        "street": [known_street, unknown_street, None],
+        "district": ["Centrum", None, None],
+        "city": ["Gdansk", "Gdansk", "Gdansk"],
+        "lat": [54.35, 54.35, city_pt[0]],
+        "lon": [18.65, 18.65, city_pt[1]]})
+    out = pa.Table.from_pylist(
+        geocode_and_snap(rd.from_arrow(t), g).take_all()).to_pandas()
+    out = out.set_index("offer_id")
+    assert out.loc["a", "geo_level"] == "street"
+    assert out.loc["b", "geo_level"] == "city"   # street unknown, no district
+    assert out.loc["c", "geo_level"] == "city"
+    # c sits exactly on the geocoder point -> not snapped
+    assert not out.loc["c", "geo_snapped"]
+    # a/b snap iff their geocoder point is >800 m from (54.35, 18.65)
+    from realestate_scraper_ray.stages.geo import haversine_m
+    pa_pt = synthetic_geocode(f"{known_street}, Gdansk")
+    exp_a = float(haversine_m(54.35, 18.65, pa_pt[0], pa_pt[1])) > 800
+    assert bool(out.loc["a", "geo_snapped"]) == exp_a
