@@ -1,0 +1,63 @@
+"""City-name canonicalization (J6).
+
+Reference: ``database_corrections/cities_rename.py:63-109, 153-167`` —
+a broadcast dict join from ``city_key(city)`` (normalized key) to the
+official TERYT name, with **ambiguous keys dropped** (a key that maps
+to more than one official name canonicalizes nothing). The side table
+here is synthesized (a TERYT-like list of official names with
+diacritics); the operator is the broadcast hash join shape: the small
+side is ``ray.put`` once and each batch does a dict lookup — never a
+shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .urls import slugify
+
+# Synthetic TERYT-like official-name table: (key, canonical). The two
+# 'ambig' rows share a key on purpose — build_canonical_map drops it.
+CANONICAL_CITIES: tuple[tuple[str, str], ...] = (
+    ("gdansk", "Gdańsk"), ("warszawa", "Warszawa"), ("krakow", "Kraków"),
+    ("lodz", "Łódź"), ("wroclaw", "Wrocław"), ("poznan", "Poznań"),
+    ("szczecin", "Szczecin"), ("katowice", "Katowice"),
+    ("ambig", "Ambigtown-A"), ("ambig", "Ambigtown-B"),
+)
+
+
+def city_key(name: str) -> str:
+    """Normalization key: NFKD de-accent + lowercase + dash-join
+    (cities_rename.py:33-60 _norm semantics via the shared slugify)."""
+    return slugify(name)
+
+
+def build_canonical_map(entries=CANONICAL_CITIES) -> dict[str, str]:
+    """key → official name; keys with >1 distinct official name are
+    dropped entirely (cities_rename.py ambiguous-key rule)."""
+    seen: dict[str, set[str]] = {}
+    for key, name in entries:
+        seen.setdefault(key, set()).add(name)
+    return {k: next(iter(v)) for k, v in seen.items() if len(v) == 1}
+
+
+def canonicalize_cities(ds: rd.Dataset, col: str,
+                        entries=CANONICAL_CITIES,
+                        keep_col: str = "city_canon") -> rd.Dataset:
+    """Broadcast join: rows whose key matches an unambiguous official
+    name gain ``keep_col``; unmatched / ambiguous rows are dropped
+    (delete_wrong_offers.py:32-76 drop semantics)."""
+    mapping = build_canonical_map(entries)
+    ref = ray.put(mapping)
+
+    def join(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        canon = [m.get(city_key(c)) if c is not None else None
+                 for c in t[col].to_pylist()]
+        out = t.append_column(keep_col, pa.array(canon, pa.string()))
+        import pyarrow.compute as pc
+        return out.filter(pc.is_valid(out[keep_col]))
+
+    return ds.map_batches(join, batch_format="pyarrow")

@@ -683,6 +683,46 @@ def polish_number_coercion(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+_CITY_CANON_SQL = """
+WITH raw AS (
+  SELECT doc_id, CASE doc_id % 6
+    WHEN 0 THEN '  GDANSK '
+    WHEN 1 THEN 'Warszawa'
+    WHEN 2 THEN 'kraKOW'
+    WHEN 3 THEN 'lodz'
+    WHEN 4 THEN 'ambig'
+    ELSE 'nowhere' END AS city_raw
+  FROM documents),
+canon(key, name) AS (VALUES
+  ('gdansk','Gdańsk'), ('warszawa','Warszawa'), ('krakow','Kraków'),
+  ('lodz','Łódź'), ('wroclaw','Wrocław'), ('poznan','Poznań'),
+  ('szczecin','Szczecin'), ('katowice','Katowice'))
+SELECT r.doc_id, c.name AS city_canon
+FROM raw r JOIN canon c ON lower(trim(r.city_raw)) = c.key
+"""
+
+
+@query("city_canonicalize", _CITY_CANON_SQL)
+def city_canonicalize(sf_dir: str) -> rd.Dataset:
+    """J6 (cities_rename.py:63-109): messy city strings → official
+    TERYT-like names via a broadcast key join; ambiguous keys ('ambig'
+    maps to two official rows) and unknown cities drop the row. The SQL
+    oracle inlines the same side table minus the ambiguous key (which
+    build_canonical_map removes)."""
+    from ..functions.cities import canonicalize_cities
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+    variants = ["  GDANSK ", "Warszawa", "kraKOW", "lodz", "ambig", "nowhere"]
+
+    def mk_city(t: pa.Table) -> pa.Table:
+        raw = [variants[int(d) % 6] for d in t["doc_id"].to_pylist()]
+        return t.append_column("city_raw", pa.array(raw, pa.string()))
+
+    out = canonicalize_cities(
+        ds.map_batches(mk_city, batch_format="pyarrow"), "city_raw")
+    return out.map_batches(lambda t: t.select(["doc_id", "city_canon"]),
+                           batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup + completeness
 # ---------------------------------------------------------------------------
