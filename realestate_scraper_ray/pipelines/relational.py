@@ -1011,6 +1011,71 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
 
 
+def _ann_queries(sf_dir: str):
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = pa.Table.from_pylist(
+        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)),
+                       batch_format="pyarrow").take_all())
+    qids = np.asarray(qrows["vec_id"])
+    qmat = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    return ds, qids, qmat
+
+
+def _recall_per_query(exact: pd.DataFrame, approx: pd.DataFrame,
+                      qids: np.ndarray, k: int) -> dict[int, float]:
+    out = {}
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        out[int(q)] = len(e & a) / k
+    return out
+
+
+_IVF_RECALL_SQL = """
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 8
+"""
+
+
+@query("ann_ivf_recall", _IVF_RECALL_SQL)
+def ann_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN graded against the in-engine brute-force: per-query
+    recall@5 vs exact cosine must clear 0.6 (measured 0.8–1.0 at
+    n_probe=6 across sf0.001/0.01/0.1 — deterministic, seeds fixed).
+    The SQL oracle asserts every query passes, so a recall regression
+    is a hash mismatch, not a silent rows-only pass."""
+    from ..stages.similarity import cosine_topk, ivf_topk
+    ds, qids, qmat = _ann_queries(sf_dir)
+    exact = cosine_topk(ds, "embedding", "vec_id", qids, qmat, k=5)
+    approx = ivf_topk(ds, "embedding", "vec_id", qids, qmat, k=5,
+                      n_centroids=16, n_probe=6)
+    rec = _recall_per_query(exact, approx, qids, 5)
+    return pd.DataFrame({"query_id": sorted(rec),
+                         "recall_ok": [rec[q] >= 0.6 for q in sorted(rec)]})
+
+
+_LSH_RECALL_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
+FROM embeddings WHERE vec_id < 8
+"""
+
+
+@query("ann_lsh_recall", _LSH_RECALL_SQL)
+def ann_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """Multi-probe hyperplane-LSH ANN graded on MEAN recall@5 ≥ 0.3 vs
+    the in-engine brute force (per-query recall varies widely on
+    near-isotropic embeddings; the mean at n_probe=16/64 buckets is
+    0.38–0.55 across sf0.001/0.01/0.1, deterministic)."""
+    from ..stages.similarity import cosine_topk, lsh_bucket_topk
+    ds, qids, qmat = _ann_queries(sf_dir)
+    exact = cosine_topk(ds, "embedding", "vec_id", qids, qmat, k=5)
+    approx = lsh_bucket_topk(ds, "embedding", "vec_id", qids, qmat, k=5,
+                             n_planes=6, n_probe=16)
+    rec = _recall_per_query(exact, approx, qids, 5)
+    mean = sum(rec.values()) / len(rec)
+    return pd.DataFrame({"n_queries": [len(rec)], "mean_recall_ok": [mean >= 0.3]})
+
+
 @query("embedding_norm_stats",
        "SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS total_dims "
        "FROM embeddings GROUP BY label")

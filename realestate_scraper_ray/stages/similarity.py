@@ -159,19 +159,39 @@ def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _probe_codes(code: int, n_planes: int, n_probe: int) -> list[int]:
+    """Multi-probe sequence: the query's own bucket, then buckets at
+    Hamming distance 1, 2, … (deterministic order) up to n_probe codes."""
+    out = [code]
+    if n_probe > 1:
+        for i in range(n_planes):
+            out.append(code ^ (1 << i))
+    if n_probe > 1 + n_planes:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                out.append(code ^ (1 << i) ^ (1 << j))
+    return out[:n_probe]
+
+
 def lsh_bucket_topk(ds: rd.Dataset, vec_col: str, id_col: str,
                     query_ids: np.ndarray, query_mat: np.ndarray, k: int,
-                    n_planes: int = 8, seed: int = 42) -> pd.DataFrame:
+                    n_planes: int = 8, seed: int = 42,
+                    n_probe: int = 1) -> pd.DataFrame:
     """Approximate top-k: corpus bucketed by hyperplane code; each query
-    probes only its own bucket (single-probe; multi-probe = flip one bit
-    per extra probe). Returns (query_id, neighbor_id, rank)."""
+    probes its own bucket plus the nearest ``n_probe-1`` bit-flip
+    buckets (multi-probe LSH — recall rises with n_probe while scanned
+    volume stays ~n_probe/2^n_planes of the corpus). Returns
+    (query_id, neighbor_id, rank)."""
     qm = _norm_rows(np.asarray(query_mat, np.float64))
     dim = qm.shape[1]
     planes = make_planes(dim, n_planes, seed)
     q_codes = hyperplane_codes(qm, planes)
     q_by_code: dict[int, list[int]] = {}
     for qi, c in enumerate(q_codes):
-        q_by_code.setdefault(int(c), []).append(qi)
+        for pc_ in _probe_codes(int(c), n_planes, n_probe):
+            lst = q_by_code.setdefault(pc_, [])
+            if qi not in lst:
+                lst.append(qi)
     ctx = ray.put((np.asarray(query_ids), qm, planes, q_by_code))
 
     def bucket_then_score(t: pa.Table) -> pa.Table:
