@@ -683,6 +683,140 @@ def polish_number_coercion(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# -- HTML extractor chain, SQL-oracled (M8/M11/M26) -------------------------
+# Each query constructs a deterministic HTML/JSON document per
+# `documents` row, runs the real extractor kernel, and the oracle states
+# the expected extraction arithmetically.
+
+_LDJSON_SQL = """
+SELECT doc_id,
+       CAST((doc_id % 900 + 100) * 1000 AS DOUBLE)      AS price,
+       CASE WHEN doc_id % 2 = 0 THEN 'PLN' ELSE 'EUR' END AS currency,
+       CASE doc_id % 4 WHEN 0 THEN 'Gdańsk' WHEN 1 THEN 'Warszawa'
+            WHEN 2 THEN 'Kraków' ELSE 'Łódź' END         AS city,
+       49.0 + (doc_id % 500) / 100.0                     AS lat,
+       14.0 + (doc_id % 900) / 100.0                     AS lon,
+       20.0 + (doc_id % 130)                             AS area,
+       CAST(1 + doc_id % 6 AS BIGINT)                    AS rooms
+FROM documents
+"""
+
+
+@query("ldjson_extract", _LDJSON_SQL)
+def ldjson_extract(sf_dir: str) -> rd.Dataset:
+    """M8 (the JSON-LD Product/Offer walk, otodom.py:220-313,
+    gratka.py:170-244): build a schema.org @graph block per row, run
+    the engine's LD extractor, emit typed fields. Hash-checked against
+    the arithmetic oracle."""
+    import json as _json
+
+    from ..stages.fetch import extract_ldjson_fields
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+    cities = ["Gdańsk", "Warszawa", "Kraków", "Łódź"]
+
+    def f(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "price": [], "currency": [], "city": [],
+               "lat": [], "lon": [], "area": [], "rooms": []}
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            doc = {"@context": "https://schema.org", "@graph": [
+                {"@type": "BreadcrumbList", "itemListElement": []},
+                {"@type": "Product", "name": f"Oferta {d}",
+                 "offers": {"@type": "Offer",
+                            "price": float((d % 900 + 100) * 1000),
+                            "priceCurrency": "PLN" if d % 2 == 0 else "EUR"},
+                 "geo": {"@type": "GeoCoordinates",
+                         "latitude": 49.0 + (d % 500) / 100.0,
+                         "longitude": 14.0 + (d % 900) / 100.0},
+                 "address": {"@type": "PostalAddress",
+                             "addressLocality": cities[d % 4]},
+                 "floorSize": {"@type": "QuantitativeValue",
+                               "value": 20.0 + (d % 130)},
+                 "numberOfRooms": 1 + d % 6}]}
+            html = ('<html><script type="application/ld+json">'
+                    + _json.dumps(doc, ensure_ascii=False) + "</script></html>")
+            fields, _ = extract_ldjson_fields(html)
+            out["doc_id"].append(d)
+            out["price"].append(float(fields["price_amount"]))
+            out["currency"].append(fields["price_currency"])
+            out["city"].append(fields["city"])
+            out["lat"].append(float(fields["lat"]))
+            out["lon"].append(float(fields["lon"]))
+            out["area"].append(float(fields["area_m2"]))
+            out["rooms"].append(int(fields["rooms"]))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_LINKS_SQL = """
+SELECT doc_id, CAST(j AS BIGINT) AS pos,
+       'https://x.otodom.pl/pl/oferta/m-' || CAST(doc_id AS VARCHAR)
+       || '-ID' || CAST(doc_id * 10 + j AS VARCHAR) AS url
+FROM documents, UNNEST([0, 1, 2]) AS t(j)
+"""
+
+
+@query("listing_links", _LINKS_SQL)
+def listing_links(sf_dir: str) -> rd.Dataset:
+    """M11 (listing-card link extraction, otodom.py:497-534 card
+    selector): render 3 cards per row, run the card-link extractor,
+    explode to (doc_id, pos, url)."""
+    from ..stages.fetch import extract_listing_links
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "pos": [], "url": []}
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            html = "".join(
+                f'<article data-cy="listing-item"><a data-cy='
+                f'"listing-item-link" href="https://x.otodom.pl/pl/oferta/'
+                f'm-{d}-ID{d * 10 + j}">oferta</a></article>'
+                for j in range(3))
+            for j, u in enumerate(extract_listing_links(html)):
+                out["doc_id"].append(d)
+                out["pos"].append(j)
+                out["url"].append(u)
+        return pa.table({"doc_id": pa.array(out["doc_id"]),
+                         "pos": pa.array(out["pos"], pa.int64()),
+                         "url": pa.array(out["url"], pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_SRCSET_SQL = """
+SELECT doc_id,
+       CASE WHEN 640 + doc_id % 700 > 1280
+            THEN 'https://i/' || CAST(doc_id AS VARCHAR) || '?v=1'
+            ELSE 'https://i/' || CAST(doc_id AS VARCHAR) || '?v=2' END AS best_url
+FROM documents
+"""
+
+
+@query("srcset_argmax", _SRCSET_SQL)
+def srcset_argmax(sf_dir: str) -> rd.Dataset:
+    """M26/O6 (srcset argmax-by-width, morizon.py:744-759): per row a
+    3-candidate srcset whose middle width varies with doc_id; the
+    extractor must pick the max-width candidate."""
+    from ..stages.fetch import best_from_srcset
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, best = [], []
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            srcset = (f"https://i/{d}?v=0 320w, "
+                      f"https://i/{d}?v=1 {640 + d % 700}w, "
+                      f"https://i/{d}?v=2 1280w")
+            ids.append(d)
+            best.append(best_from_srcset(srcset))
+        return pa.table({"doc_id": pa.array(ids),
+                         "best_url": pa.array(best, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 _CITY_CANON_SQL = """
 WITH raw AS (
   SELECT doc_id, CASE doc_id % 6

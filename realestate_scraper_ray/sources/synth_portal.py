@@ -471,6 +471,54 @@ class Portal:
         parts.append("</body></html>")
         return "".join(parts)
 
+    # JSON-LD-capable field names (schema.org Product/Offer vocabulary)
+    _LD_CAPABLE = ("title", "price_amount", "price_currency", "city",
+                   "street", "lat", "lon", "area_m2", "rooms")
+
+    def _ld_block(self, fields: dict[str, str], ld_keys: list[str],
+                  images: list[str] | None) -> str:
+        """A realistic schema.org JSON-LD @graph block: Product with
+        nested Offer / GeoCoordinates / PostalAddress / floorSize, plus
+        a BreadcrumbList noise node (the reference's LD walk must skip
+        non-Product nodes, otodom.py:220-313)."""
+        import json as _json
+        from ..functions.urls import coerce_float
+        product: dict = {"@type": "Product"}
+        if "title" in ld_keys:
+            product["name"] = fields["title"]
+        offers: dict = {}
+        if "price_amount" in ld_keys:
+            offers["price"] = coerce_float(fields["price_amount"])
+        if "price_currency" in ld_keys:
+            offers["priceCurrency"] = fields["price_currency"]
+        if offers:
+            product["offers"] = {"@type": "Offer", **offers}
+        if "lat" in ld_keys:
+            product["geo"] = {"@type": "GeoCoordinates",
+                              "latitude": float(fields["lat"]),
+                              "longitude": float(fields["lon"])}
+        addr: dict = {}
+        if "city" in ld_keys:
+            addr["addressLocality"] = fields["city"]
+        if "street" in ld_keys:
+            addr["streetAddress"] = fields["street"]
+        if addr:
+            product["address"] = {"@type": "PostalAddress", **addr}
+        if "area_m2" in ld_keys:
+            product["floorSize"] = {"@type": "QuantitativeValue",
+                                    "value": coerce_float(fields["area_m2"])}
+        if "rooms" in ld_keys:
+            product["numberOfRooms"] = int(fields["rooms"])
+        if images:
+            product["image"] = images
+        crumbs = {"@type": "BreadcrumbList", "itemListElement": [
+            {"@type": "ListItem", "position": 1, "name": "Nieruchomości"},
+            {"@type": "ListItem", "position": 2, "name": "Mieszkania"}]}
+        doc = {"@context": "https://schema.org", "@graph": [crumbs, product]}
+        return ('<script type="application/ld+json">'
+                + _json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
+                + "</script>")
+
     def render_html(self, url: str) -> str | None:
         spans = self.render(url)
         if spans is None:
@@ -478,48 +526,73 @@ class Portal:
         ref = self.classify(url)
         els: list[str] = []
         if ref.kind in ("listing", "investment"):
+            # card markup mirroring the reference's listing selectors
+            # (a[data-cy=listing-item-link], otodom.py:497-534)
             for s in sorted(spans, key=lambda s: s["offset"]):
                 t = s["media_ref"]
                 if self.classify(t).kind == "listing" or (
                         ref.kind == "investment" and "?page=" in t):
                     els.append(f'<a class="pagination-next" href="{t}">następna</a>')
                 else:
-                    els.append(f'<article class="card"><a class="card-link" '
-                               f'href="{t}">oferta</a></article>')
+                    els.append(f'<article data-cy="listing-item"><a '
+                               f'data-cy="listing-item-link" href="{t}">'
+                               f'oferta</a></article>')
             return self._html_doc(els)
-        # offer pages: otodom/trojmiasto serve a __NEXT_DATA__ JSON state
-        # blob (the reference's primary parse path for these sources,
-        # otodom.py:57-190, trojmiasto.py:63-71); gratka/morizon serve
-        # param markup for the CSS/regex fallback chain
-        # (gratka.py:429-499). The JSON is padded with a realistic "seo"
-        # key forest so parsing walks real structure.
+        # Offer pages distribute the same facts across the reference's
+        # real parse surfaces (presence preserved, so html-mode crawl
+        # output ≡ span-mode output):
+        #   otodom/trojmiasto: __NEXT_DATA__ state (primary path,
+        #     otodom.py:57-190, trojmiasto.py:63-71) + a JSON-LD block
+        #   gratka/morizon: JSON-LD Product (primary, gratka.py:170-244,
+        #     morizon.py:140-192) + CSS param fallback; a hash bucket
+        #     omits geo from LD and serves a Leaflet L.marker() script
+        #     instead (the M17 geo-fallback chain, morizon.py:209-243);
+        #     photos alternate between LD image lists and gallery <img>
+        #     tags with srcset (argmax-by-width, M26)
+        fields: dict[str, str] = {}
+        images: list[str] = []
+        for s in sorted(spans, key=lambda s: s["offset"]):
+            if s["kind"] == "text":
+                k, _, v = s["text"].partition("=")
+                fields.setdefault(k, v)
+            else:
+                images.append(s["media_ref"])
+        h = _h64(self.cfg.seed, "htmlvar", ref.oid)
         if ref.source in ("otodom", "trojmiasto"):
             import json as _json
-            params = []
-            images = []
-            for s in sorted(spans, key=lambda s: s["offset"]):
-                if s["kind"] == "text":
-                    k, _, v = s["text"].partition("=")
-                    params.append([k, v])
-                else:
-                    images.append(s["media_ref"])
+            ld_keys = [k for k in self._LD_CAPABLE if k in fields]
+            els.append(self._ld_block(fields, ld_keys, None))
             entry = {"tag": "listing-seo-link", "w": 120, "h": 80,
                      "path": "/pl/wyniki/sprzedaz/mieszkanie", "active": True}
             n_pad = max(0, (self.cfg.html_bytes - 2000) // 96)
             payload = {"props": {"pageProps": {"ad": {
-                "id": ref.oid, "params": params, "images": images,
+                "id": ref.oid, "params": [[k, v] for k, v in fields.items()],
+                "images": images,
                 "seo": {f"k{i:05d}": entry for i in range(n_pad)},
             }}}}
             els.append('<script id="__NEXT_DATA__" type="application/json">'
                        + _json.dumps(payload, separators=(",", ":"))
                        + "</script>")
             return self._html_doc(els)
-        for s in sorted(spans, key=lambda s: s["offset"]):
-            if s["kind"] == "text":
-                k, _, v = s["text"].partition("=")
-                els.append(f'<div class="param" data-field="{k}">{v}</div>')
-            else:
-                els.append(f'<img class="gallery" src="{s["media_ref"]}"/>')
+        ld_no_geo = h % 10 < 3
+        photos_in_ld = h % 2 == 0
+        ld_keys = [k for k in self._LD_CAPABLE if k in fields]
+        if ld_no_geo:
+            ld_keys = [k for k in ld_keys if k not in ("lat", "lon")]
+        els.append(self._ld_block(fields, ld_keys,
+                                  images if photos_in_ld and images else None))
+        if ld_no_geo and "lat" in fields:
+            els.append(f'<script>var map=L.map("map");'
+                       f'L.marker([{fields["lat"]}, {fields["lon"]}])'
+                       f'.addTo(map);</script>')
+        for k, v in fields.items():
+            if k in ld_keys or (ld_no_geo and k in ("lat", "lon")):
+                continue
+            els.append(f'<div class="param" data-field="{k}">{v}</div>')
+        if images and not photos_in_ld:
+            for u in images:
+                els.append(f'<img class="gallery" srcset="{u}?w=320 320w, '
+                           f'{u} 1280w, {u}?w=640 640w"/>')
         return self._html_doc(els)
 
     # -- materialization (the Lance/parquet documents table) ---------------

@@ -80,49 +80,164 @@ COMBINED_SCHEMA = pa.schema([
 
 PRIORITY = {"pagination": 0, "investment": 1, "investment_next": 1, "detail": 2}
 
-# HTML extractor chain (portal html mode): the regex analogue of the
-# reference's selector parsers — cards (otodom.py:497-534 listing-item
-# links), next-page link, param divs (CSS fallback chain,
-# otodom.py:315-376), gallery imgs (photo-list parsers, M25). Compiled
-# once per worker; each pass scans the whole document.
-_CARD_RE = re.compile(r'<a class="card-link" href="([^"]+)"')
+# HTML extractor chain (portal html mode): the regex/JSON analogue of
+# the reference's selector parsers, with the reference's precedence —
+#   listing cards  a[data-cy=listing-item-link] (M11, otodom.py:497-534)
+#   JSON-LD walk   Product/Offer/@graph (M8, otodom.py:220-313,
+#                  morizon.py:140-192, gratka.py:170-244)
+#   __NEXT_DATA__  props.pageProps.ad (M9, otodom.py:57-190)
+#   Leaflet geo    L.marker([lat, lon]) (M17, morizon.py:209-243)
+#   CSS fallback   param divs (M10, otodom.py:315-376)
+#   gallery        <img src> / srcset argmax (M25/M26, morizon.py:744-759)
+# Field merge is first-wins in that order (M31, otodom.py:628-665).
+# Patterns compiled once per worker; each pass scans the document.
+_CARD_RE = re.compile(r'<a[^>]*data-cy="listing-item-link"[^>]*href="([^"]+)"')
 _NEXT_RE = re.compile(r'<a class="pagination-next" href="([^"]+)"')
 _FIELD_RE = re.compile(r'<div class="param" data-field="([^"]+)">([^<]*)</div>')
 _IMG_RE = re.compile(r'<img class="gallery" src="([^"]+)"')
+_IMG_SRCSET_RE = re.compile(r'<img class="gallery"[^>]*srcset="([^"]+)"')
 _NEXT_DATA_RE = re.compile(
     r'<script id="__NEXT_DATA__" type="application/json">(.*?)</script>', re.S)
+_LD_RE = re.compile(
+    r'<script type="application/ld\+json">(.*?)</script>', re.S)
+_LEAFLET_RE = re.compile(r'L\.marker\(\[\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\]\)')
+
+# JSON-LD → engine field names (schema.org Product/Offer vocabulary)
+_LD_FIELD_ORDER = ("title", "price_amount", "price_currency", "city",
+                   "street", "lat", "lon", "area_m2", "rooms")
+
+
+def best_from_srcset(srcset: str) -> str | None:
+    """Argmax-by-width over srcset candidates (M26/O6,
+    morizon.py:744-759, gratka.py:129-145)."""
+    best, best_w = None, -1
+    for cand in srcset.split(","):
+        parts = cand.strip().rsplit(" ", 1)
+        if len(parts) != 2 or not parts[1].endswith("w"):
+            continue
+        try:
+            w = int(parts[1][:-1])
+        except ValueError:
+            continue
+        if w > best_w:
+            best, best_w = parts[0], w
+    return best
+
+
+def _ld_products(obj) -> list[dict]:
+    """Walk a parsed JSON-LD document: top-level dict, list, or @graph
+    (M8: otodom.py:220-313 walks Offer/Product/@graph)."""
+    out = []
+    if isinstance(obj, list):
+        for o in obj:
+            out.extend(_ld_products(o))
+    elif isinstance(obj, dict):
+        if obj.get("@type") in ("Product", "Offer", "Apartment", "Residence"):
+            out.append(obj)
+        for key in ("@graph", "mainEntity"):
+            if key in obj:
+                out.extend(_ld_products(obj[key]))
+    return out
+
+
+def extract_ldjson_fields(html: str) -> tuple[dict[str, str], list[str]]:
+    """LD+JSON offer extractor (M8): parse every
+    <script type="application/ld+json"> block, walk Product/Offer
+    nodes, map schema.org fields to engine field names (stringified;
+    numeric coercion happens downstream like every other span value).
+    Returns (fields, image_urls); first product wins per field."""
+    import json as _json
+    fields: dict[str, str] = {}
+    images: list[str] = []
+    for block in _LD_RE.findall(html):
+        try:
+            doc = _json.loads(block)
+        except ValueError:
+            continue  # malformed LD block: skip, fall through the chain
+        for prod in _ld_products(doc):
+            if "name" in prod:
+                fields.setdefault("title", str(prod["name"]))
+            offers = prod.get("offers") or {}
+            if isinstance(offers, list):
+                offers = offers[0] if offers else {}
+            if "price" in offers:
+                fields.setdefault("price_amount", str(offers["price"]))
+            if "priceCurrency" in offers:
+                fields.setdefault("price_currency", str(offers["priceCurrency"]))
+            geo = prod.get("geo") or {}
+            if "latitude" in geo:
+                fields.setdefault("lat", str(geo["latitude"]))
+            if "longitude" in geo:
+                fields.setdefault("lon", str(geo["longitude"]))
+            addr = prod.get("address") or {}
+            if "addressLocality" in addr:
+                fields.setdefault("city", str(addr["addressLocality"]))
+            if "streetAddress" in addr:
+                fields.setdefault("street", str(addr["streetAddress"]))
+            fs = prod.get("floorSize") or {}
+            if "value" in fs:
+                fields.setdefault("area_m2", str(fs["value"]))
+            if "numberOfRooms" in prod:
+                fields.setdefault("rooms", str(prod["numberOfRooms"]))
+            img = prod.get("image")
+            if img and not images:
+                images = [str(u) for u in (img if isinstance(img, list) else [img])]
+    return fields, images
+
+
+def extract_listing_links(html: str) -> list[str]:
+    """Listing-card link extraction (M11): the regex analogue of the
+    reference's a[data-cy=listing-item-link] card selector
+    (otodom.py:497-534); absolute URLs, document order."""
+    return _CARD_RE.findall(html)
 
 
 def html_to_spans(html: str) -> list[dict]:
-    """Parse a rendered portal page back into its span document — the
-    extractor chain with the reference's precedence: __NEXT_DATA__ JSON
-    state first (otodom.py:57-190), then the CSS/regex param fallback
-    (otodom.py:315-376), links and gallery passes over the whole
-    document. Inverse of Portal.render_html; tests assert crawl-output
-    equality between html mode and span mode."""
+    """Parse a rendered portal page back into its span document via the
+    full extractor chain with the reference's precedence (M31,
+    otodom.py:628-665: LD+JSON > __NEXT_DATA__ > geo fallbacks > CSS;
+    photos: NEXT images > LD images > gallery imgs w/ srcset argmax,
+    otodom.py:681-785). Inverse of Portal.render_html; tests assert
+    crawl-output equality between html mode and span mode."""
     spans: list[dict] = []
-    links = _CARD_RE.findall(html)
+    links = extract_listing_links(html)
     for i, u in enumerate(links):
         spans.append({"kind": "link", "text": "", "media_ref": u, "offset": i})
     for u in _NEXT_RE.findall(html):
         spans.append({"kind": "link", "text": "", "media_ref": u,
                       "offset": len(links)})
+
+    fields, ld_images = extract_ldjson_fields(html)
+    next_images: list[str] = []
     m = _NEXT_DATA_RE.search(html)
     if m:
         import json as _json
         ad = (_json.loads(m.group(1)).get("props", {})
               .get("pageProps", {}).get("ad", {}))
-        for i, (k, v) in enumerate(ad.get("params", [])):
-            spans.append({"kind": "text", "text": f"{k}={v}", "media_ref": "",
-                          "offset": i})
-        for i, u in enumerate(ad.get("images", [])):
-            spans.append({"kind": "image", "text": "", "media_ref": u,
-                          "offset": i})
-        return spans
-    for i, (k, v) in enumerate(_FIELD_RE.findall(html)):
+        for k, v in ad.get("params", []):
+            fields.setdefault(k, str(v))
+        next_images = [str(u) for u in ad.get("images", [])]
+    lm = _LEAFLET_RE.search(html)
+    if lm:
+        fields.setdefault("lat", lm.group(1))
+        fields.setdefault("lon", lm.group(2))
+    for k, v in _FIELD_RE.findall(html):
+        fields.setdefault(k, v)
+
+    photos = next_images or ld_images
+    if not photos:
+        photos = _IMG_RE.findall(html)
+    if not photos:
+        photos = [u for u in (best_from_srcset(s)
+                              for s in _IMG_SRCSET_RE.findall(html))
+                  if u is not None]
+
+    off = 0
+    for k, v in fields.items():
         spans.append({"kind": "text", "text": f"{k}={v}", "media_ref": "",
-                      "offset": i})
-    for i, u in enumerate(_IMG_RE.findall(html)):
+                      "offset": off})
+        off += 1
+    for i, u in enumerate(photos):
         spans.append({"kind": "image", "text": "", "media_ref": u, "offset": i})
     return spans
 
