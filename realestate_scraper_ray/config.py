@@ -172,6 +172,12 @@ class CrawlConfig:
     # full dumps are O(capacity), deltas O(new URLs))
     checkpoint_full_every: int = 1
     robots: bool = True
+    # S5 proxy configuration (reference build_proxies, http.py:105-111):
+    # handed to each fetch worker's HTTP-session constructor. The
+    # synthetic fetcher has no sockets, so these are carried and
+    # surfaced via FetchParse.proxies for a real-HTTP backend.
+    proxy_http: str | None = None
+    proxy_https: str | None = None
     # when True the wave downloads each photo's payload (synthetic
     # bytes), sniffs/hashes it and emits a media table row per photo —
     # the reference's image pipeline (core/images.py:48-91) wired into

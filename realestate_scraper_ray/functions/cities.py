@@ -43,6 +43,30 @@ def build_canonical_map(entries=CANONICAL_CITIES) -> dict[str, str]:
     return {k: next(iter(v)) for k, v in seen.items() if len(v) == 1}
 
 
+def city_in_text(texts, city: str) -> "pa.Array":
+    """M29 (gratka.py:89-93 _city_in_text): normalized-containment
+    filter — True when the normalized city key appears in the
+    normalized text (listing-card location strings). Vectorized:
+    normalize the city once, slug-normalize the text column with polars
+    and substring-match."""
+    import polars as pl
+    key = city_key(city)
+    s = pl.from_arrow(texts if isinstance(texts, (pa.Array, pa.ChunkedArray))
+                      else pa.array(texts, pa.string()))
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    # the polars normalization mirrors slugify for the containment
+    # check: lowercase, de-accent the Polish set, non-alnum → dash
+    norm = (s.str.to_lowercase()
+            .str.replace_all("ą", "a").str.replace_all("ć", "c")
+            .str.replace_all("ę", "e").str.replace_all("ł", "l")
+            .str.replace_all("ń", "n").str.replace_all("ó", "o")
+            .str.replace_all("ś", "s").str.replace_all("ż", "z")
+            .str.replace_all("ź", "z")
+            .str.replace_all(r"[^a-z0-9]+", "-", literal=False))
+    return norm.str.contains(key, literal=True).to_arrow().cast(pa.bool_())
+
+
 def canonicalize_cities(ds: rd.Dataset, col: str,
                         entries=CANONICAL_CITIES,
                         keep_col: str = "city_canon") -> rd.Dataset:

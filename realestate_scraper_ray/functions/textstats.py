@@ -83,24 +83,23 @@ _LANGS = tuple(_STOPWORDS)
 
 
 def lang_id(texts) -> pa.Array:
-    """Predicted language code per text ('und' when nothing matches)."""
+    """Predicted language code per text ('und' when nothing matches).
+    Vectorized: one tokenize pass, then a per-language Rust-side
+    membership count (polars list.eval); argmax with first-wins ties —
+    identical semantics to the scalar loop it replaced."""
     s = _to_series(texts).alias("t")
-    toks = s.to_frame().select(
+    df = s.to_frame().select(
         pl.col("t").str.to_lowercase().str.extract_all(r"[a-zà-ÿąćęłńóśźż]+")
-        .alias("w"))["w"]
-    preds = []
-    for words in toks.to_list():
-        if not words:
-            preds.append("und")
-            continue
-        best, best_n = "und", 0
-        for lang in _LANGS:
-            sw = _STOPWORDS[lang]
-            n = sum(1 for w in words if w in sw)
-            if n > best_n:
-                best, best_n = lang, n
-        preds.append(best)
-    return pa.array(preds, pa.string())
+        .alias("w"))
+    counts = df.select([
+        pl.col("w").list.eval(pl.element().is_in(sorted(_STOPWORDS[lang])))
+        .list.sum().fill_null(0).alias(lang)
+        for lang in _LANGS
+    ]).to_numpy()  # (n, n_langs) int matrix
+    best = counts.argmax(axis=1)  # first max wins (np.argmax semantics)
+    langs = np.array(_LANGS)
+    preds = np.where(counts.max(axis=1) > 0, langs[best], "und")
+    return pa.array(preds.tolist(), pa.string())
 
 
 # ---------------------------------------------------------------------------

@@ -817,6 +817,54 @@ def srcset_argmax(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+_CITY_TEXT_SQL = """
+WITH raw AS (
+  SELECT doc_id, CASE doc_id % 4
+    WHEN 0 THEN 'Mieszkanie — Gdańsk Wrzeszcz'
+    WHEN 1 THEN 'Dom, Sopot'
+    WHEN 2 THEN 'GDAŃSK Śródmieście'
+    ELSE 'Warszawa Mokotów' END AS loc
+  FROM documents)
+SELECT doc_id, loc FROM raw
+WHERE strip_accents(lower(loc)) LIKE '%gdansk%'
+"""
+
+
+@query("city_in_text_filter", _CITY_TEXT_SQL)
+def city_in_text_filter(sf_dir: str) -> rd.Dataset:
+    """M29 (gratka.py:89-93): listing-card location filter by
+    normalized city containment, vectorized (polars)."""
+    from ..functions.cities import city_in_text
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+    variants = ["Mieszkanie — Gdańsk Wrzeszcz", "Dom, Sopot",
+                "GDAŃSK Śródmieście", "Warszawa Mokotów"]
+
+    def f(t: pa.Table) -> pa.Table:
+        locs = [variants[int(d) % 4] for d in t["doc_id"].to_pylist()]
+        tt = pa.table({"doc_id": t["doc_id"],
+                       "loc": pa.array(locs, pa.string())})
+        mask = city_in_text(tt["loc"], "Gdańsk")
+        return tt.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@query("description_truncate",
+       "SELECT doc_id, substr(text, 1, 500) AS description FROM documents")
+def description_truncate(sf_dir: str) -> rd.Dataset:
+    """O7 (backend.py:128 desc[:5000] sink truncation): codepoint-exact
+    truncation via pc.utf8_slice_codeunits — the vectorized twin of the
+    reference's Python slice (500 here so testdata actually truncates)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "description": pc.utf8_slice_codeunits(t["text"], 0, 500)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 _CITY_CANON_SQL = """
 WITH raw AS (
   SELECT doc_id, CASE doc_id % 6

@@ -242,6 +242,19 @@ def html_to_spans(html: str) -> list[dict]:
     return spans
 
 
+def build_proxies(http: str | None, https: str | None) -> dict | None:
+    """S5 (reference build_proxies, /root/reference/scrapper/core/http.py:
+    105-111): proxy URL pair → session proxy dict, None when unset."""
+    if not http and not https:
+        return None
+    out = {}
+    if http:
+        out["http://"] = http
+    if https:
+        out["https://"] = https
+    return out
+
+
 def _round2(x: np.ndarray) -> np.ndarray:
     return np.round(x, 2)
 
@@ -287,6 +300,9 @@ class FetchParse:
         self.portal = Portal(portal_cfg)
         self.cfg = crawl_cfg
         self.politeness = politeness
+        # S5 (http.py:105-111 build_proxies): the proxy dict a real-HTTP
+        # session would be constructed with, one session per actor (ST3)
+        self.proxies = build_proxies(crawl_cfg.proxy_http, crawl_cfg.proxy_https)
         self._robots: dict[str, list[str]] = {}  # host → Disallow prefixes
         # table-backed fetch (documents_path): load the interleaved-doc
         # table once per worker — the test-scale stand-in for a Lance

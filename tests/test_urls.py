@@ -73,3 +73,19 @@ def test_parse_polish_dates():
 def test_canonicalize_arrow_input():
     arr = pa.array(["https://x.pl/a/#f", "https://y.pl/?b=1&a=2"])
     assert canonicalize_urls(arr).to_pylist() == ["https://x.pl/a", "https://y.pl?a=2&b=1"]
+
+
+def test_build_proxies_and_city_in_text():
+    # S5 (http.py:105-111) + M29 (gratka.py:89-93)
+    from realestate_scraper_ray.stages.fetch import FetchParse, build_proxies
+    from realestate_scraper_ray.config import CrawlConfig, PortalConfig
+    from realestate_scraper_ray.functions.cities import city_in_text
+    assert build_proxies(None, None) is None
+    assert build_proxies("http://p:8080", None) == {"http://": "http://p:8080"}
+    assert build_proxies("http://p:8080", "http://s:8443") == {
+        "http://": "http://p:8080", "https://": "http://s:8443"}
+    fp = FetchParse(PortalConfig(), CrawlConfig(proxy_http="http://p:8080"))
+    assert fp.proxies == {"http://": "http://p:8080"}
+    mask = city_in_text(["Gdańsk Wrzeszcz", "GDANSK!", "Sopot", "Warszawa"],
+                        "Gdańsk")
+    assert mask.to_pylist() == [True, True, False, False]
