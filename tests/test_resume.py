@@ -10,26 +10,29 @@ from realestate_scraper_ray.pipelines.crawl import latest_checkpoint_gen, run_cr
 PCFG = PortalConfig(regions=("pomorskie", "mazowieckie"), base_pages=2,
                     page_size_scale=0.12)
 CCFG = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14, fetch_batch_size=64)
+MEDIA_CFG = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                        fetch_batch_size=64, media_fetch=True)
 
 
-def _tables(res):
+def _tables(res, names=("urls", "offers", "photos")):
     out = {}
-    for name in ("urls", "offers", "photos"):
+    for name in names:
         df = res.table(name).to_pandas()
         out[name] = df.sort_values(list(df.columns)).reset_index(drop=True)
     return out
 
 
 def test_kill_and_resume_byte_identical(tmp_path, ray_session):
-    full = run_crawl(PCFG, CCFG, str(tmp_path / "full"))
+    names = ("urls", "offers", "photos", "media")
+    full = run_crawl(PCFG, MEDIA_CFG, str(tmp_path / "full"))
     killed_dir = str(tmp_path / "killed")
-    part = run_crawl(PCFG, CCFG, killed_dir, stop_after_generations=3)
+    part = run_crawl(PCFG, MEDIA_CFG, killed_dir, stop_after_generations=3)
     assert part.generations == 3
     assert latest_checkpoint_gen(killed_dir) == 2
-    resumed = run_crawl(PCFG, CCFG, killed_dir, resume=True)
+    resumed = run_crawl(PCFG, MEDIA_CFG, killed_dir, resume=True)
 
-    ft, rt = _tables(full), _tables(resumed)
-    for name in ("urls", "offers", "photos"):
+    ft, rt = _tables(full, names), _tables(resumed, names)
+    for name in names:
         pd.testing.assert_frame_equal(ft[name], rt[name], obj=name)
     assert resumed.state == full.state
 
