@@ -155,20 +155,54 @@ def rolling_hash64(texts, base: int = 1_000_003) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
+# Per-process cache of sha1-derived word hashes. Natural-language
+# vocabulary is tiny relative to token count (Heaps' law), so nearly all
+# lookups hit; the expensive sha1 runs once per distinct word per worker.
+_WORD_HASH_CACHE: dict[str, int] = {}
+_WORD_HASH_CACHE_MAX = 4_000_000  # ~0.5 GB ceiling per worker process
+
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _word_hash_array(words: list[str]) -> np.ndarray:
+    cache = _WORD_HASH_CACHE
+    out = np.empty(len(words), dtype=np.uint64)
+    sha1 = hashlib.sha1
+    for i, w in enumerate(words):
+        v = cache.get(w)
+        if v is None:
+            if len(cache) >= _WORD_HASH_CACHE_MAX:
+                cache.clear()
+            v = cache[w] = int.from_bytes(sha1(w.encode()).digest()[:8], "big")
+        out[i] = v
+    return out
+
+
 def _hash_tokens_matrix(texts: list[str], shingle_k: int) -> list[np.ndarray]:
-    """Per text: uint64 hashes of its k-word shingles (sha1-based)."""
+    """Per text: uint64 hashes of its k-word shingles.
+
+    Shingle hash = ordered FNV-1a-style fold over the sha1-based hashes
+    of its k words — deterministic across processes/machines (sha1 per
+    distinct word, cached) and vectorized per document: one
+    ``sliding_window_view`` + k wrapping vector ops instead of a Python
+    sha1 call per shingle."""
     out = []
-    for t in texts:
-        words = t.split() if t else []
-        if len(words) < shingle_k:
-            shingles = [" ".join(words)] if words else []
-        else:
-            shingles = [" ".join(words[i:i + shingle_k])
-                        for i in range(len(words) - shingle_k + 1)]
-        h = np.empty(len(shingles), dtype=np.uint64)
-        for i, sh in enumerate(shingles):
-            h[i] = int.from_bytes(hashlib.sha1(sh.encode()).digest()[:8], "big")
-        out.append(h)
+    with np.errstate(over="ignore"):  # wrapping uint64 is the modulus
+        for t in texts:
+            words = t.split() if t else []
+            if not words:
+                out.append(np.empty(0, dtype=np.uint64))
+                continue
+            wh = _word_hash_array(words)
+            if len(wh) < shingle_k:
+                windows = wh[None, :]
+            else:
+                windows = np.lib.stride_tricks.sliding_window_view(wh, shingle_k)
+            h = np.full(len(windows), _FNV_OFFSET, dtype=np.uint64)
+            for c in range(windows.shape[1]):
+                h = (h ^ windows[:, c]) * _FNV_PRIME
+            out.append(h)
     return out
 
 

@@ -36,6 +36,13 @@ from ..functions.textstats import (
     minhash_signatures, rolling_hash64, simhash64, word_shingle_set,
 )
 
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a contiguous uint64 array (byte LUT)."""
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -187,12 +194,11 @@ def simhash_pairs(ds: rd.Dataset, text_col: str, id_col: str,
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
+        hs = g["simhash"].to_numpy().view(np.uint64)
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         a, b = np.triu_indices(len(ids), k=1)
-        ham = np.array([bin(int(hs[i]) ^ int(hs[j])).count("1")
-                        for i, j in zip(a, b)])
+        ham = _popcount64(np.ascontiguousarray(hs[a] ^ hs[b]))
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep],
                              "hamming": ham[keep]})
