@@ -566,6 +566,77 @@ def events_running_total(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(running, batch_format="pandas")
 
 
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, p.value AS prev_purchase_value
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+"""
+
+
+@query("events_asof_purchase", _ASOF_SQL)
+def events_asof_purchase(sf_dir: str) -> rd.Dataset:
+    """Backward as-of join (each event ⟕ the latest strictly-earlier
+    'purchase' by the same user), the operator family the reference's
+    engine lacks and Ray Data has no primitive for. Composition:
+    hash-partition on the equality key (``groupby(user_id)``), then a
+    vectorized ``searchsorted`` against the sorted right side inside
+    ``map_groups`` — one shuffle, O(n log m) per group, no driver state.
+    Partitioning assumption: one user's events fit in a group (salt the
+    time axis into coarse buckets carrying the last right-row forward if
+    a key ever outgrows a block). Deterministic: (user_id, ts) is unique
+    in the events table, so the as-of row needs no tie-break."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value",
+                                "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        p = g[g["event_type"] == "purchase"]
+        pts = p["ts"].to_numpy()
+        pval = p["value"].to_numpy()
+        # rightmost purchase with p.ts < e.ts  (strict: side="left")
+        idx = np.searchsorted(pts, g["ts"].to_numpy(), side="left") - 1
+        prev = np.where(idx >= 0, pval[np.maximum(idx, 0)], np.nan)
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "prev_purchase_value": prev})
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+_RANGE_JOIN_SQL = """
+SELECT e1.event_id, COUNT(e2.event_id) AS n_within_5min
+FROM events e1
+LEFT JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+GROUP BY e1.event_id
+"""
+
+
+@query("events_range_join", _RANGE_JOIN_SQL)
+def events_range_join(sf_dir: str) -> rd.Dataset:
+    """Band (range) self-join: for each event, how many events by the
+    same user fall in the (ts, ts+5min] window. Same decomposition as
+    the as-of join — equality key shuffles, the range predicate resolves
+    as two vectorized ``searchsorted`` bounds per group instead of an
+    O(n·m) nested loop. Count output is order-insensitive, so timestamp
+    ties need no tie-break."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    win = np.timedelta64(5 * 60 * 1_000_000, "us")
+
+    def band_count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        lo = np.searchsorted(ts, ts, side="right")
+        hi = np.searchsorted(ts, ts + win, side="right")
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "n_within_5min": (hi - lo).astype(np.int64)})
+
+    return ds.groupby("user_id").map_groups(band_count, batch_format="pandas")
+
+
 @query("events_json_extract",
        "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k "
        "FROM events")
