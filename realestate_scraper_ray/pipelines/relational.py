@@ -1150,6 +1150,53 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     return out[["id_a", "id_b", "hamming"]].astype("int64")
 
 
+# MinHash+LSH graded against the SQL exact-Jaccard truth: the oracle
+# counts the true ≥0.5 pairs (same shingle semantics as below, threshold
+# 500‰); the engine emits that count from its sound-blocked exact path
+# plus a recall gate on the LSH output. Candidate-recall regressions
+# (band/bucket bugs, signature drift) become hash mismatches instead of
+# silent rows-only passes; precision is structurally 1 (exact verify).
+_MINHASH_RECALL_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(tt, '\s+') AS w FROM t0 WHERE tt <> ''),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    [array_to_string(list_slice(w, i, i + 2), ' ') FOR i IN range(1, len(w) - 1)])) AS s
+  FROM toks WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE i * 1000 >= 500 * (ca.n + cb.n - i)
+"""
+
+
+@query("dedup_minhash_recall", _MINHASH_RECALL_SQL)
+def dedup_minhash_recall(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH vs ground truth: n_truth from the engine's exact
+    sound-blocked Jaccard path (machine-checked against the SQL count),
+    recall_ok = LSH finds ≥ 90 % of true ≥0.5 pairs (measured 1.0 at
+    sf0.001–0.1 with 64 perms × 16 bands, deterministic seeds)."""
+    from ..stages.dedupe import minhash_lsh_pairs, ngram_jaccard_pairs
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    truth = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.5)
+    found = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    tset = set(zip(truth.id_a.astype("int64"), truth.id_b.astype("int64")))
+    fset = set(zip(found.id_a.astype("int64"), found.id_b.astype("int64")))
+    recall = len(fset & tset) / max(1, len(tset))
+    return pd.DataFrame({"n_truth": [np.int64(len(tset))],
+                         "recall_ok": [recall >= 0.9]})
+
+
 # Exact 3-word-shingle Jaccard is SQL-expressible, so the blocked
 # engine path is machine-checked end-to-end: any blocking-completeness
 # bug shows up as a missing pair here. Shingle semantics mirror
