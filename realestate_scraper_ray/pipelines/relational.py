@@ -116,21 +116,26 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 
 @query("q3_top_orders", _Q3_SQL)
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Join + grouped agg + top-k, shuffle-join shape: BUILDING customers
-    semi-filter orders through a hash-partitioned ``Dataset.join`` (both
-    sides scale with SF — no broadcast of fact-side key sets); lineitem
-    revenue pre-aggregates per batch on l_orderkey (combiner), reduces in
-    one groupby, joins the qualifying order keys, and only per-block
-    top-10 candidates reach the driver."""
+    """Join + grouped agg + top-k: BUILDING customers semi-filter orders,
+    qualifying orders semi-filter per-order lineitem revenue (pre-
+    aggregated per batch on l_orderkey before the reduce). Both joins go
+    through the adaptive strategy (stages/joins.py): the build side is
+    measured and broadcast only under the 64 MiB cap, else it takes the
+    hash-partitioned ``Dataset.join`` path — no unbounded driver
+    materialization at any scale. Only per-block top-10 candidates reach
+    the driver."""
+    from ..stages.joins import semi_join
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
         .select(["c_custkey"]), batch_format="pyarrow")
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    okeys = orders.join(cust, join_type="inner", num_partitions=8,
-                        on=("o_custkey",), right_on=("c_custkey",)
-                        ).select_columns(["o_orderkey"])
+    okeys = semi_join(orders, cust, "o_custkey", "c_custkey"
+                      ).select_columns(["o_orderkey"])
 
+    # Semi-filter lineitem FIRST (≈20 % of rows survive), so the
+    # per-order aggregate shuffles a fifth of the fact table.
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li_f = semi_join(li, okeys, "l_orderkey", "o_orderkey")
 
     def partial_rev(t: pa.Table) -> pa.Table:
         rev = pc.cast(pc.round(pc.multiply(pc.multiply(
@@ -139,10 +144,8 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         p = pa.table({"l_orderkey": t["l_orderkey"], "r": rev})
         return p.group_by(["l_orderkey"]).aggregate([("r", "sum")])
 
-    li_rev = (li.map_batches(partial_rev, batch_format="pyarrow")
-              .groupby("l_orderkey").aggregate(Sum("r_sum", alias_name="r")))
-    rev = li_rev.join(okeys, join_type="inner", num_partitions=8,
-                      on=("l_orderkey",), right_on=("o_orderkey",))
+    rev = (li_f.map_batches(partial_rev, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("r_sum", alias_name="r")))
 
     def local_topk(t: pa.Table) -> pa.Table:
         p = pa.table({"o_orderkey": t["l_orderkey"], "r": t["r"]})
@@ -176,8 +179,10 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     nation 25 rows) resolve driver-side into a broadcast
     nationkey→name dict; customer (a fact-scale table) maps its nation
     via that dict per batch, then customer⋈orders and
-    lineitem-revenue⋈orders run as hash-partitioned ``Dataset.join``s —
-    nothing fact-sized is ever materialized on the driver."""
+    lineitem-revenue⋈orders go through the adaptive join
+    (stages/joins.py): broadcast under the 64 MiB build-side cap, else
+    hash-partitioned ``Dataset.join`` — driver exposure is O(cap), never
+    O(fact table)."""
     region = pa.Table.from_pylist(_pq(sf_dir, "region").take_all()).to_pandas()
     nation = pa.Table.from_pylist(_pq(sf_dir, "nation").take_all()).to_pandas()
     r_name = region.sort_values("r_regionkey")["r_name"].iloc[0]
@@ -194,32 +199,29 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         return out.filter(pc.is_valid(out["n_name"])).select(
             ["c_custkey", "n_name"])
 
+    from ..stages.joins import lookup_join
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         cust_nation, batch_format="pyarrow")
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    onat = orders.join(cust, join_type="inner", num_partitions=8,
-                       on=("o_custkey",), right_on=("c_custkey",)
+    onat = lookup_join(orders, cust, "o_custkey", "c_custkey", ["n_name"]
                        ).select_columns(["o_orderkey", "n_name"])
 
+    # n_name joins straight onto lineitem, then revenue pre-aggregates
+    # per batch to ~25 nation rows — no per-orderkey intermediate
+    # groupby, so the only global shuffle carries a handful of rows
+    # per block regardless of fact-table size.
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    rev = lookup_join(li, onat, "l_orderkey", "o_orderkey", ["n_name"])
 
     def partial_rev(t: pa.Table) -> pa.Table:
-        rev = pc.cast(pc.round(pc.multiply(pc.multiply(
+        r = pc.cast(pc.round(pc.multiply(pc.multiply(
             t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 10000.0)),
             pa.int64())
-        p = pa.table({"l_orderkey": t["l_orderkey"], "r": rev})
-        return p.group_by(["l_orderkey"]).aggregate([("r", "sum")])
+        return (pa.table({"n_name": t["n_name"], "r": r})
+                .group_by(["n_name"]).aggregate([("r", "sum")]))
 
-    li_rev = (li.map_batches(partial_rev, batch_format="pyarrow")
-              .groupby("l_orderkey").aggregate(Sum("r_sum", alias_name="r")))
-    rev = li_rev.join(onat, join_type="inner", num_partitions=8,
-                      on=("l_orderkey",), right_on=("o_orderkey",))
-
-    out = (rev.map_batches(
-        lambda t: pa.table({"n_name": t["n_name"], "r": t["r"]})
-        .group_by(["n_name"]).aggregate([("r", "sum")]),
-        batch_format="pyarrow")
-        .groupby("n_name").aggregate(Sum("r_sum", alias_name="r")).to_pandas())
+    out = (rev.map_batches(partial_rev, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("r_sum", alias_name="r")).to_pandas())
     out["revenue"] = out["r"] / 10000.0
     return out[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
 

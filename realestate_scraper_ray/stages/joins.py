@@ -1,0 +1,95 @@
+"""Adaptive join strategy: broadcast the build side when it is provably
+small, hash-shuffle otherwise.
+
+The same runtime decision Spark's adaptive query execution makes with
+``spark.sql.autoBroadcastJoinThreshold``: the build side is materialized
+(it must be, for either strategy — broadcast ships it whole, shuffle
+needs its size to pick partitions) and its measured ``size_bytes``
+routes the join:
+
+- ``<= threshold_bytes`` (default 64 MiB): driver pulls the build side
+  once (bounded by the threshold — never fact-table-scale), ``ray.put``s
+  it, and the probe side streams through a vectorized ``map_batches``
+  (``pc.is_in`` / ``pc.index_in``). Zero shuffle of the probe side.
+- ``> threshold_bytes``: hash-partitioned ``Dataset.join`` — both sides
+  shuffle, nothing is ever driver-materialized.
+
+At 100 TB a fact-scale build side always exceeds the cap and takes the
+shuffle path; the cap is what makes the broadcast path scale-safe (the
+driver's exposure is O(threshold), not O(data)).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+BROADCAST_THRESHOLD_BYTES = 64 << 20
+
+
+def _materialized_size(ds: rd.Dataset) -> tuple[rd.Dataset, int]:
+    m = ds.materialize()
+    return m, m.size_bytes() or 0
+
+
+def _pull_table(ds: rd.Dataset) -> pa.Table:
+    """Driver-side Arrow table of a build side already known to be
+    under the broadcast cap."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def semi_join(fact: rd.Dataset, keys: rd.Dataset, fact_key: str,
+              key_col: str, *, num_partitions: int = 8,
+              threshold_bytes: int = BROADCAST_THRESHOLD_BYTES) -> rd.Dataset:
+    """fact rows whose ``fact_key`` appears in ``keys[key_col]``
+    (semi-join: output schema = fact schema, no duplication)."""
+    from ray.data.aggregate import Count
+    keys = (keys.groupby(key_col).aggregate(Count(alias_name="_n"))
+            .select_columns([key_col]))  # distinct keys only
+    k, size = _materialized_size(keys)
+    if size <= threshold_bytes:
+        tbl = _pull_table(k)
+        if tbl is None:
+            return fact.filter(lambda row: False)
+        vals = ray.put(tbl[key_col].combine_chunks())
+
+        def probe(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[fact_key], value_set=ray.get(vals)))
+
+        return fact.map_batches(probe, batch_format="pyarrow")
+    joined = fact.join(k, join_type="inner", num_partitions=num_partitions,
+                       on=(fact_key,), right_on=(key_col,))
+    return joined.select_columns(fact.schema().names)
+
+
+def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
+                dim_key: str, payload_cols: list[str], *,
+                num_partitions: int = 8,
+                threshold_bytes: int = BROADCAST_THRESHOLD_BYTES) -> rd.Dataset:
+    """Inner join that appends ``payload_cols`` from ``dim`` to matching
+    fact rows. ``dim[dim_key]`` must be unique (dimension semantics)."""
+    d, size = _materialized_size(dim)
+    if size <= threshold_bytes:
+        tbl = _pull_table(d)
+        if tbl is None:
+            return fact.filter(lambda row: False)
+        ref = ray.put(tbl.select([dim_key] + payload_cols).combine_chunks())
+
+        def probe(t: pa.Table) -> pa.Table:
+            side = ray.get(ref)
+            idx = pc.index_in(t[fact_key], value_set=side[dim_key])
+            keep = pc.is_valid(idx)
+            out = t.filter(keep)
+            hit = idx.filter(keep)
+            for c in payload_cols:
+                out = out.append_column(c, side[c].take(hit))
+            return out
+
+        return fact.map_batches(probe, batch_format="pyarrow")
+    return fact.join(d, join_type="inner", num_partitions=num_partitions,
+                     on=(fact_key,), right_on=(dim_key,))
