@@ -29,6 +29,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
@@ -89,6 +91,8 @@ def minhash_lsh_pairs(ds: rd.Dataset, text_col: str, id_col: str,
     """
     rows_per_band = num_perm // bands
 
+    n_parts = 64  # coarse shuffle partitions (≫ buckets per group at scale)
+
     def to_bands(t: pa.Table) -> pa.Table:
         sig = minhash_signatures(t[text_col].combine_chunks(), num_perm, shingle_k)
         n = len(sig)
@@ -100,23 +104,36 @@ def minhash_lsh_pairs(ds: rd.Dataset, text_col: str, id_col: str,
                 h = (h ^ chunk[:, c]) * np.uint64(1099511628211)
             band_hash[:, b] = h
         ids = np.repeat(np.asarray(t[id_col]), bands)
+        flat = band_hash.reshape(-1)
         return pa.table({
             id_col: ids,
             "band": np.tile(np.arange(bands, dtype=np.int32), n),
             # int64 view: groupby keys must stay in Python-int-safe range
-            "band_hash": band_hash.reshape(-1).view(np.int64),
+            "band_hash": flat.view(np.int64),
+            # coarse partition key: one map_groups call per partition,
+            # not per bucket (a per-bucket UDF call is the scale killer
+            # at ~1 bucket per document × bands)
+            "part": (flat % np.uint64(n_parts)).astype(np.int32),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # within one partition: only buckets with ≥2 members can emit
+        # pairs — prefilter with a vectorized duplicated() mask, then
+        # loop over just those (rare) buckets
+        d = g[g.duplicated(["band", "band_hash"], keep=False)]
+        if d.empty:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+        ia, ib = [], []
+        for _, grp in d.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(grp[id_col].to_numpy())
+            a, b = np.triu_indices(len(ids), k=1)
+            ia.append(ids[a]); ib.append(ids[b])
+        return pd.DataFrame({"id_a": np.concatenate(ia),
+                             "id_b": np.concatenate(ib)})
 
     cand = (ds.map_batches(to_bands, batch_format="pyarrow")
-            .groupby(["band", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby("part")
+            .map_groups(part_pairs, batch_format="pandas")
             .groupby(["id_a", "id_b"])
             .aggregate(Count(alias_name="n_buckets"))
             .materialize())  # small (pairs only); joined twice below
@@ -129,23 +146,53 @@ def minhash_lsh_pairs(ds: rd.Dataset, text_col: str, id_col: str,
 def _verify_pairs_jaccard(cand: rd.Dataset, ds: rd.Dataset, id_col: str,
                           text_col: str, shingle_k: int,
                           threshold: float) -> pd.DataFrame:
-    """Distributed exact-Jaccard verify: join each side's text onto the
-    candidate pairs with hash-partitioned ``Dataset.join``s, then score
-    per pair inside ``map_batches``. The pair table and the text table
-    both stay distributed; nothing is broadcast or driver-materialized.
+    """Distributed exact-Jaccard verify, adaptive like stages/joins.py:
+    the text table is first semi-filtered to ids that appear in a
+    candidate pair (a broadcast ``pc.is_in`` — the pair-id set is small
+    by LSH construction). If the surviving texts fit under the broadcast
+    cap they ship once via ``ray.put`` and pairs score against the map;
+    otherwise both sides stay distributed through two hash-partitioned
+    ``Dataset.join``s. Driver exposure is O(cap) either way.
     Boundary-exact: keep iff len(∩)·1000 ≥ round(θ·1000)·len(∪)."""
+    from .joins import BROADCAST_THRESHOLD_BYTES, _pull_table
     thr_mille = int(round(threshold * 1000))
 
-    def side(suffix: str) -> rd.Dataset:
-        return ds.map_batches(
-            lambda t, s=suffix: pa.table({f"key_{s}": t[id_col],
-                                          f"text_{s}": t[text_col]}),
-            batch_format="pyarrow")
+    pair_tbl = _pull_table(cand)  # pairs are small (LSH bucket output)
+    pair_ids = pa.chunked_array([pair_tbl["id_a"].combine_chunks(),
+                                 pair_tbl["id_b"].combine_chunks()]).unique()
+    ids_ref = ray.put(pair_ids)
 
-    joined = (cand.join(side("a"), join_type="inner", num_partitions=8,
-                        on=("id_a",), right_on=("key_a",))
-              .join(side("b"), join_type="inner", num_partitions=8,
-                    on=("id_b",), right_on=("key_b",)))
+    texts_needed = ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col], text_col: t[text_col]}).filter(
+            pc.is_in(t[id_col], value_set=ray.get(ids_ref))),
+        batch_format="pyarrow").materialize()
+
+    if (texts_needed.size_bytes() or 0) <= BROADCAST_THRESHOLD_BYTES:
+        ttbl = _pull_table(texts_needed)
+        tmap_ref = ray.put(dict(zip(ttbl[id_col].to_pylist(),
+                                    ttbl[text_col].to_pylist()))
+                           if ttbl is not None else {})
+
+        def attach(t: pa.Table) -> pa.Table:
+            m = ray.get(tmap_ref)
+            return t.append_column(
+                "text_a", pa.array([m.get(i) for i in t["id_a"].to_pylist()],
+                                   pa.string())).append_column(
+                "text_b", pa.array([m.get(i) for i in t["id_b"].to_pylist()],
+                                   pa.string()))
+
+        joined = cand.map_batches(attach, batch_format="pyarrow")
+    else:
+        def side(suffix: str) -> rd.Dataset:
+            return texts_needed.map_batches(
+                lambda t, s=suffix: pa.table({f"key_{s}": t[id_col],
+                                              f"text_{s}": t[text_col]}),
+                batch_format="pyarrow")
+
+        joined = (cand.join(side("a"), join_type="inner", num_partitions=8,
+                            on=("id_a",), right_on=("key_a",))
+                  .join(side("b"), join_type="inner", num_partitions=8,
+                        on=("id_b",), right_on=("key_b",)))
 
     def score(t: pa.Table) -> pa.Table:
         ia, ib, jac = [], [], []
@@ -179,33 +226,42 @@ def simhash_pairs(ds: rd.Dataset, text_col: str, id_col: str,
     Hamming ≤ 3 of a 64-bit hash shares at least one exact 16-bit band —
     pigeonhole), verified by exact Hamming distance."""
 
+    n_parts = 64
+
     def to_bands(t: pa.Table) -> pa.Table:
         sh = simhash64(t[text_col].combine_chunks())
         n = len(sh)
         bands = np.stack([(sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
                           for b in range(4)], axis=1)
+        flat = bands.reshape(-1)
         return pa.table({
             id_col: np.repeat(np.asarray(t[id_col]), 4),
             "simhash": np.repeat(sh, 4).view(np.int64),
             "band": np.tile(np.arange(4, dtype=np.int32), n),
-            "band_val": bands.reshape(-1).view(np.int64),
+            "band_val": flat.view(np.int64),
+            "part": (flat % np.uint64(n_parts)).astype(np.int32),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().view(np.uint64)
-        if len(ids) < 2:
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g.duplicated(["band", "band_val"], keep=False)]
+        if d.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        ham = _popcount64(np.ascontiguousarray(hs[a] ^ hs[b]))
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep],
-                             "hamming": ham[keep]})
+        ia, ib, hm = [], [], []
+        for _, grp in d.groupby(["band", "band_val"], sort=False):
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            hs = grp["simhash"].to_numpy().view(np.uint64)
+            a, b = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(np.ascontiguousarray(hs[a] ^ hs[b]))
+            keep = ham <= max_hamming
+            ia.append(ids[a][keep]); ib.append(ids[b][keep]); hm.append(ham[keep])
+        return pd.DataFrame({"id_a": np.concatenate(ia),
+                             "id_b": np.concatenate(ib),
+                             "hamming": np.concatenate(hm)})
 
     out = (ds.map_batches(to_bands, batch_format="pyarrow")
-           .groupby(["band", "band_val"])
-           .map_groups(bucket_pairs, batch_format="pandas")
+           .groupby("part")
+           .map_groups(part_pairs, batch_format="pandas")
            .groupby(["id_a", "id_b"])
            .aggregate(Min("hamming", alias_name="hamming"))
            .to_pandas())
