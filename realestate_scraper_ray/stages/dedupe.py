@@ -283,7 +283,13 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
     buckets differ by at most 1, and emitting every doc into its own and
     the next bucket guarantees every qualifying pair co-occurs in ≥1
     group (completeness proof in tests via brute force). Verification is
-    exact integer-threshold Jaccard within the group."""
+    exact integer-threshold Jaccard within the group.
+
+    Scale role: this operator is intentionally exact and therefore
+    quadratic within a length block — it is the *oracle-grade* path
+    (used as ground truth by ``dedup_minhash_recall``) and is the right
+    tool up to ~10^5 docs per block. The 100-TB near-dup path is
+    ``minhash_lsh_pairs`` (same exact verify, LSH-pruned candidates)."""
     r = 1.0 / threshold
     log_r = np.log(r)
     thr_mille = int(round(threshold * 1000))

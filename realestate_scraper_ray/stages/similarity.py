@@ -111,31 +111,35 @@ def ivf_topk(ds: rd.Dataset, vec_col: str, id_col: str,
     centroid cells. The scale path for ANN when hyperplane-LSH recall
     is insufficient: probe count tunes recall vs compute, and the
     centroid matrix (tiny) is the only broadcast state."""
+    # Iterative algorithm over a fixed corpus: pin the (id, vec) blocks
+    # in the object store once instead of re-executing the read for the
+    # seed pass, each Lloyd step and the scoring pass (Ray spills if the
+    # corpus exceeds store memory — the canonical multi-pass pattern).
+    ds = ds.materialize()
     cents = ivf_centroids(ds, vec_col, id_col, n_centroids, iters)
     qm = _norm_rows(np.asarray(query_mat, np.float64))
     order = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
-    probe_sets = [set(map(int, row)) for row in order]
-    ctx = ray.put((np.asarray(query_ids), qm, cents, probe_sets))
+    probe_mask = np.zeros((len(qm), n_centroids), dtype=bool)
+    np.put_along_axis(probe_mask, order, True, axis=1)
+    ctx = ray.put((np.asarray(query_ids), qm, cents, probe_mask, k))
 
     def local(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col])
         m = _norm_rows(np.array(t[vec_col].to_pylist(), dtype=np.float64))
-        qids, qmat, c, probes = ray.get(ctx)
+        qids, qmat, c, pmask, kk = ray.get(ctx)
         assign = np.argmax(m @ c.T, axis=1)
-        sims = qmat @ m.T
-        outs = {"query_id": [], "neighbor_id": [], "cos": []}
-        for qi in range(len(qids)):
-            mask = np.fromiter((int(a) in probes[qi] for a in assign),
-                               dtype=bool, count=len(assign))
-            mask &= ids != qids[qi]
-            outs["query_id"].extend([qids[qi]] * int(mask.sum()))
-            outs["neighbor_id"].extend(ids[mask])
-            outs["cos"].extend(sims[qi][mask])
-        if not outs["query_id"]:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "cos": pa.array([], pa.float64())})
-        return pa.table({k2: pa.array(v) for k2, v in outs.items()})
+        # (nq, nb) allow matrix: row in a probed cell and not the query
+        allow = pmask[:, assign] & (ids[None, :] != qids[:, None])
+        sims = np.where(allow, qmat @ m.T, -np.inf)
+        # per-batch top-k per query: ship ≤ nq·k rows, not every probed row
+        take = min(kk, sims.shape[1])
+        top = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        qi, rank = np.divmod(np.arange(top.size), take)
+        flat = top[qi, rank]
+        keep = sims[qi, flat] > -np.inf
+        return pa.table({"query_id": pa.array(qids[qi[keep]]),
+                         "neighbor_id": pa.array(ids[flat[keep]]),
+                         "cos": pa.array(sims[qi[keep], flat[keep]])})
 
     cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
     if cand.empty:
