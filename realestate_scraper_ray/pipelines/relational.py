@@ -1091,10 +1091,10 @@ def documents_clean_corpus(sf_dir: str) -> pd.DataFrame:
               .append_column("fp", md5_fingerprints(txt)))
         return t.filter(keep).select(["doc_id", "source", "n_words", "fp"])
 
+    from ..stages.joins import semi_join
     gated = ds.map_batches(gate, batch_format="pyarrow")
     canon = gated.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
-    kept = gated.join(canon.select_columns(["doc_id"]), join_type="inner",
-                      num_partitions=8, on=("doc_id",))
+    kept = semi_join(gated, canon.select_columns(["doc_id"]), "doc_id", "doc_id")
     out = pa.Table.from_pylist(
         kept.select_columns(["doc_id", "source", "n_words"]).take_all()).to_pandas()
     return (out.astype({"doc_id": "int64", "n_words": "int64"})
