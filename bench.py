@@ -31,8 +31,10 @@ import time
 HEADLINE_QUERIES = [
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
     "events_hourly_window", "events_sessionize",
+    "events_asof_purchase", "events_range_join",
     "token_count", "quality_stats", "lang_id_pred",
     "documents_clean_corpus", "dedup_exact_text", "dedup_minhash_lsh",
+    "split_by_hash",
     "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup",
 ]
 

@@ -1053,6 +1053,67 @@ def fingerprint_md5(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# Deterministic, content-keyed train/val/test assignment — the split
+# must be stable across runs/machines and against re-sharding, so it
+# hashes content (md5), not row position. Split boundaries compare the
+# first two hex chars lexically: 00..cb → train (~79.7 %), cc..e5 → val
+# (~10.2 %), e6..ff → test (~10.2 %).
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@query("split_by_hash", _SPLIT_SQL)
+def split_by_hash(sf_dir: str) -> rd.Dataset:
+    """Hash-based dataset split: embarrassingly parallel (per-batch md5,
+    no shuffle), deterministic under any partitioning."""
+    from ..functions.textstats import md5_fingerprints
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        fp = md5_fingerprints(t["text"].combine_chunks())
+        b2 = pc.utf8_slice_codeunits(fp, 0, 2)
+        split = pc.if_else(
+            pc.less(b2, "cc"), "train",
+            pc.if_else(pc.less(b2, "e6"), "val", "test"))
+        return pa.table({"doc_id": t["doc_id"], "split": split})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# Stratified deterministic sample: ~25 % per language stratum, keyed on
+# content hash (docs keep/drop membership is stable across runs).
+_STRAT_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents
+WHERE substr(md5(text), 1, 1) < '4'
+GROUP BY lang
+"""
+
+
+@query("stratified_sample", _STRAT_SQL)
+def stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Per-stratum deterministic sampling: per-batch hash gate (no
+    shuffle) + small per-stratum aggregate."""
+    from ..functions.textstats import md5_fingerprints
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        fp = md5_fingerprints(t["text"].combine_chunks())
+        keep = pc.less(pc.utf8_slice_codeunits(fp, 0, 1), "4")
+        return t.filter(keep).select(["doc_id", "lang"])
+
+    return (ds.map_batches(gate, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_sampled"),
+                       Min("doc_id", alias_name="first_doc")))
+
+
 _CLEAN_SQL = """
 WITH q AS (
   SELECT doc_id, text, source,
