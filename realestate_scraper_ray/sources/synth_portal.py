@@ -519,6 +519,19 @@ class Portal:
                 + _json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
                 + "</script>")
 
+    def _seo_pad_json(self) -> str:
+        """Serialized page-independent NEXT_DATA padding (cached)."""
+        cached = getattr(self, "_seo_pad_cache", None)
+        if cached is None:
+            import json as _json
+            entry = {"tag": "listing-seo-link", "w": 120, "h": 80,
+                     "path": "/pl/wyniki/sprzedaz/mieszkanie", "active": True}
+            n_pad = max(0, (self.cfg.html_bytes - 2000) // 96)
+            cached = _json.dumps({f"k{i:05d}": entry for i in range(n_pad)},
+                                 separators=(",", ":"))
+            self._seo_pad_cache = cached
+        return cached
+
     def render_html(self, url: str) -> str | None:
         spans = self.render(url)
         if spans is None:
@@ -562,17 +575,16 @@ class Portal:
             import json as _json
             ld_keys = [k for k in self._LD_CAPABLE if k in fields]
             els.append(self._ld_block(fields, ld_keys, None))
-            entry = {"tag": "listing-seo-link", "w": 120, "h": 80,
-                     "path": "/pl/wyniki/sprzedaz/mieszkanie", "active": True}
-            n_pad = max(0, (self.cfg.html_bytes - 2000) // 96)
-            payload = {"props": {"pageProps": {"ad": {
-                "id": ref.oid, "params": [[k, v] for k, v in fields.items()],
-                "images": images,
-                "seo": {f"k{i:05d}": entry for i in range(n_pad)},
-            }}}}
+            ad = _json.dumps({"id": ref.oid,
+                              "params": [[k, v] for k, v in fields.items()],
+                              "images": images}, separators=(",", ":"))
+            # identical page bytes as serializing the whole payload at
+            # once: the seo pad is page-independent, so its serialized
+            # form is built once per portal and spliced in
+            payload = ('{"props":{"pageProps":{"ad":' + ad[:-1]
+                       + ',"seo":' + self._seo_pad_json() + '}}}}')
             els.append('<script id="__NEXT_DATA__" type="application/json">'
-                       + _json.dumps(payload, separators=(",", ":"))
-                       + "</script>")
+                       + payload + "</script>")
             return self._html_doc(els)
         ld_no_geo = h % 10 < 3
         photos_in_ld = h % 2 == 0
