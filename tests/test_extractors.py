@@ -127,3 +127,27 @@ def test_malformed_ld_block_skipped():
     fields = {s["text"].partition("=")[0]: s["text"].partition("=")[2]
               for s in html_to_spans(html) if s["kind"] == "text"}
     assert fields == {"rooms": "2"}
+
+
+def test_unterminated_script_blocks_ignored():
+    # find-based block slicing must treat a missing </script> exactly
+    # like the DOTALL regex it replaced: no match, chain falls through
+    html = ('<script type="application/ld+json">{"@type":"Product","name":"X"'
+            '<div class="param" data-field="rooms">3</div>')
+    fields = {s["text"].partition("=")[0]: s["text"].partition("=")[2]
+              for s in html_to_spans(html) if s["kind"] == "text"}
+    assert fields == {"rooms": "3"}
+    html2 = '<script id="__NEXT_DATA__" type="application/json">{"props":{}}'
+    assert html_to_spans(html2) == []
+
+
+def test_multiple_ld_blocks_first_wins():
+    html = (
+        '<script type="application/ld+json">'
+        '{"@type":"Product","name":"first"}</script>'
+        '<script type="application/ld+json">'
+        '{"@type":"Product","name":"second","numberOfRooms":4}</script>')
+    fields = {s["text"].partition("=")[0]: s["text"].partition("=")[2]
+              for s in html_to_spans(html) if s["kind"] == "text"}
+    assert fields["title"] == "first"     # first product wins per field
+    assert fields["rooms"] == "4"         # later block fills missing fields
