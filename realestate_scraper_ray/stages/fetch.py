@@ -113,6 +113,49 @@ def _find_script_block(html: str, open_tag: str) -> str | None:
     return html[i + len(open_tag):j]
 
 
+def _raw_decode_at(block: str, key: str):
+    """Parse just the JSON value of ``key`` inside ``block`` with
+    ``JSONDecoder.raw_decode`` — the partial-parse trick a production
+    crawler uses (simdjson / SAX style) so a multi-hundred-KB state
+    object costs O(needed value), not O(document). Returns None when the
+    key is absent or the targeted parse fails (caller falls back to a
+    full ``json.loads``). Assumes the key text does not occur inside an
+    earlier string value — true for `__NEXT_DATA__` ad state."""
+    import json as _json
+    i = block.find(key)
+    if i < 0:
+        return None
+    j = i + len(key)
+    n = len(block)
+    while j < n and block[j] in " \t\r\n":
+        j += 1
+    try:
+        val, _ = _json.JSONDecoder().raw_decode(block, j)
+    except ValueError:
+        return None
+    return val
+
+
+def _next_data_ad(block: str) -> dict:
+    import json as _json
+    return (_json.loads(block).get("props", {})
+            .get("pageProps", {}).get("ad", {}))
+
+
+def _next_data_params(block: str) -> list:
+    val = _raw_decode_at(block, '"params":')
+    if isinstance(val, list):
+        return val
+    return _next_data_ad(block).get("params", [])
+
+
+def _next_data_images(block: str) -> list:
+    val = _raw_decode_at(block, '"images":')
+    if isinstance(val, list):
+        return val
+    return _next_data_ad(block).get("images", [])
+
+
 def _iter_script_blocks(html: str, open_tag: str):
     """All literal-tag script blocks, document order (find-loop analogue
     of ``findall`` with the same pattern)."""
@@ -250,12 +293,9 @@ def html_to_spans(html: str) -> list[dict]:
     block = _find_script_block(
         html, '<script id="__NEXT_DATA__" type="application/json">')
     if block is not None:
-        import json as _json
-        ad = (_json.loads(block).get("props", {})
-              .get("pageProps", {}).get("ad", {}))
-        for k, v in ad.get("params", []):
+        for k, v in _next_data_params(block):
             fields.setdefault(k, str(v))
-        next_images = [str(u) for u in ad.get("images", [])]
+        next_images = [str(u) for u in _next_data_images(block)]
     lm = _LEAFLET_RE.search(html) if "L.marker" in html else None
     if lm:
         fields.setdefault("lat", lm.group(1))
