@@ -274,7 +274,8 @@ def simhash_pairs(ds: rd.Dataset, text_col: str, id_col: str,
 
 
 def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
-                        shingle_k: int = 3, threshold: float = 0.5) -> pd.DataFrame:
+                        shingle_k: int = 3, threshold: float = 0.5,
+                        n_shards: int = 4) -> pd.DataFrame:
     """Exact pairwise Jaccard within *sound* blocking groups.
 
     Blocking key: ⌊log_r(n)⌋ where n is the doc's distinct-shingle count
@@ -285,11 +286,17 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
     group (completeness proof in tests via brute force). Verification is
     exact integer-threshold Jaccard within the group.
 
-    Scale role: this operator is intentionally exact and therefore
-    quadratic within a length block — it is the *oracle-grade* path
-    (used as ground truth by ``dedup_minhash_recall``) and is the right
-    tool up to ~10^5 docs per block. The 100-TB near-dup path is
-    ``minhash_lsh_pairs`` (same exact verify, LSH-pruned candidates)."""
+    Within a block the quadratic verify is sharded as a block-pair
+    (triangle) self-join over ``n_shards`` id-hash shards — each row
+    replicates to the shard pairs it participates in and one
+    ``map_groups`` task handles one (block, si, sj) cell, bounding
+    per-task memory to ~2·n_block/n_shards docs and parallelizing the
+    comparisons; every qualifying pair co-occurs in exactly one cell
+    of its block. Choose n_shards ≈ n_block·bytes_per_set /
+    task_mem_budget at scale. This exact operator is the oracle-grade
+    path (ground truth for ``dedup_minhash_recall``); the 100-TB
+    near-dup path is ``minhash_lsh_pairs`` (same exact verify,
+    LSH-pruned candidates)."""
     r = 1.0 / threshold
     log_r = np.log(r)
     thr_mille = int(round(threshold * 1000))
@@ -299,30 +306,56 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
         n_sh = np.array([max(1, len(word_shingle_set(x, shingle_k)))
                          for x in texts], dtype=np.float64)
         b = np.floor(np.log(n_sh) / log_r).astype(np.int32)
-        out = t.select([id_col, text_col])
-        lo = out.append_column("block", pa.array(b))
-        hi = out.append_column("block", pa.array(b + 1))
-        return pa.concat_tables([lo, hi])
+        base = t.select([id_col, text_col])
+        shard = (np.asarray(t[id_col]).astype(np.int64) % n_shards).astype(np.int32)
+        reps = []
+        for blk in (b, b + 1):
+            for j in range(n_shards):
+                reps.append(base.append_column("block", pa.array(blk))
+                            .append_column("s", pa.array(shard))
+                            .append_column("si", pa.array(np.minimum(shard, j)))
+                            .append_column("sj", pa.array(np.maximum(shard, j))))
+        return pa.concat_tables(reps)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].tolist()
-        sets = [word_shingle_set(t, shingle_k) for t in g[text_col]]
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        si, sj = int(g["si"].iloc[0]), int(g["sj"].iloc[0])
+        g = g.drop_duplicates([id_col, "s"]).sort_values(id_col)
         ia, ib, js = [], [], []
-        for i in range(len(ids)):
-            if not sets[i]:
-                continue
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                if inter * 1000 >= thr_mille * union:
-                    ia.append(ids[i]); ib.append(ids[j])
-                    js.append(inter / max(1, union))
+        if si == sj:
+            ids = g[id_col].tolist()
+            sets = [word_shingle_set(t, shingle_k) for t in g[text_col]]
+            for i in range(len(ids)):
+                if not sets[i]:
+                    continue
+                for j in range(i + 1, len(ids)):
+                    inter = len(sets[i] & sets[j])
+                    union = len(sets[i] | sets[j])
+                    if inter * 1000 >= thr_mille * union:
+                        ia.append(ids[i]); ib.append(ids[j])
+                        js.append(inter / max(1, union))
+        else:
+            gi, gj = g[g["s"] == si], g[g["s"] == sj]
+            ids_i, ids_j = gi[id_col].tolist(), gj[id_col].tolist()
+            sets_i = [word_shingle_set(t, shingle_k) for t in gi[text_col]]
+            sets_j = [word_shingle_set(t, shingle_k) for t in gj[text_col]]
+            for i in range(len(ids_i)):
+                if not sets_i[i]:
+                    continue
+                for j in range(len(ids_j)):
+                    inter = len(sets_i[i] & sets_j[j])
+                    union = len(sets_i[i] | sets_j[j])
+                    if inter * 1000 >= thr_mille * union:
+                        a, bb = sorted((ids_i[i], ids_j[j]))
+                        ia.append(a); ib.append(bb)
+                        js.append(inter / max(1, union))
+        if not ia:
+            return empty
         return pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": js})
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")
-           .groupby("block")
-           .map_groups(bucket_pairs, batch_format="pandas")
+           .groupby(["block", "si", "sj"])
+           .map_groups(cell_pairs, batch_format="pandas")
            .groupby(["id_a", "id_b"])
            .aggregate(Min("jaccard", alias_name="jaccard"))
            .to_pandas())
