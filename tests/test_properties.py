@@ -85,3 +85,31 @@ def test_cuckoo_dump_restore_preserves_membership(keys):
     g = CuckooFilter.restore(f.dump())
     assert g.contains(arr).all()
     assert g.count == f.count
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_popcount64_matches_python(vals):
+    from realestate_scraper_ray.stages.dedupe import _popcount64
+    arr = np.array(vals, dtype=np.uint64)
+    got = _popcount64(np.ascontiguousarray(arr))
+    exp = np.array([bin(int(v)).count("1") for v in vals])
+    assert (got == exp).all()
+
+
+@given(st.lists(st.text(alphabet="abcde ", min_size=0, max_size=60),
+                min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=50, deadline=None)
+def test_shingle_hash_matrix_shapes_and_determinism(texts, k):
+    from realestate_scraper_ray.functions.textstats import _hash_tokens_matrix
+    a = _hash_tokens_matrix(texts, k)
+    b = _hash_tokens_matrix(texts, k)
+    for ha, hb, t in zip(a, b, texts):
+        assert (ha == hb).all()              # deterministic
+        words = t.split()
+        n_expected = 0 if not words else max(1, len(words) - k + 1)
+        assert len(ha) == n_expected
+        # equal word sequences hash equal; the hash depends only on words
+        assert (_hash_tokens_matrix([" ".join(words)], k)[0] == ha).all()
