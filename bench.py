@@ -36,8 +36,9 @@ HEADLINE_QUERIES = [
     "events_asof_purchase", "events_range_join",
     "token_count", "quality_stats", "lang_id_pred",
     "documents_clean_corpus", "dedup_exact_text", "dedup_minhash_lsh",
-    "split_by_hash",
+    "split_by_hash", "doc_repetition_stats", "decontaminate",
     "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup",
+    "dedup_components",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

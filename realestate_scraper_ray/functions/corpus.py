@@ -1,0 +1,94 @@
+"""Corpus-level batch kernels for training-data curation: document
+frequency, per-doc repetition (Gopher-style quality signals),
+benchmark n-gram decontamination.
+
+All kernels are vectorized: polars split/explode + grouped aggregation
+(Rust) or numpy windowed ops over one flat word array per batch —
+never a Python loop over rows. Each consumes/produces Arrow so
+``map_batches(batch_format="pyarrow")`` stays zero-copy.
+
+Semantics mirror the DuckDB oracles in pipelines/relational.py:
+tokens are a plain single-space split (empty tokens kept, exactly like
+``string_split(text, ' ')``), shingles are space-joined word windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+
+
+def _explode_words(ids, texts) -> pl.DataFrame:
+    """(doc ids, texts) -> one row per word: columns (id, word)."""
+    df = pl.DataFrame({
+        "id": pl.Series(ids, dtype=pl.Int64),
+        "word": pl.Series([s if s is not None else "" for s in texts],
+                          dtype=pl.Utf8).str.split(" "),
+    })
+    return df.explode("word")
+
+
+def repetition_stats(ids, texts) -> pa.Table:
+    """Gopher-style per-document repetition signals.
+
+    Returns (doc_id, n_words, n_distinct, dup_word_frac,
+    top_word_frac): dup_word_frac = 1 - distinct/total is the
+    duplicate-word fraction; top_word_frac is the mode word's share
+    (the word-level analogue of Gopher's top-n-gram character
+    fraction, Rae et al. 2021 §A1.3).
+    """
+    w = _explode_words(ids, texts)
+    per_word = w.group_by(["id", "word"]).len(name="cnt")
+    per_doc = (per_word.group_by("id")
+               .agg(n_words=pl.col("cnt").sum(),
+                    n_distinct=pl.len(),
+                    top_cnt=pl.col("cnt").max())
+               .sort("id"))
+    n = per_doc["n_words"].to_numpy().astype(np.int64)
+    d = per_doc["n_distinct"].to_numpy().astype(np.int64)
+    top = per_doc["top_cnt"].to_numpy().astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(per_doc["id"].to_numpy(), pa.int64()),
+        "n_words": pa.array(n),
+        "n_distinct": pa.array(d),
+        "dup_word_frac": pa.array(1.0 - d * 1.0 / n),
+        "top_word_frac": pa.array(top * 1.0 / n),
+    })
+
+
+def df_partials(ids, texts) -> pa.Table:
+    """Per-batch document-frequency partials: (token, df) where df
+    counts documents *in this batch* containing the token (the
+    combiner half of a count-distinct-docs groupby — the global
+    groupby then sums a vocabulary-sized table, not the corpus)."""
+    w = _explode_words(ids, texts).unique(subset=["id", "word"])
+    g = w.group_by("word").len(name="df")
+    return pa.table({"token": pa.array(g["word"].to_list(), pa.string()),
+                     "df": pa.array(g["df"].to_numpy(), pa.int64())})
+
+
+def shingle_strings(ids, texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All k-word shingles of a batch: (doc_id array, shingle array).
+
+    One flat word array for the whole batch; valid window starts are
+    found with a vectorized same-doc mask; shingle strings are built
+    with k-1 vectorized string adds (pandas, C-level) — no per-row
+    loop.
+    """
+    w = _explode_words(ids, texts)
+    doc = w["id"].to_numpy()
+    words = pd.Series(w["word"].to_list(), dtype="object")
+    n = len(words)
+    if n < k:
+        return np.empty(0, np.int64), np.empty(0, object)
+    starts = np.arange(n - k + 1)
+    same_doc = doc[starts] == doc[starts + k - 1]
+    starts = starts[same_doc]
+    if len(starts) == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    sh = words.iloc[starts].reset_index(drop=True)
+    for j in range(1, k):
+        sh = sh + " " + words.iloc[starts + j].reset_index(drop=True)
+    return doc[starts].astype(np.int64), sh.to_numpy()

@@ -1491,6 +1491,193 @@ def media_decode_meta(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: dedup clustering, vocabulary, repetition quality,
+# benchmark decontamination, PII scrubbing
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+), und AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), reach AS (
+  SELECT vec_id AS node, vec_id AS r FROM embeddings
+  UNION
+  SELECT e.v AS node, reach.r AS r FROM reach JOIN und e ON e.u = reach.node
+)
+SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
+@query("dedup_components", _COMPONENTS_SQL)
+def dedup_components(sf_dir: str) -> pd.DataFrame:
+    """Near-dup *clustering*: transitive closure of the exact cosine
+    near-dup pairs via distributed hash-to-min label propagation
+    (stages/graph.py) — the canonical-document-per-cluster step of a
+    C4/RefinedWeb-style dedup recipe. Singletons keep their own id.
+    The SQL oracle walks the same edges with a recursive CTE."""
+    from ..stages.dedupe import embedding_neardup_pairs
+    from ..stages.graph import connected_components
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # pair list is tiny relative to the corpus (near-dup rate), so the
+    # pandas hop is result-sized; at scale the pair stage would return
+    # a Dataset and feed connected_components unchanged.
+    pairs = embedding_neardup_pairs(ds, "embedding", "vec_id", tau=0.45)
+    edges = rd.from_arrow(pa.table({
+        "id_a": pa.array(pairs["id_a"].to_numpy(), pa.int64()),
+        "id_b": pa.array(pairs["id_b"].to_numpy(), pa.int64())}))
+    nodes = _pq(sf_dir, "embeddings", ["vec_id"])
+    out = connected_components(nodes, edges, "vec_id").to_pandas()
+    return (out.astype({"vec_id": "int64", "component": "int64"})
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+_TOPTERMS_SQL = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+) GROUP BY token ORDER BY df DESC, token LIMIT 50
+"""
+
+
+@query("corpus_top_terms", _TOPTERMS_SQL)
+def corpus_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary / document-frequency: per-batch distinct-(doc,token)
+    partials (polars explode, Rust) shrink the shuffle to one
+    vocabulary-sized row per batch before the global token groupby."""
+    from ..functions.corpus import df_partials
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = (ds.map_batches(
+        lambda t: df_partials(t["doc_id"].to_numpy(), t["text"].to_pylist()),
+        batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("df", alias_name="df"))
+        .to_pandas())
+    out["df"] = out["df"].astype("int64")
+    return (out.sort_values(["df", "token"], ascending=[False, True])
+            .head(50).reset_index(drop=True))
+
+
+_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
+m AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt FROM c GROUP BY doc_id)
+SELECT doc_id, n_words, n_distinct,
+       1.0 - n_distinct*1.0/n_words AS dup_word_frac,
+       top_cnt*1.0/n_words AS top_word_frac
+FROM m ORDER BY doc_id
+"""
+
+
+@query("doc_repetition_stats", _REPETITION_SQL)
+def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (duplicate-word and
+    mode-word fractions) — embarrassingly parallel: one vectorized
+    polars pass per batch, no shuffle at all."""
+    from ..functions.corpus import repetition_stats
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: repetition_stats(t["doc_id"].to_numpy(),
+                                   t["text"].to_pylist()),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DECONTAM_SQL = """
+WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(w)-3, 1)),
+                                    i -> array_to_string(w[i:i+4], ' '))) AS g
+       FROM ws)
+SELECT DISTINCT c.doc_id FROM sh c
+JOIN (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0) b ON c.g = b.g
+WHERE c.doc_id % 50 <> 0 ORDER BY doc_id
+"""
+
+
+@query("decontaminate", _DECONTAM_SQL)
+def decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    5-word shingle with the held-out benchmark slice (doc_id%50==0 —
+    the stand-in eval set). Eval sets are small by nature (MBs), so
+    the benchmark shingle set is broadcast once via ray.put and each
+    batch does a vectorized membership probe — no shuffle. Exact
+    shingle *strings* here to match the SQL oracle; at 100 TB the
+    probe side would carry 64-bit shingle hashes instead."""
+    from ..functions.corpus import shingle_strings
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t["doc_id"].to_numpy() % 50 == 0))
+        _, sh = shingle_strings(t["doc_id"].to_numpy(), t["text"].to_pylist())
+        return pa.table({"g": pa.array(np.unique(sh.astype(str))
+                                       if len(sh) else [], pa.string())})
+
+    bench = set(pa.Table.from_pylist(
+        ds.map_batches(bench_shingles, batch_format="pyarrow")
+        .take_all())["g"].to_pylist())
+    bench_ref = ray.put(bench)
+
+    def probe(t: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        ids = t["doc_id"].to_numpy()
+        doc, sh = shingle_strings(ids, t["text"].to_pylist())
+        keep = doc[pd.Series(sh).isin(b).to_numpy()] if len(sh) else doc[:0]
+        keep = np.unique(keep)
+        keep = keep[keep % 50 != 0]
+        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+    out = (ds.map_batches(probe, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(Count(alias_name="_n"))
+           .to_pandas())
+    return (out[["doc_id"]].astype("int64")
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+_PII_SQL = """
+SELECT event_id,
+       regexp_replace(regexp_replace(props,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '[0-9]+', '[NUM]', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(props,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+       + CAST(len(regexp_extract_all(regexp_replace(props,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '[0-9]+')) AS BIGINT) AS n_redactions
+FROM events ORDER BY event_id
+"""
+
+
+@query("pii_scrub", _PII_SQL)
+def pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII-style scrubbing over the event payloads: email addresses
+    then digit runs (account-number stand-ins) are redacted with RE2
+    kernels (pc.replace_substring_regex — the same regex engine DuckDB
+    uses, so the oracle is byte-identical). Pure map, no shuffle."""
+    ds = _pq(sf_dir, "events", ["event_id", "props"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        props = t["props"]
+        n_email = pc.count_substring_regex(props, _EMAIL_RE)
+        s1 = pc.replace_substring_regex(props, _EMAIL_RE,
+                                        replacement="[EMAIL]")
+        n_num = pc.count_substring_regex(s1, r"[0-9]+")
+        s2 = pc.replace_substring_regex(s1, r"[0-9]+", replacement="[NUM]")
+        return pa.table({
+            "event_id": t["event_id"], "scrubbed": s2,
+            "n_redactions": pc.cast(pc.add(n_email, n_num), pa.int64())})
+
+    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # crawl pipelines (non-SQL: verified against the sequential oracle in
 # tests; the driver records rows-only here)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,182 @@
+"""Distributed connected components over a pair/edge Dataset.
+
+The canonical last step of a near-dup pipeline: MinHash / SimHash /
+embedding near-dup stages emit *pairs*; picking one canonical document
+per duplicate *cluster* requires the transitive closure of those pairs
+(as in the C4 / Gopher / RefinedWeb dedup recipes).
+
+Algorithm: hash-to-min label propagation with pointer jumping. Every
+vertex starts with label = its own id; each round every vertex takes
+the min of its own label, its direct neighbors' labels, and
+label(label(v)) (the pointer jump — halves the remaining chain depth,
+so convergence is O(log diameter), the same guarantee as
+large-star/small-star, Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14). Labels are monotonically
+non-increasing, so the global label sum is a convergence witness: a
+round that leaves the sum unchanged is a fixpoint.
+
+Both per-round lookups are *salted bucket joins* built on
+``groupby().map_groups`` rather than ``Dataset.join``:
+
+- requests are bucketed by ``hash(key) % B`` and additionally salted
+  by ``hash(requester) % S``; the lookup side is replicated S ways.
+  A converged component is a maximal hot key (every member asks for
+  the same root's label) — the salt spreads that hub over S groups,
+  so no single task ever sees a component-sized group. This is the
+  explicit skew handling a 10^10-edge dup graph needs (viral
+  duplicates form million-member clusters).
+- ``groupby`` only materializes non-empty groups, sidestepping the
+  empty-hash-partition failure mode of two-sided shuffle joins on
+  skewed keys (Ray 2.49's join finalize builds a schema-less table
+  for an empty partition; a converged label key guarantees empty
+  partitions).
+
+Per-round cost: O((|E| + |V|) * (1 + S/B)) shuffled bytes; the
+lookup side replication is |labels| * S / B per group — keep S << B.
+``labels`` is materialized once per round (O(|V|) rows); the
+convergence check moves ONE scalar to the driver per round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _h(x: np.ndarray) -> np.ndarray:
+    """Cheap 64-bit multiplicative mix to decorrelate bucket routing
+    from dense integer id ranges."""
+    return (x.astype(np.uint64) * _MIX) >> np.uint64(17)
+
+
+def _undirect(edges: rd.Dataset, col_a: str, col_b: str) -> rd.Dataset:
+    """(a,b) pairs -> both (src,dst) directions, so one lookup round
+    propagates labels both ways."""
+
+    def both(t: pa.Table) -> pa.Table:
+        a, b = t[col_a].combine_chunks(), t[col_b].combine_chunks()
+        return pa.table({"key": pa.concat_arrays([a, b]),
+                         "out": pa.concat_arrays([b, a])})
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def _salted_lookup(reqs: rd.Dataset, labels: rd.Dataset,
+                   n_buckets: int, n_salts: int) -> rd.Dataset:
+    """For each request row (key, out): look up label(key) and emit
+    (node=out, label=label(key)). One groupby shuffle; hot keys are
+    spread over `n_salts` groups; the label side is replicated
+    `n_salts` ways within its bucket."""
+
+    def tag_reqs(t: pa.Table) -> pd.DataFrame:
+        k = t["key"].to_numpy()
+        o = t["out"].to_numpy()
+        return pd.DataFrame({
+            "b": (_h(k) % np.uint64(n_buckets)).astype(np.int32),
+            "s": (_h(o) % np.uint64(n_salts)).astype(np.int32),
+            "k": k.astype(np.int64), "v": o.astype(np.int64),
+            "side": np.int8(0)})
+
+    def tag_labels(t: pa.Table) -> pd.DataFrame:
+        n = t["node"].to_numpy()
+        lab = t["label"].to_numpy()
+        reps = n_salts
+        return pd.DataFrame({
+            "b": np.tile((_h(n) % np.uint64(n_buckets)).astype(np.int32), reps),
+            "s": np.repeat(np.arange(reps, dtype=np.int32), len(n)),
+            "k": np.tile(n.astype(np.int64), reps),
+            "v": np.tile(lab.astype(np.int64), reps),
+            "side": np.int8(1)})
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        lk = g[g["side"] == 1]
+        rq = g[g["side"] == 0]
+        if len(rq) == 0 or len(lk) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int64")})
+        m = rq.merge(lk[["k", "v"]], on="k", how="inner",
+                     suffixes=("", "_lab"))
+        return pd.DataFrame({"node": m["v"].astype("int64"),
+                             "label": m["v_lab"].astype("int64")})
+
+    def to_arrow(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        return pa.table({"node": pc.cast(t["node"], pa.int64()),
+                         "label": pc.cast(t["label"], pa.int64())})
+
+    tagged = (reqs.map_batches(tag_reqs, batch_format="pyarrow")
+              .union(labels.map_batches(tag_labels, batch_format="pyarrow")))
+    return (tagged.groupby(["b", "s"])
+            .map_groups(resolve, batch_format="pandas")
+            .map_batches(to_arrow, batch_format="pyarrow"))
+
+
+def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
+                         node_col: str, col_a: str = "id_a",
+                         col_b: str = "id_b", max_rounds: int = 50,
+                         num_partitions: int = 8,
+                         n_salts: int = 4) -> rd.Dataset:
+    """Label every node with the min node-id reachable through `edges`.
+
+    nodes: Dataset with `node_col` (int64, unique). Singletons keep
+    their own id as component.
+    edges: Dataset of undirected pairs (col_a, col_b).
+    num_partitions: lookup bucket count B (size to the cluster).
+    Returns a Dataset with columns (node_col, "component").
+    """
+    und = _undirect(edges, col_a, col_b).materialize()
+    if und.count() == 0:
+        return nodes.map_batches(
+            lambda t: pa.table({node_col: t[node_col],
+                                "component": t[node_col]}),
+            batch_format="pyarrow")
+
+    def _norm(t: pa.Table) -> pa.Table:
+        # shuffle outputs may contain schema-less empty blocks;
+        # re-project so every block carries the (node, label) schema
+        if "node" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        return pa.table({"node": pc.cast(t["node"], pa.int64()),
+                         "label": pc.cast(t["label"], pa.int64())})
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": pc.cast(t[node_col], pa.int64()),
+                            "label": pc.cast(t[node_col], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    for _ in range(max_rounds):
+        # one lookup serves both rules: neighbor rule (for edge
+        # (src,dst), dst learns label(src)) and pointer jump (v learns
+        # label(label(v))) — their request streams union into a single
+        # salted shuffle per round
+        jump_reqs = labels.map_batches(
+            lambda t: pa.table({"key": t["label"], "out": t["node"]}),
+            batch_format="pyarrow")
+        found = _salted_lookup(und.union(jump_reqs), labels,
+                               num_partitions, n_salts).materialize()
+        labels = (labels.union(found)
+                  .groupby("node").aggregate(Min("label", alias_name="label"))
+                  .map_batches(_norm, batch_format="pyarrow")
+                  # pin the label table to a fixed block count: without
+                  # this, each round's union+shuffle multiplies tiny
+                  # blocks and scheduling overhead grows exponentially
+                  .repartition(num_partitions)
+                  .materialize())
+        new_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({node_col: t["node"], "component": t["label"]}),
+        batch_format="pyarrow")

@@ -1,0 +1,116 @@
+"""Corpus-curation operators (dedup clustering, vocabulary,
+repetition quality, decontamination, PII scrub) vs the DuckDB oracles
+at sf0.001, plus connected-components unit tests against a
+brute-force union-find."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _check(name: str):
+    from realestate_scraper_ray.pipelines.relational import ORACLE, QUERIES
+
+    got = QUERIES[name](SF)
+    exp = _oracle(ORACLE[name])
+    assert sorted(got.columns) == sorted(exp.columns)
+    a = got[sorted(got.columns)].reset_index(drop=True)
+    b = exp[sorted(exp.columns)].reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy(),
+                              equal_nan=(a[c].dtype.kind == "f")), c
+
+
+def test_dedup_components_matches_oracle():
+    _check("dedup_components")
+
+
+def test_corpus_top_terms_matches_oracle():
+    _check("corpus_top_terms")
+
+
+def test_doc_repetition_stats_matches_oracle():
+    _check("doc_repetition_stats")
+
+
+def test_decontaminate_matches_oracle():
+    _check("decontaminate")
+
+
+def test_pii_scrub_matches_oracle():
+    _check("pii_scrub")
+
+
+# ---------------------------------------------------------------------------
+# connected_components vs brute-force union-find
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node in component
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    label = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            label[v] = m
+    return [label[v] for v in range(n_nodes)]
+
+
+def _run_cc(n_nodes, edges):
+    import ray.data as rd
+
+    from realestate_scraper_ray.stages.graph import connected_components
+
+    nodes = rd.from_arrow(pa.table({"id": pa.array(range(n_nodes), pa.int64())}))
+    e = rd.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64())}))
+    out = connected_components(nodes, e, "id", num_partitions=4).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert list(out["id"]) == list(range(n_nodes))
+    return list(out["component"].astype(int))
+
+
+def test_cc_empty_edges():
+    assert _run_cc(5, []) == [0, 1, 2, 3, 4]
+
+
+def test_cc_chain():
+    # a chain exercises multi-round propagation + the pointer jump
+    n = 16
+    edges = [(i, i + 1) for i in range(n - 1)]
+    assert _run_cc(n, edges) == [0] * n
+
+
+def test_cc_random_graph():
+    rng = np.random.default_rng(7)
+    n = 60
+    edges = [tuple(sorted(map(int, rng.integers(0, n, 2)))) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run_cc(n, edges) == _uf_components(n, edges)
