@@ -38,7 +38,7 @@ HEADLINE_QUERIES = [
     "documents_clean_corpus", "dedup_exact_text", "dedup_minhash_lsh",
     "split_by_hash", "doc_repetition_stats", "decontaminate",
     "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup",
-    "dedup_components",
+    "dedup_components", "dedup_corpus_survivors",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

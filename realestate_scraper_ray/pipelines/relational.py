@@ -1535,6 +1535,62 @@ def dedup_components(sf_dir: str) -> pd.DataFrame:
             .sort_values("vec_id").reset_index(drop=True))
 
 
+_SURVIVORS_SQL = r"""
+WITH RECURSIVE t0 AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(tt, '\s+') AS w FROM t0 WHERE tt <> ''),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    [array_to_string(list_slice(w, i, i + 2), ' ') FOR i IN range(1, len(w) - 1)])) AS s
+  FROM toks WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE i * 1000 >= 600 * (ca.n + cb.n - i)),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.v AS node, reach.r AS r FROM reach JOIN und e ON e.u = reach.node),
+comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node)
+SELECT node AS doc_id FROM comp WHERE node = c ORDER BY doc_id
+"""
+
+
+@query("dedup_corpus_survivors", _SURVIVORS_SQL)
+def dedup_corpus_survivors(sf_dir: str) -> pd.DataFrame:
+    """End-to-end clustered text dedup: exact n-gram Jaccard pairs
+    (θ=0.6, same semantics as `dedup_ngram_jaccard`) → connected
+    components → keep the min doc_id per duplicate cluster. This is
+    the full C4/RefinedWeb-style dedup *result* (the surviving
+    corpus), not just the pair list."""
+    from ..stages.dedupe import ngram_jaccard_pairs
+    from ..stages.graph import connected_components
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.6)
+    edges = rd.from_arrow(pa.table({
+        "id_a": pa.array(pairs["id_a"].to_numpy(), pa.int64()),
+        "id_b": pa.array(pairs["id_b"].to_numpy(), pa.int64())}))
+    nodes = _pq(sf_dir, "documents", ["doc_id"])
+    cc = connected_components(nodes, edges, "doc_id")
+    out = cc.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["component"]))
+                   .select(["doc_id"]),
+        batch_format="pyarrow").to_pandas()
+    return (out.astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 _TOPTERMS_SQL = """
 SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token

@@ -51,6 +51,10 @@ def test_pii_scrub_matches_oracle():
     _check("pii_scrub")
 
 
+def test_dedup_corpus_survivors_matches_oracle():
+    _check("dedup_corpus_survivors")
+
+
 # ---------------------------------------------------------------------------
 # connected_components vs brute-force union-find
 # ---------------------------------------------------------------------------
