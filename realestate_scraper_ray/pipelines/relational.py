@@ -1734,6 +1734,190 @@ def pii_scrub(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-set assembly: epoch shuffle, quantile gating, temperature
+# sampling, sequence packing
+# ---------------------------------------------------------------------------
+
+# Deterministic sharded epoch shuffle: every doc gets a content-free
+# pseudo-random key md5("ep1:"||doc_id); the first hex nibble is the
+# shard, rank-within-shard by (key, doc_id) is the read order. At scale
+# the shard count is raised so one shard ~= one block and the
+# per-shard sort happens inside map_groups — no global sort, only a
+# 1/16-fanout groupby shuffle of (doc_id, key) pairs, never the text.
+_EPOCH_SQL = """
+WITH h AS (
+  SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS hv FROM documents)
+SELECT doc_id, substr(hv, 1, 1) AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(hv, 1, 1)
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@query("epoch_shuffle", _EPOCH_SQL)
+def epoch_shuffle(sf_dir: str) -> rd.Dataset:
+    """Seeded epoch shuffle for training-data loaders (reference's
+    deterministic re-run property, generalized): hash-keyed shard +
+    intra-shard rank, stable under any input partitioning."""
+    from ..functions.textstats import md5_fingerprints
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        hv = md5_fingerprints(pc.binary_join_element_wise("ep1", ids, ":"))
+        return pa.table({"doc_id": t["doc_id"], "hv": hv,
+                         "shard": pc.utf8_slice_codeunits(hv, 0, 1)})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hv", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame({"doc_id": g["doc_id"], "shard": g["shard"],
+                             "pos": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return (ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
+# Global-quantile quality gate: keep docs at/above the 75th-percentile
+# word count. The exact quantile over 100 TB comes from a value-count
+# histogram (token counts are small ints — the distinct-value set is
+# tiny), not a global sort: one combine-style groupby of (n_words,
+# count), cutoff picked on the driver from the histogram, then a
+# stateless broadcast filter. For continuous scores the same slot takes
+# a t-digest sketch instead.
+_QUANTILE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words
+  FROM documents),
+c AS (SELECT quantile_disc(n_words, 0.75) AS q FROM s)
+SELECT doc_id, n_words FROM s, c WHERE n_words >= q
+"""
+
+
+@query("quality_quantile_filter", _QUANTILE_SQL)
+def quality_quantile_filter(sf_dir: str) -> rd.Dataset:
+    from ..functions.textstats import token_counts
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        tc = token_counts(t["text"].combine_chunks())
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_words": pc.cast(tc["n_tokens_ws"], pa.int64())})
+
+    scores = ds.map_batches(tok, batch_format="pyarrow").materialize()
+    hist = (scores.groupby("n_words").aggregate(Count(alias_name="n"))
+            .to_pandas().sort_values("n_words").reset_index(drop=True))
+    # quantile_disc picks the sorted element at index floor((N-1)*q).
+    total = int(hist["n"].sum())
+    idx = int(np.floor((total - 1) * 0.75))
+    cum = hist["n"].cumsum().to_numpy()
+    cutoff = int(hist["n_words"][int(np.searchsorted(cum, idx + 1))])
+    return scores.filter(expr=f"n_words >= {cutoff}")
+
+
+# Temperature sampling across sources (tau=2 flattening): keep
+# probability proportional to n_source^-0.5, capped at 1, so rare
+# sources are up-weighted. Membership is decided by a content hash
+# against a per-source integer threshold — deterministic, join-free on
+# the big side (the per-source count table is tiny and broadcast).
+# Double arithmetic is written with the same association on both sides
+# (and the 0.25 / 2^24 factors are exact powers of two), so the Ray
+# and DuckDB thresholds agree bit-for-bit.
+_TEMPERATURE_SQL = """
+WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g
+           FROM documents GROUP BY source),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+t AS (SELECT source,
+             LEAST(16777216.0, FLOOR(0.125 * sqrt(n) / sqrt(n_g) * 16777216.0)) AS thr
+      FROM g, tot)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t USING (source)
+WHERE CAST('0x' || substr(md5(d.text), 1, 6) AS BIGINT) < t.thr
+"""
+
+
+@query("source_temperature_sample", _TEMPERATURE_SQL)
+def source_temperature_sample(sf_dir: str) -> rd.Dataset:
+    from ..functions.textstats import md5_fingerprints
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    counts = (ds.groupby("source").aggregate(Count(alias_name="n_g"))
+              .to_pandas())
+    n_total = float(counts["n_g"].sum())
+    thr = {
+        s: float(np.minimum(16777216.0,
+                            np.floor(0.125 * np.sqrt(n_total) / np.sqrt(float(n))
+                                     * 16777216.0)))
+        for s, n in zip(counts["source"], counts["n_g"])}
+    # The per-source threshold table is O(#sources) — a few KB even at
+    # corpus scale — so it rides into each task's closure (a stateless
+    # map, no actor pool: state setup is nil and an actor pool would
+    # pin CPUs the upstream read needs on small clusters).
+
+    def gate(t: pa.Table) -> pa.Table:
+        fp = md5_fingerprints(t["text"].combine_chunks())
+        u = np.array([int(h[:6], 16) for h in fp.to_pylist()],
+                     dtype=np.float64)
+        lim = np.array([thr[s] for s in t["source"].to_pylist()])
+        return t.filter(pa.array(u < lim)).select(["doc_id", "source"])
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# GPT-style sequence packing: concatenate the token stream in doc_id
+# order and cut fixed 2048-token context windows; each doc reports its
+# global token offset and the window it starts in. The global prefix
+# sum is hierarchical — per-bucket subtotal groupby (tiny), exclusive
+# bucket offsets on the driver, then intra-bucket cumsum in map_groups
+# — so nothing sorts or scans globally; only (doc_id, n_tokens) pairs
+# move, never text.
+_PACK_BIN = 2048
+_PACK_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS tok_offset
+  FROM s)
+SELECT doc_id, n_tokens, tok_offset, tok_offset // {_PACK_BIN} AS pack_bin
+FROM o
+"""
+
+
+@query("sequence_packing", _PACK_SQL)
+def sequence_packing(sf_dir: str) -> rd.Dataset:
+    from ..functions.textstats import token_counts
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    bucket_w = 1 << 14
+
+    def tok(t: pa.Table) -> pa.Table:
+        tc = token_counts(t["text"].combine_chunks())
+        n = pc.cast(tc["n_tokens_ws"], pa.int64())
+        b = pc.divide(t["doc_id"], bucket_w)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n, "bucket": b})
+
+    toks = ds.map_batches(tok, batch_format="pyarrow").materialize()
+    sub = (toks.groupby("bucket").aggregate(Sum("n_tokens", alias_name="tot"))
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    starts = np.concatenate(([0], sub["tot"].cumsum().to_numpy()[:-1]))
+    offsets = ray.put(dict(zip(sub["bucket"].astype(int), starts.astype(int))))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        base = ray.get(offsets)[int(g["bucket"][0])]
+        n = g["n_tokens"].to_numpy()
+        off = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame({"doc_id": g["doc_id"], "n_tokens": g["n_tokens"],
+                             "tok_offset": off.astype(np.int64),
+                             "pack_bin": (off // _PACK_BIN).astype(np.int64)})
+
+    return toks.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # crawl pipelines (non-SQL: verified against the sequential oracle in
 # tests; the driver records rows-only here)
 # ---------------------------------------------------------------------------
