@@ -39,6 +39,7 @@ HEADLINE_QUERIES = [
     "split_by_hash", "doc_repetition_stats", "decontaminate",
     "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup",
     "dedup_components", "dedup_corpus_survivors",
+    "epoch_shuffle", "sequence_packing",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a
