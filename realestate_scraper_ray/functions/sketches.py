@@ -1,0 +1,78 @@
+"""Mergeable cardinality sketches (HyperLogLog, Flajolet et al. '07).
+
+The reference has no approximate aggregates (SURVEY.md §2.5 "Absent"),
+but a 100-TB engine needs distinct counts that don't shuffle every key:
+an HLL register array is a fixed 2^P bytes regardless of input size, so
+per-batch partials reduce a billion-row groupby to one tiny max-merge —
+the combiner pattern the rest of the catalog uses for sums, applied to
+COUNT(DISTINCT).
+
+All hashing is splitmix64 (same mix as the MinHash kernels) — fully
+deterministic across processes, so sketch results are reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HLL_P = 12  # 4096 registers, ~1.6 % standard error
+HLL_M = 1 << HLL_P
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of an integer array (uint64 out)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (x may contain 0 →
+    returns 64). Binary-search shift ladder, 6 vector ops."""
+    x = x.copy()
+    n = np.zeros(len(x), dtype=np.uint8)
+    for s in (32, 16, 8, 4, 2, 1):
+        zero_top = (x >> np.uint64(64 - s)) == 0
+        n[zero_top] += s
+        x[zero_top] <<= np.uint64(s)
+    n[x == 0] = 64
+    return n
+
+
+def hll_partial(values: np.ndarray, registers: np.ndarray | None = None
+                ) -> np.ndarray:
+    """Fold integer values into a 2^P uint8 register array (in place if
+    ``registers`` is given) — the per-batch combiner."""
+    if registers is None:
+        registers = np.zeros(HLL_M, dtype=np.uint8)
+    if len(values) == 0:
+        return registers
+    h = splitmix64(np.asarray(values))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rem = h << np.uint64(HLL_P)  # remaining 64-P significant bits, top-aligned
+    rho = np.minimum(_clz64(rem), 64 - HLL_P).astype(np.uint8) + 1
+    np.maximum.at(registers, idx, rho)
+    return registers
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    """Elementwise max of register arrays — the associative merge that
+    makes the sketch distributable."""
+    out = np.zeros(HLL_M, dtype=np.uint8)
+    for p in parts:
+        np.maximum(out, p, out=out)
+    return out
+
+
+def hll_estimate(registers: np.ndarray) -> int:
+    """Bias-corrected HLL estimate with the small-range (linear
+    counting) correction from the original paper."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -registers.astype(np.float64)).sum()
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(round(est))

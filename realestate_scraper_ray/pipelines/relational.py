@@ -2076,3 +2076,151 @@ def crawl_geo_snap(sf_dir: str) -> pd.DataFrame:
         snap_geo(rd.from_arrow(offers_t), cache).select_columns(
             ["offer_id", "lat", "lon", "geo_snapped"]).take_all()).to_pandas()
     return out.sort_values("offer_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# interleaved-document assembly (BASELINE.json input_hint substrate)
+# ---------------------------------------------------------------------------
+
+_INTERLEAVED_SQL = """
+WITH srt AS (
+  SELECT user_id, event_type, props,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS off
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       md5(string_agg(event_type || '|' || props || '||' || off, ';' ORDER BY off)) AS spans_fp
+FROM srt GROUP BY user_id
+"""
+
+
+@query("events_interleaved_docs", _INTERLEAVED_SQL)
+def events_interleaved_docs(sf_dir: str) -> pd.DataFrame:
+    """Interleaved-document assembly (the engine's target substrate,
+    SURVEY.md §1.4): flat event rows → one ``(doc_id, spans)`` document
+    per user with ``spans = list<struct<kind,text,media_ref,offset>>``
+    ordered by (ts, event_id). The SQL oracle checks the NESTED result
+    through a flat twin: an order-sensitive md5 over the canonical span
+    serialization — any lost or reordered span changes the hash."""
+    from ..stages.interleave import assemble_spans, span_fingerprints
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type", "props"])
+    docs = assemble_spans(ds, "user_id", kind_col="event_type",
+                          text_col="props", media_col=None,
+                          order_cols=["ts", "event_id"])
+    out = span_fingerprints(docs, "user_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+@query("crawl_interleaved")  # non-SQL: nested assembly tested in pytest
+def crawl_interleaved(sf_dir: str) -> pd.DataFrame:
+    """The crawl output re-assembled as the input_hint substrate: one
+    interleaved document per offer — a text span (title, offset 0)
+    followed by its image spans (photo URLs, offsets following the
+    reference's photo ``seq`` order). Returns the per-document span
+    count + order-sensitive fingerprint of the nested column."""
+    from ..stages.interleave import assemble_spans, span_fingerprints
+    res = _crawl_result()
+    offers_t, photos_t = res.table("offers"), res.table("photos")
+    n_o, n_p = offers_t.num_rows, photos_t.num_rows
+    text_rows = pa.table({
+        "offer_id": offers_t["offer_id"],
+        "kind": pa.array(["text"] * n_o),
+        "content": offers_t["title"],
+        "media_ref": pa.array([""] * n_o),
+        "ord": pa.array(np.zeros(n_o, dtype=np.int64))})
+    img_rows = pa.table({
+        "offer_id": photos_t["offer_id"],
+        "kind": pa.array(["image"] * n_p),
+        "content": pa.array([""] * n_p),
+        "media_ref": photos_t["url"],
+        "ord": pc.add(pc.cast(photos_t["seq"], pa.int64()), 1)})
+    flat = pa.concat_tables([text_rows, img_rows])
+    docs = assemble_spans(rd.from_arrow(flat), "offer_id", kind_col="kind",
+                          text_col="content", media_col="media_ref",
+                          order_cols=["ord"])
+    out = span_fingerprints(docs, "offer_id").to_pandas()
+    return out.sort_values("offer_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication (Lee et al. '22 window-hash formulation)
+# ---------------------------------------------------------------------------
+
+_EXACT_SUBSTR_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS win
+         FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, greatest(1, len(w) - 7))) AS i) t),
+mark AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY win) > 1 AS is_dup FROM wins)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+FROM mark GROUP BY doc_id
+"""
+
+
+@query("exact_substring_dup", _EXACT_SUBSTR_SQL)
+def exact_substring_dup(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring duplication over the documents table: per doc,
+    distinct 8-word windows and how many of them occur in ≥1 other doc
+    (stages/dedupe.py duplicated_window_stats — two pair-scale shuffles,
+    per-doc distinct before the exchange)."""
+    from ..stages.dedupe import duplicated_window_stats
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicated_window_stats(ds, "text", "doc_id", k=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# approximate distinct (HyperLogLog sketch)
+# ---------------------------------------------------------------------------
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
+@query("approx_distinct_users", _APPROX_DISTINCT_SQL)
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT) as a mergeable HLL sketch: per-batch register
+    partials (4 KB each, regardless of batch size) → one tiny max-merge
+    per group — the shuffle moves sketches, never keys. The oracle-
+    checked gate: the estimate lands within 5 % of the exact count
+    (4096 registers ⇒ ~1.6 % standard error), n_exact itself comes from
+    the engine's exact two-level distinct and must hash-match SQL."""
+    from ..functions.sketches import hll_estimate, hll_merge, hll_partial
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        types, regs = [], []
+        tt = t.group_by("event_type").aggregate([("user_id", "list")])
+        for i in range(tt.num_rows):
+            types.append(tt["event_type"][i].as_py())
+            vals = np.asarray(tt["user_id_list"][i].as_py(), dtype=np.int64)
+            regs.append(hll_partial(vals).tobytes())
+        return pa.table({"event_type": pa.array(types),
+                         "regs": pa.array(regs, pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        parts = [np.frombuffer(b.as_py(), dtype=np.uint8)
+                 for b in g["regs"]]
+        est = hll_estimate(hll_merge(parts))
+        return pa.table({"event_type": g["event_type"][:1],
+                         "n_approx": pa.array([est], pa.int64())})
+
+    approx = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("event_type").map_groups(merge, batch_format="pyarrow")
+              .to_pandas())
+    exact = (ds.groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="_n"))
+             .groupby("event_type").aggregate(Count(alias_name="n_exact"))
+             .to_pandas()[["event_type", "n_exact"]])
+    out = exact.merge(approx, on="event_type")
+    out["approx_ok"] = (out["n_approx"] - out["n_exact"]).abs() <= \
+        0.05 * out["n_exact"]
+    out["n_exact"] = out["n_exact"].astype("int64")
+    return (out[["event_type", "n_exact", "approx_ok"]]
+            .sort_values("event_type").reset_index(drop=True))

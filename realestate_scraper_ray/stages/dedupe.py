@@ -438,3 +438,65 @@ def embedding_neardup_pairs(ds: rd.Dataset, vec_col: str, id_col: str,
         return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
     out = pa.Table.from_pylist(out_rows).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication (window hashing)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_window_stats(ds: rd.Dataset, text_col: str, id_col: str,
+                            k: int = 8) -> rd.Dataset:
+    """Exact-substring duplication stats: per document, how many of its
+    distinct k-word windows also occur in at least one other document.
+
+    The window-hash formulation of exact substring dedup (Lee et al.
+    '22, "Deduplicating Training Data Makes Language Models Better" —
+    their suffix-array pass, re-expressed as the shuffle-friendly
+    MapReduce variant): every k-word window is hashed, windows are
+    hash-partitioned, and a window seen in ≥2 documents marks all its
+    occurrences as duplicated. Texts shorter than k words contribute
+    their whole word sequence as their single window (same rule as
+    ``word_shingle_set``).
+
+    Scale shape: ``map_batches`` explodes each doc into its DISTINCT
+    window hashes (per-doc dedup before the shuffle), one groupby on the
+    window hash marks group size, one groupby on the doc id folds the
+    per-doc counters — two all-to-all exchanges of (doc_id, win) pairs,
+    no driver materialization, no text ever leaves its batch. Window
+    identity is the 64-bit shingle hash (deterministic sha1-based word
+    hashes + FNV fold); cross-doc collisions would need ~2^32 distinct
+    windows per partition to matter.
+
+    Returns a Dataset of ``(id_col, n_windows, dup_windows)`` — one row
+    per document that has at least one window (i.e. non-empty text).
+    """
+    from ..functions.textstats import _hash_tokens_matrix
+    from ray.data.aggregate import Sum
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        hm = _hash_tokens_matrix(t[text_col].to_pylist(), k)
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        out_ids, out_wins = [], []
+        for i, h in enumerate(hm):
+            u = np.unique(h)  # distinct windows within the doc
+            if u.size == 0:
+                continue
+            out_wins.append(u)
+            out_ids.append(np.full(u.size, ids[i], dtype=np.int64))
+        if not out_ids:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "win": pa.array([], pa.int64())})
+        return pa.table({id_col: np.concatenate(out_ids),
+                         # int64 view: groupby keys round-trip Python ints
+                         "win": np.concatenate(out_wins).view(np.int64)})
+
+    def mark(g: pa.Table) -> pa.Table:
+        dup = np.full(g.num_rows, 1 if g.num_rows > 1 else 0, dtype=np.int64)
+        return pa.table({id_col: g[id_col], "dup": dup})
+
+    return (ds.map_batches(win_rows, batch_format="pyarrow")
+            .groupby("win").map_groups(mark, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Count(alias_name="n_windows"),
+                       Sum("dup", alias_name="dup_windows")))

@@ -146,3 +146,34 @@ def test_neardup_pairs_deterministic(corpus):
     a = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5, num_perm=64, bands=32)
     b = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5, num_perm=64, bands=32)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_duplicated_window_stats_brute_force(ray_session):
+    from realestate_scraper_ray.stages.dedupe import duplicated_window_stats
+    k = 8
+    shared = [f"s{i}" for i in range(k)]  # one shared 8-word run
+    texts = [
+        " ".join([f"a{i}" for i in range(20)] + shared),
+        " ".join(shared + [f"b{i}" for i in range(15)]),
+        " ".join(f"c{i}" for i in range(30)),         # no dup windows
+        "short doc under k words",                    # whole-text window
+        "short doc under k words",                    # its exact dup
+        " ".join(["r"] * 12),                         # repeated word: 1 distinct window
+    ]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = {r["doc_id"]: (r["n_windows"], r["dup_windows"])
+           for r in duplicated_window_stats(ds, "text", "doc_id", k=k).take_all()}
+
+    # brute force on window strings
+    def wins(t):
+        w = t.split()
+        if len(w) < k:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    sets = [wins(t) for t in texts]
+    for i in ids:
+        others = set().union(*(sets[j] for j in ids if j != i))
+        assert got[i] == (len(sets[i]), len(sets[i] & others)), i
+    assert got[0][1] >= 1 and got[2][1] == 0 and got[3] == (1, 1)

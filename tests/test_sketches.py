@@ -1,0 +1,53 @@
+"""HyperLogLog sketch kernels: clz correctness, merge associativity,
+estimate accuracy within the documented error bound."""
+
+import numpy as np
+
+from realestate_scraper_ray.functions.sketches import (
+    HLL_M, _clz64, hll_estimate, hll_merge, hll_partial, splitmix64,
+)
+
+
+def test_clz64_exact():
+    rng = np.random.default_rng(3)
+    xs = np.concatenate([
+        np.array([0, 1, 2, 3, (1 << 63), (1 << 63) - 1,
+                  np.iinfo(np.uint64).max], dtype=np.uint64),
+        np.uint64(1) << rng.integers(0, 64, 50).astype(np.uint64),
+        rng.integers(1, 1 << 62, 200).astype(np.uint64),
+    ])
+    got = _clz64(xs)
+    want = [64 - int(x).bit_length() if x else 64 for x in xs]
+    assert got.tolist() == want
+
+
+def test_hll_merge_equals_single_pass():
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1 << 40, 30_000)
+    whole = hll_partial(vals)
+    parts = [hll_partial(c) for c in np.array_split(vals, 7)]
+    assert np.array_equal(hll_merge(parts), whole)
+
+
+def test_hll_accuracy_small_and_large():
+    for n in (10, 500, 20_000, 200_000):
+        vals = np.arange(n, dtype=np.int64) * 2654435761  # distinct
+        est = hll_estimate(hll_partial(vals))
+        assert abs(est - n) <= max(2, 0.05 * n), (n, est)
+
+
+def test_hll_duplicates_dont_inflate():
+    vals = np.tile(np.arange(100, dtype=np.int64), 1000)  # 100 distinct
+    est = hll_estimate(hll_partial(vals))
+    assert abs(est - 100) <= 5
+
+
+def test_splitmix_deterministic():
+    a = splitmix64(np.array([1, 2, 3], dtype=np.int64))
+    b = splitmix64(np.array([1, 2, 3], dtype=np.int64))
+    assert np.array_equal(a, b)
+    assert len(set(a.tolist())) == 3
+
+
+def test_registers_shape():
+    assert hll_partial(np.array([], dtype=np.int64)).shape == (HLL_M,)
