@@ -2224,3 +2224,30 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     out["n_exact"] = out["n_exact"].astype("int64")
     return (out[["event_type", "n_exact", "approx_ok"]]
             .sort_values("event_type").reset_index(drop=True))
+
+
+_EMB_LSH_RECALL_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+FROM (SELECT list_cosine_similarity(a.embedding, b.embedding) AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE c >= 0.45
+"""
+
+
+@query("embedding_neardup_lsh_recall", _EMB_LSH_RECALL_SQL)
+def embedding_neardup_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed embedding near-dup (the 100-TB scale path) vs the
+    exact truth: n_truth comes from the engine's exact triangle
+    self-join (hash-checked against the SQL cosine count), recall_ok =
+    the LSH path recovers ≥ 90 % of true ≥0.45 pairs (16 tables × 4
+    planes ⇒ expected ~0.95 at this loose threshold; tight near-dup
+    thresholds need far fewer tables)."""
+    from ..stages.dedupe import embedding_neardup_lsh, embedding_neardup_pairs
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    truth = embedding_neardup_pairs(ds, "embedding", "vec_id", tau=0.45)
+    found = embedding_neardup_lsh(ds, "embedding", "vec_id", tau=0.45)
+    tset = set(zip(truth.id_a.astype("int64"), truth.id_b.astype("int64")))
+    fset = set(zip(found.id_a.astype("int64"), found.id_b.astype("int64")))
+    recall = len(fset & tset) / max(1, len(tset))
+    return pd.DataFrame({"n_truth": [np.int64(len(tset))],
+                         "recall_ok": [recall >= 0.9]})

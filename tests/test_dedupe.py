@@ -177,3 +177,29 @@ def test_duplicated_window_stats_brute_force(ray_session):
         others = set().union(*(sets[j] for j in ids if j != i))
         assert got[i] == (len(sets[i]), len(sets[i] & others)), i
     assert got[0][1] >= 1 and got[2][1] == 0 and got[3] == (1, 1)
+
+
+def test_embedding_neardup_lsh_recall_and_precision(ray_session):
+    from realestate_scraper_ray.stages.dedupe import embedding_neardup_lsh
+    # clustered vectors: 8 clusters of 4 near-identical vectors (cos
+    # ~0.99 within, ~0 across) — the tight-τ regime LSH is built for
+    rng = np.random.default_rng(5)
+    vecs, ids = [], []
+    for c in range(8):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        for v in range(4):
+            x = base + 0.05 * rng.standard_normal(32)
+            vecs.append((x / np.linalg.norm(x)).tolist())
+            ids.append(c * 10 + v)
+    ds = rd.from_arrow(pa.table({"vec_id": ids, "embedding": vecs}))
+    got = embedding_neardup_lsh(ds, "embedding", "vec_id", tau=0.9,
+                                n_planes=4, n_tables=8)
+    pairs = set(zip(got.id_a, got.id_b))
+    # brute-force truth
+    m = np.array(vecs)
+    sims = m @ m.T
+    ia, ib = np.nonzero(sims >= 0.9)
+    truth = {(ids[a], ids[b]) for a, b in zip(ia, ib) if ids[a] < ids[b]}
+    assert pairs <= truth                      # verify step is exact
+    assert len(pairs & truth) / len(truth) >= 0.9   # recall
