@@ -2251,3 +2251,46 @@ def embedding_neardup_lsh_recall(sf_dir: str) -> pd.DataFrame:
     recall = len(fset & tset) / max(1, len(tset))
     return pd.DataFrame({"n_truth": [np.int64(len(tset))],
                          "recall_ok": [recall >= 0.9]})
+
+
+_FRAME_SQL = """
+WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, sha256(text) AS hx
+           FROM documents),
+f AS (SELECT media_id, hx, unnest(generate_series(0, 3)) AS fi FROM h),
+d AS (SELECT media_id, fi,
+             1000 + ('0x' || substr(hx, 9, 6))::BIGINT % 599000 AS dur,
+             sha256(hx || CAST(fi AS VARCHAR)) AS fh
+      FROM f)
+SELECT media_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(dur * fi // 4 AS BIGINT) AS frame_ts_ms,
+       CAST(64 + ('0x' || substr(fh, 1, 4))::BIGINT % 1984 AS INT) AS width,
+       CAST(64 + ('0x' || substr(fh, 5, 4))::BIGINT % 1984 AS INT) AS height
+FROM d
+"""
+
+
+@query("media_frame_sample", _FRAME_SQL)
+def media_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Frame sampling as an actor-pool flat-map: each media row fans out
+    n_frames frame rows (binary payload + ordering key + timestamp),
+    small input batches bound output memory. Decode is the documented
+    deterministic stub (no codec libs in this container), derived via
+    sha256 hex so the SQL oracle reproduces every metadata column; the
+    binary frame payloads themselves stay in the stage output."""
+    from ..stages.media import sample_frames
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "media_id": pc.cast(t["doc_id"], pa.string()),
+            "payload": pa.array([(x or "").encode() for x in texts],
+                                pa.binary()),
+            "media_type": pa.array(["video"] * t.num_rows)})
+
+    frames = sample_frames(ds.map_batches(to_media, batch_format="pyarrow"),
+                           n_frames=4, concurrency=4, batch_size=16)
+    out = frames.select_columns(
+        ["media_id", "frame_idx", "frame_ts_ms", "width", "height"]).to_pandas()
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)

@@ -133,6 +133,67 @@ class MediaResize:
                 .append_column("out_height", pa.array((h * scale).astype(np.int32))))
 
 
+class MediaFrameSample:
+    """Actor-pool stage: video/audio payload → N uniformly-sampled frame
+    rows (one row OUT per frame, many per input row — the flat-map shape
+    of frame extraction, expressed inside ``map_batches`` so binary
+    columns stay zero-copy Arrow).
+
+    Real deployments put the ffmpeg/decord handle in ``__init__`` (once
+    per actor) and decode in ``__call__``; this container has no codec
+    libs, so the default ``decoder="fake"`` derives deterministic frame
+    payloads/timestamps from the input bytes — the schema, per-frame row
+    expansion, ordering key (``frame_idx``) and batch sizing are the
+    real, tested plumbing. Keep ``batch_size`` small: each input row
+    fans out ``n_frames`` binary payloads, so output-batch memory is
+    ~batch_size × n_frames × frame_bytes.
+    """
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        self.n_frames = n_frames
+        if decoder != "fake":
+            raise NotImplementedError(
+                "frame decode requires ffmpeg/decord; use decoder='fake' "
+                "in this container")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, ts, frames, w, h = [], [], [], [], [], []
+        payloads = batch["payload"].combine_chunks().to_pylist()
+        mids = batch["media_id"].to_pylist()
+        for mid, blob in zip(mids, payloads):
+            # hex-string derivation (not raw digests) so a SQL oracle can
+            # reproduce every output column with sha256()/substr()
+            base = hashlib.sha256(blob or b"").hexdigest()
+            # fake "duration" from the payload, uniform sample positions
+            dur_ms = 1000 + int(base[8:14], 16) % 599_000
+            for f in range(self.n_frames):
+                fh = hashlib.sha256((base + str(f)).encode()).hexdigest()
+                ids.append(mid)
+                idxs.append(f)
+                ts.append((dur_ms * f) // max(1, self.n_frames))
+                frames.append(bytes.fromhex(fh))  # stand-in frame bytes
+                w.append(64 + int(fh[0:4], 16) % 1984)
+                h.append(64 + int(fh[4:8], 16) % 1984)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame_ts_ms": pa.array(ts, pa.int64()),
+            "frame_payload": pa.array(frames, pa.binary()),
+            "width": pa.array(w, pa.int32()),
+            "height": pa.array(h, pa.int32()),
+        })
+
+
+def sample_frames(ds: rd.Dataset, n_frames: int = 4, concurrency: int = 4,
+                  batch_size: int = 16) -> rd.Dataset:
+    """Frame-sampling wiring: small input batches (each row fans out
+    n_frames binary payloads), explicit actor pool, pyarrow end-to-end."""
+    return ds.map_batches(MediaFrameSample,
+                          fn_constructor_kwargs={"n_frames": n_frames},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
 def decode_media(ds: rd.Dataset, concurrency: int = 4,
                  batch_size: int = 64, decoder: str = "fake") -> rd.Dataset:
     """The canonical wiring: small batches (binary payloads are wide),

@@ -63,3 +63,34 @@ def test_resize_stub():
     rs = MediaResize(max_side=128)
     out = rs(meta)
     assert max(out["out_width"].to_pylist() + out["out_height"].to_pylist()) <= 128
+
+
+def test_frame_sample_rows_and_determinism(ray_session):
+    import hashlib
+    import ray.data as rd
+    from realestate_scraper_ray.stages.media import (
+        MediaFrameSample, sample_frames, synth_media_table,
+    )
+    media = synth_media_table(["clip one", "clip two"], ["m1", "m2"])
+    out = sample_frames(rd.from_arrow(media), n_frames=3).to_pandas()
+    assert len(out) == 6  # flat-map fan-out: 3 frames per media row
+    g = out[out.media_id == "m1"].sort_values("frame_idx")
+    assert g.frame_idx.tolist() == [0, 1, 2]
+    assert g.frame_ts_ms.iloc[0] == 0
+    assert g.frame_ts_ms.is_monotonic_increasing
+    # deterministic stub: re-running gives identical frames
+    out2 = sample_frames(rd.from_arrow(media), n_frames=3).to_pandas()
+    assert out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True).equals(
+        out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+    # payload bytes follow the documented hex derivation
+    blob = bytes(media["payload"][0].as_py())
+    base = hashlib.sha256(blob).hexdigest()
+    want = bytes.fromhex(hashlib.sha256((base + "1").encode()).hexdigest())
+    assert bytes(g[g.frame_idx == 1].frame_payload.iloc[0]) == want
+
+
+def test_frame_sample_real_decoder_gated(ray_session):
+    import pytest
+    from realestate_scraper_ray.stages.media import MediaFrameSample
+    with pytest.raises(NotImplementedError):
+        MediaFrameSample(decoder="ffmpeg")
