@@ -122,8 +122,8 @@ def _salted_lookup(reqs: rd.Dataset, labels: rd.Dataset,
 def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
                          node_col: str, col_a: str = "id_a",
                          col_b: str = "id_b", max_rounds: int = 50,
-                         num_partitions: int = 8,
-                         n_salts: int = 4) -> rd.Dataset:
+                         num_partitions: int = 8, n_salts: int = 4,
+                         small_graph_bytes: int = 64 << 20) -> rd.Dataset:
     """Label every node with the min node-id reachable through `edges`.
 
     nodes: Dataset with `node_col` (int64, unique). Singletons keep
@@ -131,6 +131,16 @@ def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
     edges: Dataset of undirected pairs (col_a, col_b).
     num_partitions: lookup bucket count B (size to the cluster).
     Returns a Dataset with columns (node_col, "component").
+
+    Adaptive strategy (same 64 MiB-cap idiom as ``stages/joins.py``):
+    the edge set is materialized either way (the rounds re-read it every
+    iteration), and when its measured size fits under the cap, an exact
+    driver-side union-find replaces O(log diameter) shuffle rounds —
+    near-dup edge lists are pair-scale, usually orders of magnitude
+    smaller than the corpus, so most runs take the cheap path while
+    driver exposure stays bounded by the cap, never by the data. Above
+    the cap (a 10^10-edge dup graph) the salted label-propagation rounds
+    below run fully distributed.
     """
     und = _undirect(edges, col_a, col_b).materialize()
     if und.count() == 0:
@@ -138,6 +148,42 @@ def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
             lambda t: pa.table({node_col: t[node_col],
                                 "component": t[node_col]}),
             batch_format="pyarrow")
+
+    if (und.size_bytes() or 0) <= small_graph_bytes:
+        import ray
+
+        from .joins import _pull_table
+        tbl = _pull_table(und)
+        a = tbl["key"].to_numpy()   # und holds both directions; one
+        b = tbl["out"].to_numpy()   # direction is enough for union-find
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:      # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        # canonical label = min node id per component (roots are already
+        # minimal: unions always point the larger root at the smaller)
+        label = {v: find(v) for v in set(a.tolist()) | set(b.tolist())}
+        ref = ray.put(label)
+
+        def apply(t: pa.Table) -> pa.Table:
+            lab = ray.get(ref)
+            ids = t[node_col].to_pylist()
+            return pa.table({
+                node_col: t[node_col],
+                "component": pa.array([lab.get(i, i) for i in ids],
+                                      pa.int64())})
+
+        return nodes.map_batches(apply, batch_format="pyarrow")
 
     def _norm(t: pa.Table) -> pa.Table:
         # shuffle outputs may contain schema-less empty blocks;
@@ -162,8 +208,10 @@ def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
         jump_reqs = labels.map_batches(
             lambda t: pa.table({"key": t["label"], "out": t["node"]}),
             batch_format="pyarrow")
+        # lazy: `found` has exactly one consumer (the union below), so a
+        # materialize barrier here only adds a round-trip per iteration
         found = _salted_lookup(und.union(jump_reqs), labels,
-                               num_partitions, n_salts).materialize()
+                               num_partitions, n_salts)
         labels = (labels.union(found)
                   .groupby("node").aggregate(Min("label", alias_name="label"))
                   .map_batches(_norm, batch_format="pyarrow")

@@ -98,6 +98,13 @@ def _run_cc(n_nodes, edges):
     out = connected_components(nodes, e, "id", num_partitions=4).to_pandas()
     out = out.sort_values("id").reset_index(drop=True)
     assert list(out["id"]) == list(range(n_nodes))
+    # both strategies must agree: the adaptive small-graph union-find
+    # (default cap) and the distributed rounds (cap forced to 0)
+    dist = connected_components(nodes, e, "id", num_partitions=4,
+                                small_graph_bytes=0).to_pandas()
+    dist = dist.sort_values("id").reset_index(drop=True)
+    assert list(dist["component"].astype(int)) == \
+        list(out["component"].astype(int))
     return list(out["component"].astype(int))
 
 
