@@ -301,10 +301,13 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
     log_r = np.log(r)
     thr_mille = int(round(threshold * 1000))
 
+    from ..functions.textstats import _hash_tokens_matrix
+
     def add_bucket(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
-        n_sh = np.array([max(1, len(word_shingle_set(x, shingle_k)))
-                         for x in texts], dtype=np.float64)
+        n_sh = np.array([max(1, len(np.unique(h)))
+                         for h in _hash_tokens_matrix(texts, shingle_k)],
+                        dtype=np.float64)
         b = np.floor(np.log(n_sh) / log_r).astype(np.int32)
         base = t.select([id_col, text_col])
         shard = (np.asarray(t[id_col]).astype(np.int64) % n_shards).astype(np.int32)
@@ -318,40 +321,59 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
         return pa.concat_tables(reps)
 
     def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Run-based candidate counting instead of an all-pairs set
+        loop: shingle occurrences are sorted, each run of a shared
+        shingle emits its doc pairs, and one np.unique gives exact
+        intersection counts for CANDIDATE pairs only — docs that share
+        nothing never form a pair, so work is O(shared occurrences),
+        not O(n² · set size)."""
         empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
         si, sj = int(g["si"].iloc[0]), int(g["sj"].iloc[0])
         g = g.drop_duplicates([id_col, "s"]).sort_values(id_col)
-        ia, ib, js = [], [], []
-        if si == sj:
-            ids = g[id_col].tolist()
-            sets = [word_shingle_set(t, shingle_k) for t in g[text_col]]
-            for i in range(len(ids)):
-                if not sets[i]:
-                    continue
-                for j in range(i + 1, len(ids)):
-                    inter = len(sets[i] & sets[j])
-                    union = len(sets[i] | sets[j])
-                    if inter * 1000 >= thr_mille * union:
-                        ia.append(ids[i]); ib.append(ids[j])
-                        js.append(inter / max(1, union))
-        else:
-            gi, gj = g[g["s"] == si], g[g["s"] == sj]
-            ids_i, ids_j = gi[id_col].tolist(), gj[id_col].tolist()
-            sets_i = [word_shingle_set(t, shingle_k) for t in gi[text_col]]
-            sets_j = [word_shingle_set(t, shingle_k) for t in gj[text_col]]
-            for i in range(len(ids_i)):
-                if not sets_i[i]:
-                    continue
-                for j in range(len(ids_j)):
-                    inter = len(sets_i[i] & sets_j[j])
-                    union = len(sets_i[i] | sets_j[j])
-                    if inter * 1000 >= thr_mille * union:
-                        a, bb = sorted((ids_i[i], ids_j[j]))
-                        ia.append(a); ib.append(bb)
-                        js.append(inter / max(1, union))
-        if not ia:
+        ids = g[id_col].to_numpy()
+        sides = g["s"].to_numpy()
+        hm = [np.unique(h)
+              for h in _hash_tokens_matrix(g[text_col].tolist(), shingle_k)]
+        sizes = np.array([len(h) for h in hm], dtype=np.int64)
+        n = len(ids)
+        if n < 2:
             return empty
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": js})
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        all_h = (np.concatenate([h for h in hm if h.size])
+                 if sizes.sum() else np.empty(0, np.uint64))
+        order = np.argsort(all_h, kind="stable")
+        h_sorted, d_sorted = all_h[order], doc_idx[order]
+        # run boundaries of equal shingle hash
+        cut = np.flatnonzero(np.diff(h_sorted) != 0) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(h_sorted)]))
+        keys = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            m = e - s
+            if m < 2:
+                continue
+            dd = np.sort(d_sorted[s:e])
+            ii, jj = np.triu_indices(m, 1)
+            keys.append(dd[ii] * n + dd[jj])
+        if not keys:
+            return empty
+        pair_keys, inter = np.unique(np.concatenate(keys), return_counts=True)
+        a_idx, b_idx = pair_keys // n, pair_keys % n
+        # exactly-once cell semantics: the diagonal cell owns same-shard
+        # pairs, an off-diagonal cell owns cross-shard pairs
+        if si == sj:
+            keep = sides[a_idx] == sides[b_idx]
+        else:
+            keep = sides[a_idx] != sides[b_idx]
+        a_idx, b_idx, inter = a_idx[keep], b_idx[keep], inter[keep]
+        union = sizes[a_idx] + sizes[b_idx] - inter
+        ok = inter * 1000 >= thr_mille * union
+        if not ok.any():
+            return empty
+        a, b = ids[a_idx[ok]], ids[b_idx[ok]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "jaccard": inter[ok] / np.maximum(1, union[ok])})
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")
            .groupby(["block", "si", "sj"])
