@@ -76,3 +76,31 @@ def hll_estimate(registers: np.ndarray) -> int:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return int(round(est))
+
+
+def misra_gries_partial(tokens: list[str], k: int = 256) -> dict[str, int]:
+    """Misra-Gries heavy-hitter summary of one batch: at most ``k``
+    counters, every true count undercounted by at most n/k (Misra &
+    Gries '82). The per-batch combiner for distributed top-terms: a
+    billion-token batch reduces to k counters before any shuffle."""
+    counters: dict[str, int] = {}
+    for t in tokens:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < k:
+            counters[t] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def misra_gries_error_bound(n_tokens: int, k: int) -> int:
+    """Max undercount after summing partial sketches: each partial of
+    n_i tokens undercounts by <= n_i/k, and summation preserves the
+    per-partial bounds, so the merged estimate undercounts by at most
+    sum(n_i)/k = n/k."""
+    return n_tokens // k

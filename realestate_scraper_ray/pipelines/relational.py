@@ -2294,3 +2294,55 @@ def media_frame_sample(sf_dir: str) -> pd.DataFrame:
     out = frames.select_columns(
         ["media_id", "frame_idx", "frame_ts_ms", "width", "height"]).to_pandas()
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
+_HEAVY_HITTERS_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM toks WHERE term <> '' GROUP BY term)
+SELECT term, n_exact, TRUE AS in_sketch
+FROM c ORDER BY n_exact DESC, term LIMIT 10
+"""
+
+
+@query("heavy_hitter_terms", _HEAVY_HITTERS_SQL)
+def heavy_hitter_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-10 corpus terms, with a Misra-Gries heavy-hitter sketch run
+    alongside the exact count: each batch folds its tokens into ≤k
+    counters before any shuffle (undercount ≤ n/k survives summation of
+    partials), so the heavy-hitter pass moves k rows per batch no matter
+    how many tokens the batch held. n_exact hash-matches the SQL count;
+    in_sketch asserts the MG guarantee — every term with true count
+    above n/k must be present in the merged sketch."""
+    from ..functions.sketches import misra_gries_partial
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        toks = pa.table({"term": pc.list_flatten(
+            pc.split_pattern_regex(t["text"], r"\s+"))})
+        toks = toks.filter(pc.not_equal(toks["term"], ""))
+        return toks.group_by("term").aggregate([("term", "count")])
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        toks = [w for x in t["text"].to_pylist() for w in (x or "").split()]
+        counters = misra_gries_partial(toks, k=256)
+        return pa.table({
+            "term": pa.array(list(counters), pa.string()),
+            "est": pa.array(list(counters.values()), pa.int64()),
+            "n_toks": pa.array([len(toks)] + [0] * (len(counters) - 1)
+                               if counters else [], pa.int64())})
+
+    exact = (ds.map_batches(exact_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("term_count", alias_name="n_exact"))
+             .to_pandas())
+    sk = (ds.map_batches(mg_partial, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("est", alias_name="est"),
+                                     Sum("n_toks", alias_name="nt"))
+          .to_pandas())
+    sketch_terms = set(sk["term"])
+    top = (exact.sort_values(["n_exact", "term"],
+                             ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    top["n_exact"] = top["n_exact"].astype("int64")
+    top["in_sketch"] = top["term"].isin(sketch_terms)
+    return top[["term", "n_exact", "in_sketch"]]

@@ -51,3 +51,30 @@ def test_splitmix_deterministic():
 
 def test_registers_shape():
     assert hll_partial(np.array([], dtype=np.int64)).shape == (HLL_M,)
+
+
+def test_misra_gries_guarantee_and_merge():
+    from realestate_scraper_ray.functions.sketches import (
+        misra_gries_error_bound, misra_gries_partial,
+    )
+    rng = np.random.default_rng(13)
+    # zipf-ish stream: few heavy terms + long tail
+    stream = (["hot1"] * 500 + ["hot2"] * 300 + ["hot3"] * 200
+              + [f"tail{i}" for i in rng.integers(0, 2000, 1000)])
+    rng.shuffle(stream)
+    k = 64
+    n = len(stream)
+    bound = misra_gries_error_bound(n, k)
+    # summed partials (the distributed shape)
+    merged: dict[str, int] = {}
+    for part in np.array_split(np.array(stream), 5):
+        for t, c in misra_gries_partial(list(part), k).items():
+            merged[t] = merged.get(t, 0) + c
+    from collections import Counter
+    true = Counter(stream)
+    for term, cnt in true.items():
+        est = merged.get(term, 0)
+        assert est <= cnt                       # never overcounts
+        if cnt > bound:
+            assert term in merged               # heavy hitters survive
+            assert cnt - est <= bound           # undercount bound
