@@ -496,6 +496,10 @@ def duplicated_window_stats(ds: rd.Dataset, text_col: str, id_col: str,
     from ..functions.textstats import _hash_tokens_matrix
     from ray.data.aggregate import Sum
 
+    n_parts = 512  # coarse shuffle partitions: one map_groups call per
+    # partition (a per-window UDF call — millions of groups — is the
+    # scale killer; within a partition run-detection is one argsort)
+
     def win_rows(t: pa.Table) -> pa.Table:
         hm = _hash_tokens_matrix(t[text_col].to_pylist(), k)
         ids = np.asarray(t[id_col]).astype(np.int64)
@@ -508,17 +512,29 @@ def duplicated_window_stats(ds: rd.Dataset, text_col: str, id_col: str,
             out_ids.append(np.full(u.size, ids[i], dtype=np.int64))
         if not out_ids:
             return pa.table({id_col: pa.array([], pa.int64()),
-                             "win": pa.array([], pa.int64())})
+                             "win": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32())})
+        wins = np.concatenate(out_wins)
         return pa.table({id_col: np.concatenate(out_ids),
                          # int64 view: groupby keys round-trip Python ints
-                         "win": np.concatenate(out_wins).view(np.int64)})
+                         "win": wins.view(np.int64),
+                         "part": (wins % np.uint64(n_parts)).astype(np.int32)})
 
-    def mark(g: pa.Table) -> pa.Table:
-        dup = np.full(g.num_rows, 1 if g.num_rows > 1 else 0, dtype=np.int64)
+    def mark_part(g: pa.Table) -> pa.Table:
+        w = np.asarray(g["win"])
+        order = np.argsort(w, kind="stable")
+        ws = w[order]
+        # run length per sorted row → dup flag, scattered back
+        cut = np.flatnonzero(np.diff(ws) != 0) + 1
+        starts = np.concatenate(([0], cut))
+        lens = np.diff(np.concatenate((starts, [len(ws)])))
+        dup_sorted = np.repeat((lens > 1).astype(np.int64), lens)
+        dup = np.empty(len(ws), dtype=np.int64)
+        dup[order] = dup_sorted
         return pa.table({id_col: g[id_col], "dup": dup})
 
     return (ds.map_batches(win_rows, batch_format="pyarrow")
-            .groupby("win").map_groups(mark, batch_format="pyarrow")
+            .groupby("part").map_groups(mark_part, batch_format="pyarrow")
             .groupby(id_col)
             .aggregate(Count(alias_name="n_windows"),
                        Sum("dup", alias_name="dup_windows")))
