@@ -2346,3 +2346,76 @@ def heavy_hitter_terms(sf_dir: str) -> pd.DataFrame:
     top["n_exact"] = top["n_exact"].astype("int64")
     top["in_sketch"] = top["term"].isin(sketch_terms)
     return top[["term", "n_exact", "in_sketch"]]
+
+
+_FULL_OUTER_SQL = """
+WITH a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
+           FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey),
+b AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+       COALESCE(n_big, 0) AS n_big,
+       COALESCE(n_urgent, 0) AS n_urgent
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+"""
+
+
+@query("orders_full_outer", _FULL_OUTER_SQL)
+def orders_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER hash join (Dataset.join join_type='full_outer'):
+    big-ticket order counts vs urgent order counts per customer — each
+    side holds customers the other lacks, so both null-extension
+    directions are exercised; nulls coalesce to 0 post-join."""
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice",
+                                "o_orderpriority"])
+    big = (ds.filter(expr="o_totalprice > 400000")
+           .groupby("o_custkey").aggregate(Count(alias_name="n_big")))
+    urg = (ds.filter(expr="o_orderpriority == '1-URGENT'")
+           .groupby("o_custkey").aggregate(Count(alias_name="n_urgent")))
+    joined = big.join(urg, join_type="full_outer", num_partitions=8,
+                      on=("o_custkey",), left_suffix="_l", right_suffix="_r")
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        names = t.column_names
+        kl = "o_custkey" if "o_custkey" in names else "o_custkey_l"
+        kr = "o_custkey_r" if "o_custkey_r" in names else kl
+        key = pc.coalesce(pc.cast(t[kl], pa.int64()),
+                          pc.cast(t[kr], pa.int64()))
+        nb = pc.coalesce(pc.cast(t["n_big"], pa.int64()), pa.scalar(0))
+        nu = pc.coalesce(pc.cast(t["n_urgent"], pa.int64()), pa.scalar(0))
+        return pa.table({"o_custkey": key, "n_big": nb, "n_urgent": nu})
+
+    out = joined.map_batches(coalesce, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+_SLIDING_SQL = """
+SELECT event_id,
+       CAST(COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS n_30min
+FROM events
+"""
+
+
+@query("events_sliding_count", _SLIDING_SQL)
+def events_sliding_count(sf_dir: str) -> pd.DataFrame:
+    """Event-time sliding window: per event, how many of the same
+    user's events fall in the trailing 30 minutes (inclusive). One
+    shuffle on the window key, then a vectorized two-pointer
+    (searchsorted) per group — O(n log n) per group, no per-row UDF,
+    the decomposition every event-time window here uses."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lo = np.searchsorted(ts, ts - 30 * 60 * 1_000_000, side="left")
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "n_30min": (np.arange(len(ts)) - lo + 1).astype(np.int64)})
+
+    out = (ds.groupby("user_id").map_groups(window, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
