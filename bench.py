@@ -40,6 +40,9 @@ HEADLINE_QUERIES = [
     "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup",
     "dedup_components", "dedup_corpus_survivors",
     "epoch_shuffle", "sequence_packing",
+    "exact_substring_dup", "events_interleaved_docs", "approx_distinct_users",
+    "heavy_hitter_terms", "media_frame_sample", "events_sliding_count",
+    "orders_full_outer",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a
@@ -234,10 +237,13 @@ def main_politeness() -> None:
         pcfg = PortalConfig(regions=regions, seed=7, base_pages=2,
                             page_size_scale=0.3,
                             sources=("otodom", "gratka", "morizon"))
-        # I/O-bound configuration: small same-host batches (short sleeps)
-        # and fractional CPUs so throttled tasks oversubscribe the slots
-        # instead of starving them (see CrawlConfig.fetch_num_cpus)
-        ccfg = CrawlConfig(fetch_batch_size=16, fetch_num_cpus=0.25,
+        # I/O-bound configuration: small same-host batches and fractional
+        # CPUs so throttled tasks oversubscribe the slots instead of
+        # starving them (see CrawlConfig.fetch_num_cpus). Slots must
+        # exceed the HOST count in both legs: a paced batch holds its
+        # slot for ~batch/rps seconds, so fewer slots than hosts caps
+        # host-parallelism (at 32 CPUs, 0.125 ⇒ 256 slots > 144 hosts)
+        ccfg = CrawlConfig(fetch_batch_size=16, fetch_num_cpus=0.125,
                            urlseen_shards=max(2, ncpu // 4),
                            checkpoint_every=5, checkpoint_full_every=4,
                            rps_per_host=2.0,
