@@ -2419,3 +2419,43 @@ def events_sliding_count(sf_dir: str) -> pd.DataFrame:
     out = (ds.groupby("user_id").map_groups(window, batch_format="pandas")
            .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+_BOTTOMK_SQL = """
+WITH r AS (SELECT event_type, event_id,
+                  ROW_NUMBER() OVER (
+                      PARTITION BY event_type
+                      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+           FROM events)
+SELECT event_type, event_id FROM r WHERE rn <= 20
+"""
+
+
+@query("events_bottomk_sample", _BOTTOMK_SQL)
+def events_bottomk_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic uniform sample of k=20 rows per group via a
+    bottom-k hash sketch (Cohen & Kaplan '07): every batch keeps only
+    its k smallest md5(id) rows per group — a mergeable summary, so the
+    shuffle moves ≤ k rows per (batch, group) no matter the batch size,
+    and re-sharding the input cannot change the sample."""
+    import hashlib as _hl
+    k = 20
+    ds = _pq(sf_dir, "events", ["event_type", "event_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["h"] = [_hl.md5(str(x).encode()).hexdigest()
+                   for x in df["event_id"]]
+        return (df.sort_values(["h", "event_id"])
+                .groupby("event_type", sort=False).head(k))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["h", "event_id"]).head(k)
+                [["event_type", "event_id"]])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type").map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    out["event_id"] = out["event_id"].astype("int64")
+    return (out.sort_values(["event_type", "event_id"])
+            .reset_index(drop=True))
