@@ -47,6 +47,7 @@ from dataclasses import asdict, dataclass, field
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
 import zlib
@@ -441,8 +442,12 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         gen = 0
         d = _frontier_dir(workdir, 0)
         os.makedirs(d)
+        # small row groups: read_parquet can only split at row-group
+        # granularity, and the seed wave must fan out across workers
+        # (one row group would pin generation 0 to a single task)
         pq.write_table(_seed_table(portal, cfg),
-                       os.path.join(d, "part-p0-seeds.parquet"))
+                       os.path.join(d, "part-p0-seeds.parquet"),
+                       row_group_size=8)
 
     retries_left = retry_rounds
     last_ckpt = -1
@@ -549,6 +554,13 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
         # before investment (p1) before detail (p2) — no sort shuffle
         # (north_rule; SURVEY.md §2.6 O2)
         nblocks = max(1, -(-n_rows // cfg.fetch_batch_size))
+        # small waves (seed wave, deep-pagination tail): one batch-sized
+        # block would idle most of the cluster for a whole frontier
+        # round-trip; spread down to 8-row blocks until every CPU has
+        # work (row-group granularity permitting)
+        ncpu = int(ray.cluster_resources().get("CPU", 1))
+        if nblocks < ncpu:
+            nblocks = min(ncpu, max(1, -(-n_rows // 8)))
         ds = rd.read_parquet(paths, override_num_blocks=nblocks)
         summary.extend(ds.map_batches(
             wave_fn, batch_format="pyarrow",
