@@ -2459,3 +2459,65 @@ def events_bottomk_sample(sf_dir: str) -> pd.DataFrame:
     out["event_id"] = out["event_id"].astype("int64")
     return (out.sort_values(["event_type", "event_id"])
             .reset_index(drop=True))
+
+
+_CURATED_SQL = r"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         length(text) AS n_chars,
+         md5(text) AS fp
+  FROM documents),
+keptq AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical
+  FROM q WHERE n_words >= 40 AND n_punct <= 0.2 * n_chars),
+clean AS (SELECT doc_id, text FROM keptq WHERE doc_id = canonical),
+t0 AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM clean),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(tt, '\s+') AS w FROM t0 WHERE tt <> ''),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    [array_to_string(list_slice(w, i, i + 2), ' ') FOR i IN range(1, len(w) - 1)])) AS s
+  FROM toks WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE i * 1000 >= 600 * (ca.n + cb.n - i)),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM clean
+  UNION
+  SELECT e.v AS node, reach.r AS r FROM reach JOIN und e ON e.u = reach.node),
+comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node)
+SELECT node AS doc_id FROM comp WHERE node = c ORDER BY doc_id
+"""
+
+
+@query("curated_corpus_docs", _CURATED_SQL)
+def curated_corpus_docs(sf_dir: str) -> pd.DataFrame:
+    """The user-facing curation pipeline (pipelines/curate.py) end to
+    end — quality gate → exact keep-first → near-dup cluster survivors —
+    with its RESUMABLE hash-partitioned parquet output, verified
+    against one composed SQL oracle of all three stages."""
+    import shutil
+    import tempfile
+
+    from .curate import curate_corpus, read_curated
+    out = os.path.join(tempfile.gettempdir(),
+                       f"rsr_curated_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(out, ignore_errors=True)  # fresh run (resume is tested in pytest)
+    curate_corpus(sf_dir, out, n_buckets=16)
+    df = read_curated(out).select_columns(["doc_id"]).to_pandas()
+    return (df.astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
