@@ -113,3 +113,49 @@ def test_shingle_hash_matrix_shapes_and_determinism(texts, k):
         assert len(ha) == n_expected
         # equal word sequences hash equal; the hash depends only on words
         assert (_hash_tokens_matrix([" ".join(words)], k)[0] == ha).all()
+
+
+# ---------------------------------------------------------------------------
+# sketch kernels
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_hll_merge_is_order_and_shard_invariant(vals):
+    from realestate_scraper_ray.functions.sketches import hll_merge, hll_partial
+    arr = np.array(vals, dtype=np.int64)
+    whole = hll_partial(arr)
+    # any 2-way split merges back to the single-pass registers
+    for cut in {0, len(arr) // 3, len(arr) // 2, len(arr)}:
+        merged = hll_merge([hll_partial(arr[:cut]), hll_partial(arr[cut:])])
+        assert np.array_equal(merged, whole)
+    # duplicates never change the sketch
+    assert np.array_equal(hll_partial(np.concatenate([arr, arr])), whole)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_clz64_matches_bit_length(vals):
+    from realestate_scraper_ray.functions.sketches import _clz64
+    xs = np.array(vals, dtype=np.uint64)
+    got = _clz64(xs)
+    assert got.tolist() == [64 - int(x).bit_length() if x else 64 for x in xs]
+
+
+@given(st.lists(st.sampled_from("abcdefgh"), max_size=400),
+       st.integers(min_value=2, max_value=16))
+@settings(max_examples=100, deadline=None)
+def test_misra_gries_never_overcounts_and_bounds_undercount(stream, k):
+    from collections import Counter
+
+    from realestate_scraper_ray.functions.sketches import misra_gries_partial
+    sk = misra_gries_partial(stream, k)
+    true = Counter(stream)
+    bound = len(stream) // k
+    assert len(sk) <= k
+    for t, est in sk.items():
+        assert est <= true[t]
+    for t, cnt in true.items():
+        assert cnt - sk.get(t, 0) <= bound
