@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -432,13 +433,20 @@ class FetchParse:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.select(["url", "kind", "source", "region", "page_idx", "pos"]).to_pylist()
 
+        pace: dict[str, float] | None = None
         if self.politeness is not None and self.cfg.rps_per_host < 1e8:
             per_host: dict[str, int] = {}
             for r in rows:
                 h = host_of(r["url"])
                 per_host[h] = per_host.get(h, 0) + 1
             for h, n in per_host.items():
-                self.politeness.acquire(h, n)
+                self.politeness.acquire(h, n)  # sleeps to the first slot
+            # intra-batch pacing: request k of a host goes out >= k
+            # intervals after its first booked slot (the acquire booked
+            # all n slots; issuing on each slot keeps the per-host rate
+            # exactly at budget with no end-of-batch dead time)
+            now = time.monotonic()
+            pace = {h: now for h in per_host}
 
         out: dict[str, list] = {name: [] for name in COMBINED_SCHEMA.names}
         # batched offer-page payloads, coerced vectorized after the loop
@@ -457,6 +465,14 @@ class FetchParse:
 
         for r in rows:
             url, kind = r["url"], r["kind"]
+            if pace is not None:
+                h = host_of(url)
+                due = pace[h]
+                wait = due - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                pace[h] = max(due, time.monotonic()) + \
+                    1.0 / self.cfg.rps_per_host
             spans = self._fetch(url)
             if spans is None:
                 emit("pagemeta", url=url, source=r["source"], region=r["region"],

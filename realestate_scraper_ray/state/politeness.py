@@ -29,11 +29,12 @@ class PolitenessShard:
     Logical-clock buckets: ``free_at[host]`` is the monotonic time the
     host's next request slot opens. ``acquire(host, n)`` books n slots
     at ``1/rps`` spacing and returns how long the caller must sleep
-    until the LAST booked slot opens — only then may it issue the n
-    requests, so every request is fully paid for by the budget (a burst
-    is never larger than one fetch batch and never ahead of the clock).
-    The actor itself never sleeps, so one shard serves many hosts
-    without blocking.
+    until the FIRST booked slot opens; the caller then paces its n
+    requests one ``1/rps`` interval apart (the fetch stage does this
+    per host inside the batch loop), so every request lands on or after
+    its booked slot — full budget compliance with zero dead time at
+    batch boundaries. The actor itself never sleeps, so one shard
+    serves many hosts without blocking.
     """
 
     def __init__(self, rps_per_host: float, burst: int = 1):
@@ -46,7 +47,7 @@ class PolitenessShard:
         free = self.free_at.get(host, now)
         free = max(free, now - self.burst * self.interval)  # cap accrued burst
         self.free_at[host] = free + n * self.interval
-        return max(0.0, free + (n - 1) * self.interval - now)
+        return max(0.0, free - now)
 
     def snapshot(self) -> dict[str, float]:
         return dict(self.free_at)
