@@ -138,3 +138,70 @@ class CuckooFilter:
         f._rng = np.random.default_rng()
         f._rng.bit_generator.state = d["rng"]
         return f
+
+
+class SlidingCuckoo:
+    """Sliding-window membership over rotating cuckoo sub-filters —
+    the continuous-recrawl variant of the URL-seen set (approximate
+    membership over sliding windows is a studied stream primitive, e.g.
+    SIGMOD'23 "A Learned Cuckoo Filter for Approximate Membership
+    Queries over Variable-sized Sliding Windows"; this is the classic
+    rotating-sub-filter construction).
+
+    ``n_windows`` sub-filters cover the last ``n_windows`` rotations;
+    ``contains_and_add`` tests membership across ALL windows and admits
+    new keys into the current one; ``rotate()`` (called once per crawl
+    epoch, e.g. per day) drops the oldest sub-filter, so a URL last
+    seen more than ``n_windows`` epochs ago is re-admitted — recrawl
+    after expiry with O(window) memory and no per-key deletion (cuckoo
+    deletes under eviction churn are unsafe; rotation sidesteps them).
+    Per-shard state stays ``n_windows × capacity`` slots; serialize via
+    ``dump``/``restore`` like the flat filter.
+    """
+
+    def __init__(self, capacity: int, n_windows: int = 4, fp_bits: int = 32):
+        self.capacity = capacity
+        self.n_windows = n_windows
+        self.fp_bits = fp_bits
+        self.windows = [CuckooFilter(capacity, fp_bits)]
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        seen = np.zeros(len(h), dtype=bool)
+        for w in self.windows:
+            seen |= w.contains(h)
+        return seen
+
+    def contains_and_add(self, h: np.ndarray) -> np.ndarray:
+        seen = np.zeros(len(h), dtype=bool)
+        for w in self.windows[:-1]:
+            seen |= w.contains(h)
+        # current window does the test-and-set for the remainder
+        idx = np.nonzero(~seen)[0]
+        if idx.size:
+            seen[idx] = self.windows[-1].contains_and_add(h[idx])
+        return seen
+
+    def rotate(self) -> None:
+        self.windows.append(CuckooFilter(self.capacity, self.fp_bits))
+        if len(self.windows) > self.n_windows:
+            self.windows.pop(0)
+
+    def dump(self) -> bytes:
+        parts = [w.dump() for w in self.windows]
+        head = pickle.dumps({"capacity": self.capacity,
+                             "n_windows": self.n_windows,
+                             "fp_bits": self.fp_bits,
+                             "sizes": [len(p) for p in parts]})
+        return len(head).to_bytes(8, "big") + head + b"".join(parts)
+
+    @classmethod
+    def restore(cls, blob: bytes) -> "SlidingCuckoo":
+        hlen = int.from_bytes(blob[:8], "big")
+        meta = pickle.loads(blob[8:8 + hlen])
+        obj = cls(meta["capacity"], meta["n_windows"], meta["fp_bits"])
+        obj.windows = []
+        off = 8 + hlen
+        for size in meta["sizes"]:
+            obj.windows.append(CuckooFilter.restore(blob[off:off + size]))
+            off += size
+        return obj

@@ -55,3 +55,38 @@ def test_high_load_insert():
     k = _keys(16_000, seed=4)
     f.contains_and_add(k)
     assert f.contains(k).all()
+
+
+def test_sliding_cuckoo_expires_and_readmits():
+    import numpy as np
+    from realestate_scraper_ray.state.cuckoo import SlidingCuckoo
+    rng = np.random.default_rng(3)
+    keys = rng.integers(1, 2**63, 200).astype(np.uint64)
+    sc = SlidingCuckoo(capacity=1 << 12, n_windows=3)
+    assert not sc.contains_and_add(keys).any()        # all new
+    assert sc.contains_and_add(keys).all()            # all seen (same window)
+    sc.rotate(); sc.rotate()
+    assert sc.contains(keys).all()                    # still within 3 windows
+    sc.rotate()                                       # original window dropped
+    assert not sc.contains(keys).any()                # expired → recrawlable
+    assert not sc.contains_and_add(keys).any()        # re-admitted as new
+
+
+def test_sliding_cuckoo_roundtrip_and_cross_window_dedup():
+    import numpy as np
+    from realestate_scraper_ray.state.cuckoo import SlidingCuckoo
+    from realestate_scraper_ray.functions.sketches import splitmix64
+    sc = SlidingCuckoo(capacity=1 << 12, n_windows=4)
+    # uniform 64-bit keys (the filter fingerprints the TOP bits, as the
+    # sha1-derived production keys do); b overlaps a on ids 50..100
+    a = splitmix64(np.arange(1, 101, dtype=np.int64))
+    b = splitmix64(np.arange(50, 151, dtype=np.int64))
+    sc.contains_and_add(a)
+    sc.rotate()
+    seen = sc.contains_and_add(b)
+    # overlap recognized across windows, remainder admitted to window 2
+    assert seen.sum() == len(set(a.tolist()) & set(b.tolist()))
+    blob = sc.dump()
+    rc = SlidingCuckoo.restore(blob)
+    assert rc.contains(a).all() and rc.contains(b).all()
+    assert len(rc.windows) == len(sc.windows)
