@@ -42,7 +42,7 @@ HEADLINE_QUERIES = [
     "epoch_shuffle", "sequence_packing",
     "exact_substring_dup", "events_interleaved_docs", "approx_distinct_users",
     "heavy_hitter_terms", "media_frame_sample", "events_sliding_count",
-    "orders_full_outer",
+    "orders_full_outer", "events_bottomk_sample", "curated_corpus_docs",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a
