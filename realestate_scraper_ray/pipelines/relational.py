@@ -2366,13 +2366,17 @@ def orders_full_outer(sf_dir: str) -> pd.DataFrame:
     big-ticket order counts vs urgent order counts per customer — each
     side holds customers the other lacks, so both null-extension
     directions are exercised; nulls coalesce to 0 post-join."""
+    from ..stages.joins import adaptive_partitions
     ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice",
                                 "o_orderpriority"])
     big = (ds.filter(expr="o_totalprice > 400000")
-           .groupby("o_custkey").aggregate(Count(alias_name="n_big")))
+           .groupby("o_custkey").aggregate(Count(alias_name="n_big"))
+           .materialize())
     urg = (ds.filter(expr="o_orderpriority == '1-URGENT'")
-           .groupby("o_custkey").aggregate(Count(alias_name="n_urgent")))
-    joined = big.join(urg, join_type="full_outer", num_partitions=8,
+           .groupby("o_custkey").aggregate(Count(alias_name="n_urgent"))
+           .materialize())
+    npart = adaptive_partitions(max(big.count(), urg.count()))
+    joined = big.join(urg, join_type="full_outer", num_partitions=npart,
                       on=("o_custkey",), left_suffix="_l", right_suffix="_r")
 
     def coalesce(t: pa.Table) -> pa.Table:
