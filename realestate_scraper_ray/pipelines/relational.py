@@ -238,10 +238,14 @@ def order_lineitem_coverage(sf_dir: str) -> rd.Dataset:
     """Left-outer coverage join (J1, mierzalnosc_excel.py:90-110 shape):
     hash-partitioned Dataset.join of orders against per-order lineitem
     counts; unmatched orders keep n_items=0."""
+    from ..stages.joins import adaptive_partitions
     orders = _pq(sf_dir, "orders", ["o_orderkey"])
     counts = (_pq(sf_dir, "lineitem", ["l_orderkey"])
               .groupby("l_orderkey").aggregate(Count(alias_name="cnt")))
-    joined = orders.join(counts, join_type="left_outer", num_partitions=8,
+    # orders.count() is parquet-metadata-only (O(1)) and bounds both
+    # sides of this key-per-order join
+    joined = orders.join(counts, join_type="left_outer",
+                         num_partitions=adaptive_partitions(orders.count()),
                          on=("o_orderkey",), right_on=("l_orderkey",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -439,7 +443,9 @@ def orders_with_returns_semi(sf_dir: str) -> pd.DataFrame:
         .groupby("l_orderkey").aggregate(Count(alias_name="_n"))
         .select_columns(["l_orderkey"]))
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = orders.join(keys, join_type="inner", num_partitions=8,
+    from ..stages.joins import adaptive_partitions
+    joined = orders.join(keys, join_type="inner",
+                         num_partitions=adaptive_partitions(orders.count()),
                          on=("o_orderkey",), right_on=("l_orderkey",))
     out = pa.Table.from_pylist(
         joined.groupby("o_orderpriority")
