@@ -78,6 +78,93 @@ def hll_estimate(registers: np.ndarray) -> int:
     return int(round(est))
 
 
+BLOOM_M_BITS = 1 << 20  # 128 KiB per partial
+BLOOM_K = 7
+
+
+def bloom_partial(values: np.ndarray, *, m_bits: int = BLOOM_M_BITS,
+                  k: int = BLOOM_K,
+                  words: np.ndarray | None = None) -> np.ndarray:
+    """Fold integer keys into a Bloom bit array (uint64 words) — the
+    per-batch combiner of a build-side membership sketch. Double
+    hashing (Kirsch & Mitzenmacher '06): position_i = h1 + i*h2, so two
+    splitmix64 passes cover all k probes. No false negatives; FP rate
+    ~(1-e^{-kn/m})^k (≈0.8 % at n = m/10 bits, k=7)."""
+    if words is None:
+        words = np.zeros(m_bits >> 6, dtype=np.uint64)
+    if len(values) == 0:
+        return words
+    v = np.asarray(values)
+    h1 = splitmix64(v)
+    h2 = splitmix64(h1) | np.uint64(1)  # odd → full-period stride
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def bloom_merge(parts: list[np.ndarray]) -> np.ndarray:
+    """Bitwise OR of partial bit arrays — associative, so partials can
+    merge in any tree shape."""
+    out = np.zeros_like(parts[0])
+    for p in parts:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+def bloom_probe(words: np.ndarray, values: np.ndarray, *,
+                k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized membership probe: True where all k bits are set
+    (superset of the true key set — callers must exact-verify hits)."""
+    m_bits = len(words) << 6
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    v = np.asarray(values)
+    h1 = splitmix64(v)
+    h2 = splitmix64(h1) | np.uint64(1)
+    hit = np.ones(len(v), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        hit &= bit.astype(bool)
+    return hit
+
+
+def hist_partial(values: np.ndarray, lo: float, hi: float,
+                 nbins: int = 8192,
+                 counts: np.ndarray | None = None) -> np.ndarray:
+    """Fold values into a fixed-width histogram over [lo, hi] — the
+    per-batch combiner of a mergeable quantile sketch (fixed 8 KiB of
+    int64 counts per group regardless of input size). Values are
+    clipped to the range (callers pass the measured global min/max, so
+    clipping never fires in practice)."""
+    if counts is None:
+        counts = np.zeros(nbins, dtype=np.int64)
+    if len(values) == 0:
+        return counts
+    width = (hi - lo) or 1.0
+    idx = np.clip(((np.asarray(values, dtype=np.float64) - lo)
+                   / width * nbins).astype(np.int64), 0, nbins - 1)
+    np.add.at(counts, idx, 1)
+    return counts
+
+
+def hist_quantile(counts: np.ndarray, lo: float, hi: float,
+                  q: float) -> float:
+    """PERCENTILE_DISC analogue over the merged histogram: right edge
+    of the bin holding the ceil(q*n)-th value. Error vs the exact
+    quantile is bounded by one bin width, (hi-lo)/nbins."""
+    n = int(counts.sum())
+    if n == 0:
+        return lo
+    rank = max(1, int(np.ceil(q * n)))
+    b = int(np.searchsorted(np.cumsum(counts), rank))
+    width = (hi - lo) / len(counts)
+    return lo + (b + 1) * width
+
+
 def misra_gries_partial(tokens: list[str], k: int = 256) -> dict[str, int]:
     """Misra-Gries heavy-hitter summary of one batch: at most ``k``
     counters, every true count undercounted by at most n/k (Misra &

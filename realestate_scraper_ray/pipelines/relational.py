@@ -2514,6 +2514,309 @@ SELECT node AS doc_id FROM comp WHERE node = c ORDER BY doc_id
 """
 
 
+# SimHash graded against the SQL exact-Jaccard truth. 64-bit SimHash at
+# Hamming ≤ 3 resolves only very high cosine similarity (Charikar '02:
+# E[Hamming] = 64·θ/π, so J = 0.9 ≈ cos 0.95 → ~4 expected bits — about
+# half of the J ≥ 0.9 pairs land above 3 bits; measured recall 0.44 at
+# sf0.01). Its machine-checkable guarantee is therefore PRECISION: every
+# emitted pair is a true near-dup (measured 1.0). n_truth anchors the
+# hash to the SQL exact count of J ≥ 0.5 pairs.
+_SIMHASH_PREC_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(tt, '\s+') AS w FROM t0 WHERE tt <> ''),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    [array_to_string(list_slice(w, i, i + 2), ' ') FOR i IN range(1, len(w) - 1)])) AS s
+  FROM toks WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS precision_ok
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE i * 1000 >= 500 * (ca.n + cb.n - i)
+"""
+
+
+@query("dedup_simhash_precision", _SIMHASH_PREC_SQL)
+def dedup_simhash_precision(sf_dir: str) -> pd.DataFrame:
+    """SimHash (Hamming ≤ 3) vs ground truth: n_truth from the engine's
+    exact sound-blocked Jaccard path (hash-checked against the SQL
+    count), precision_ok = ≥ 90 % of emitted SimHash pairs are true
+    J ≥ 0.5 near-dups (measured 1.0 at sf0.001–0.1)."""
+    from ..stages.dedupe import ngram_jaccard_pairs, simhash_pairs
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    truth = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.5)
+    sim = simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+    tset = set(zip(truth.id_a.astype("int64"), truth.id_b.astype("int64")))
+    sset = set(zip(sim.id_a.astype("int64"), sim.id_b.astype("int64")))
+    precision = len(sset & tset) / max(1, len(sset))
+    return pd.DataFrame({"n_truth": [np.int64(len(tset))],
+                         "precision_ok": [precision >= 0.9]})
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation, pivot, tf-idf, bloom-filtered join, quantile sketch
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(ROUND(value*100, 0) AS BIGINT) AS v
+           FROM events)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, 'ALL') AS day,
+       COUNT(*) AS n, SUM(v)/100.0 AS total_value
+FROM e GROUP BY ROLLUP(event_type, day)
+"""
+
+
+@query("events_type_rollup", _ROLLUP_SQL)
+def events_type_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(event_type, day): the finest level is ONE
+    distributed pre-aggregated groupby; the (event_type) and grand-total
+    levels re-aggregate the finest *result* (|types|x|days| rows — tiny
+    at any input scale), never the input. One shuffle, not three."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = pa.table({
+            "event_type": t["event_type"],
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "v": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())})
+        return p.group_by(["event_type", "day"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("v_sum", alias_name="v"),
+                       Sum("v_count", alias_name="n"))
+            .to_pandas())
+    by_type = (fine.groupby("event_type", as_index=False)[["v", "n"]]
+               .sum().assign(day="ALL"))
+    total = pd.DataFrame({"event_type": ["ALL"], "day": ["ALL"],
+                          "v": [fine["v"].sum()], "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_type, total], ignore_index=True)
+    out["total_value"] = out["v"] / 100.0
+    out["n"] = out["n"].astype("int64")
+    return (out[["event_type", "day", "n", "total_value"]]
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+@query("events_pivot_counts", _PIVOT_SQL)
+def events_pivot_counts(sf_dir: str) -> pd.DataFrame:
+    """PIVOT (event_type → columns): conditional aggregation, pivoted
+    INSIDE the per-batch combiner (five indicator sums per user), so
+    the shuffle moves |users|×6 integers per block — never one row per
+    event. The scale-safe pivot for a known, small column key set."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {"user_id": t["user_id"]}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty),
+                                      pa.int64())
+        return pa.table(cols).group_by("user_id").aggregate(
+            [(f"n_{ty}", "sum") for ty in types])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(*[Sum(f"n_{ty}_sum", alias_name=f"n_{ty}")
+                        for ty in types])
+           .to_pandas())
+    out = out.astype({f"n_{ty}": "int64" for ty in types})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_TFIDF_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY 1),
+r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+      FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df FROM r WHERE rnk <= 3
+"""
+
+
+@query("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 characteristic terms (tf-idf ranking): term
+    frequency is SHUFFLE-FREE (a document lives in one row, so per-batch
+    counts are final); document frequency reuses the df_partials
+    combiner; the vocabulary table joins back through the adaptive
+    lookup join (broadcast under the 64 MiB cap, hash-shuffled above
+    it); top-3 per doc leaves 3 rows per group. Ranking is the
+    integer-exact (tf DESC, df ASC, term) order — the idf monotone —
+    so no float log enters any comparison."""
+    from ..functions.corpus import _explode_words, df_partials
+    from ..stages.joins import lookup_join
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        w = _explode_words(t["doc_id"].to_numpy(), t["text"].to_pylist())
+        g = w.group_by(["id", "word"]).len(name="tf")
+        return pa.table({
+            "doc_id": pa.array(g["id"].to_numpy(), pa.int64()),
+            "term": pa.array(g["word"].to_list(), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(), pa.int64())})
+
+    tf = ds.map_batches(tf_batch, batch_format="pyarrow")
+    df = (ds.map_batches(
+            lambda t: df_partials(t["doc_id"].to_numpy(),
+                                  t["text"].to_pylist()),
+            batch_format="pyarrow")
+          .groupby("token").aggregate(Sum("df", alias_name="df")))
+    joined = lookup_join(tf, df, "term", "token", ["df"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tf", "df", "term"],
+                          ascending=[False, True, True]).head(3)
+        return g[["doc_id", "term", "tf", "df"]]
+
+    out = (joined.groupby("doc_id")
+           .map_groups(top3, batch_format="pandas").to_pandas())
+    return (out.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
+            .sort_values(["doc_id", "term"]).reset_index(drop=True))
+
+
+_BLOOM_SEMI_SQL = """
+SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber
+FROM lineitem l
+WHERE l.l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+"""
+
+
+@query("bloom_semi_join", _BLOOM_SEMI_SQL)
+def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Semi join with a Bloom runtime filter (the 'bloom join' pushdown
+    engines apply to selective joins): the build side folds into
+    128 KiB bit-array partials (constant size per batch, OR-mergeable),
+    the probe side drops non-members BEFORE any join machinery, and the
+    adaptive exact semi join then removes the ≈0.1 % false positives.
+    At 100 TB the bloom collapses the probe-side shuffle volume to the
+    match rate; exactness never depends on the sketch (no false
+    negatives by construction)."""
+    from ..functions.sketches import bloom_merge, bloom_partial, bloom_probe
+    from ..stages.joins import semi_join
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    keys = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 450000.0))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = bloom_partial(t["o_orderkey"].to_numpy())
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+
+    parts = [np.frombuffer(r["words"], dtype=np.uint64)
+             for r in keys.map_batches(partial, batch_format="pyarrow")
+                          .take_all()]
+    bloom_ref = ray.put(bloom_merge(parts) if parts
+                        else np.zeros(1 << 14, dtype=np.uint64))
+
+    fact = _pq(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        mask = bloom_probe(ray.get(bloom_ref), t["l_orderkey"].to_numpy())
+        return t.filter(pa.array(mask))
+
+    prefiltered = fact.map_batches(probe, batch_format="pyarrow")
+    out = semi_join(prefiltered, keys, "l_orderkey", "o_orderkey").to_pandas()
+    out["l_linenumber"] = out["l_linenumber"].astype("int64")
+    return (out.sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
+_HIST_PCTL_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+       PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+       TRUE AS p50_sketch_ok, TRUE AS p95_sketch_ok
+FROM events GROUP BY event_type
+"""
+
+
+@query("approx_percentiles_hist", _HIST_PCTL_SQL)
+def approx_percentiles_hist(sf_dir: str) -> pd.DataFrame:
+    """Grouped quantiles as a mergeable histogram sketch: a global
+    min/max pass (tiny aggregate), then fixed 8192-bin int64 count
+    partials per (batch, group) — 64 KiB each regardless of input size —
+    sum-merged per group. The sketch quantile is within one bin width
+    ((max−min)/8192) of the exact PERCENTILE_DISC by construction; the
+    oracle hash-checks the exact p50/p95 (computed by the engine's
+    sorted-group path) and the within-one-bin gates. The shuffle moves
+    sketches, never values."""
+    from ..functions.sketches import hist_partial, hist_quantile
+    nbins = 8192
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    from ray.data.aggregate import Max
+    mm = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    binw = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        types, blobs = [], []
+        g = t.group_by("event_type").aggregate([("value", "list")])
+        for i in range(g.num_rows):
+            types.append(g["event_type"][i].as_py())
+            vals = np.asarray(g["value_list"][i].as_py(), dtype=np.float64)
+            blobs.append(hist_partial(vals, lo, hi, nbins).tobytes())
+        return pa.table({"event_type": pa.array(types),
+                         "counts": pa.array(blobs, pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        total = np.zeros(nbins, dtype=np.int64)
+        for b in g["counts"]:
+            total += np.frombuffer(b.as_py(), dtype=np.int64)
+        return pa.table({
+            "event_type": g["event_type"][:1],
+            "p50_a": pa.array([hist_quantile(total, lo, hi, 0.5)]),
+            "p95_a": pa.array([hist_quantile(total, lo, hi, 0.95)])})
+
+    approx = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("event_type").map_groups(merge, batch_format="pyarrow")
+              .to_pandas())
+
+    def exact(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        idx = lambda q: min(n - 1, max(0, int(np.ceil(q * n)) - 1))  # noqa: E731
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n": [np.int64(n)],
+                             "p50": [v[idx(0.5)]], "p95": [v[idx(0.95)]]})
+
+    ex = (ds.groupby("event_type").map_groups(exact, batch_format="pandas")
+          .to_pandas())
+    out = ex.merge(approx, on="event_type")
+    out["p50_sketch_ok"] = (out["p50_a"] - out["p50"]).abs() <= binw + 1e-9
+    out["p95_sketch_ok"] = (out["p95_a"] - out["p95"]).abs() <= binw + 1e-9
+    out["n"] = out["n"].astype("int64")
+    return (out[["event_type", "n", "p50", "p95",
+                 "p50_sketch_ok", "p95_sketch_ok"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 @query("curated_corpus_docs", _CURATED_SQL)
 def curated_corpus_docs(sf_dir: str) -> pd.DataFrame:
     """The user-facing curation pipeline (pipelines/curate.py) end to

@@ -78,3 +78,62 @@ def test_misra_gries_guarantee_and_merge():
         if cnt > bound:
             assert term in merged               # heavy hitters survive
             assert cnt - est <= bound           # undercount bound
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    from realestate_scraper_ray.functions.sketches import (
+        bloom_merge, bloom_partial, bloom_probe,
+    )
+    rng = np.random.default_rng(7)
+    members = rng.choice(10**9, size=20_000, replace=False).astype(np.int64)
+    # distributed shape: partials over splits, OR-merged in a tree
+    parts = [bloom_partial(chunk) for chunk in np.array_split(members, 7)]
+    words = bloom_merge([bloom_merge(parts[:3]), bloom_merge(parts[3:])])
+    # no false negatives, ever
+    assert bloom_probe(words, members).all()
+    # FP rate at n=20k, m=2^20, k=7: (1-e^{-kn/m})^k ~= 2.4e-7 — allow slack
+    probes = rng.choice(10**9, size=50_000).astype(np.int64)
+    probes = np.setdiff1d(probes, members)
+    fp = bloom_probe(words, probes).mean()
+    assert fp < 0.001, fp
+
+
+def test_bloom_merge_equals_single_pass():
+    from realestate_scraper_ray.functions.sketches import (
+        bloom_merge, bloom_partial,
+    )
+    vals = np.arange(5_000, dtype=np.int64) * 31 + 7
+    single = bloom_partial(vals)
+    merged = bloom_merge([bloom_partial(c) for c in np.array_split(vals, 11)])
+    assert np.array_equal(single, merged)
+
+
+def test_hist_quantile_within_one_bin():
+    from realestate_scraper_ray.functions.sketches import (
+        hist_partial, hist_quantile,
+    )
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.normal(100, 20, 30_000),
+                           rng.exponential(50, 10_000)])
+    lo, hi = float(vals.min()), float(vals.max())
+    nbins = 8192
+    counts = np.zeros(nbins, dtype=np.int64)
+    for chunk in np.array_split(vals, 9):  # mergeable partials
+        counts += hist_partial(chunk, lo, hi, nbins)
+    assert counts.sum() == len(vals)
+    binw = (hi - lo) / nbins
+    v = np.sort(vals)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.95, 0.999):
+        exact = v[min(len(v) - 1, max(0, int(np.ceil(q * len(v))) - 1))]
+        approx = hist_quantile(counts, lo, hi, q)
+        assert abs(approx - exact) <= binw + 1e-9, (q, approx, exact)
+
+
+def test_hist_empty_and_constant():
+    from realestate_scraper_ray.functions.sketches import (
+        hist_partial, hist_quantile,
+    )
+    empty = hist_partial(np.array([]), 0.0, 1.0, 16)
+    assert hist_quantile(empty, 0.0, 1.0, 0.5) == 0.0
+    const = hist_partial(np.full(100, 5.0), 5.0, 5.0, 16)
+    assert const.sum() == 100  # degenerate range doesn't crash
