@@ -2817,6 +2817,72 @@ def approx_percentiles_hist(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_type").reset_index(drop=True))
 
 
+_GLOBAL_RANK_SQL = """
+SELECT event_id, value,
+       CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) AS BIGINT) AS rnk
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@query("events_global_rank", _GLOBAL_RANK_SQL)
+def events_global_rank(sf_dir: str) -> pd.DataFrame:
+    """Global ROW_NUMBER without a global sort operator and without
+    materializing anything row-scale on the driver: histogram-sketch
+    boundaries cut the value domain into ~32 equal-depth buckets (equal
+    values always share a bucket, so ordering never straddles one), a
+    tiny groupby counts each bucket, the driver turns ≤32 counts into
+    exclusive offsets, and each bucket ranks internally in map_groups —
+    hierarchical prefix sum, one value-range shuffle total.
+    Correctness needs only monotone bucketing; the sketch quality only
+    balances bucket sizes."""
+    from ray.data.aggregate import Max
+
+    from ..functions.sketches import hist_partial
+    nbins, n_buckets = 8192, 32
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+                       .select(["event_id", "value"]),
+            batch_format="pyarrow")
+    mm = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+
+    parts = ds.map_batches(
+        lambda t: pa.table({"c": pa.array(
+            [hist_partial(t["value"].to_numpy(), lo, hi, nbins).tobytes()],
+            pa.binary())}),
+        batch_format="pyarrow").take_all()
+    counts = np.zeros(nbins, dtype=np.int64)
+    for r in parts:
+        counts += np.frombuffer(r["c"], dtype=np.int64)
+    n, cum = counts.sum(), np.cumsum(counts)
+    width = (hi - lo) / nbins or 1.0
+    cuts = np.unique([lo + (int(np.searchsorted(cum, k * n / n_buckets)) + 1)
+                      * width for k in range(1, n_buckets)])
+
+    def assign(t: pa.Table) -> pa.Table:
+        bk = np.searchsorted(cuts, t["value"].to_numpy(), side="right")
+        return t.append_column("bucket", pa.array(bk.astype(np.int64)))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+    sizes = (bucketed.groupby("bucket").aggregate(Count(alias_name="n_rows"))
+             .to_pandas().sort_values("bucket"))
+    offsets = dict(zip(
+        sizes["bucket"].astype(int),
+        np.concatenate([[0], np.cumsum(sizes["n_rows"].to_numpy())[:-1]])))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"]).reset_index(drop=True)
+        base = int(offsets[int(g["bucket"].iloc[0])])
+        g["rnk"] = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["event_id", "value", "rnk"]]
+
+    out = (bucketed.groupby("bucket")
+           .map_groups(rank, batch_format="pandas").to_pandas())
+    return (out.astype({"event_id": "int64", "rnk": "int64"})
+            .sort_values("rnk").reset_index(drop=True))
+
+
 @query("curated_corpus_docs", _CURATED_SQL)
 def curated_corpus_docs(sf_dir: str) -> pd.DataFrame:
     """The user-facing curation pipeline (pipelines/curate.py) end to
