@@ -83,6 +83,14 @@ class PortalConfig:
     seed: int = 42
     sources: tuple[str, ...] = SOURCES
     regions: tuple[str, ...] = VOIVODESHIPS
+    # §2.10 user-extension surface: plug in a NEW portal source without
+    # touching engine code or module tables — the Ray-native analogue of
+    # the reference's BaseAdapter registration (scrapper/adapters/
+    # base.py:19-46, cli.py:307-317). Each entry is
+    # (name, page_size, weight, no_new_stop-or-None); the name must also
+    # appear in `sources`. Registration lives ON the config (not in the
+    # module dicts) so it serializes to every Ray worker with the job.
+    extra_sources: tuple[tuple[str, int, float, int | None], ...] = ()
     # listing pages per (source, region) before weighting; the actual
     # count is deterministic per region within [3, base_pages].
     base_pages: int = 6
@@ -123,6 +131,25 @@ class PortalConfig:
     # SURVEY.md §7.1; each fetch worker loads the table once in its
     # stage state. URLs absent from the table are hard fetch failures.
     documents_path: str | None = None
+
+    # -- per-source policy lookups (module tables ∪ extra_sources) ------
+    def source_page_size(self, source: str) -> int:
+        for name, page_size, _w, _nn in self.extra_sources:
+            if name == source:
+                return page_size
+        return PAGE_SIZE[source]
+
+    def source_weight(self, source: str) -> float:
+        for name, _ps, weight, _nn in self.extra_sources:
+            if name == source:
+                return weight
+        return SOURCE_WEIGHT[source]
+
+    def source_no_new_stop(self, source: str) -> int | None:
+        for name, _ps, _w, no_new in self.extra_sources:
+            if name == source:
+                return no_new
+        return NO_NEW_STOP.get(source, 2)
 
 
 @dataclass(frozen=True)

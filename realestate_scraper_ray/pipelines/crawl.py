@@ -54,7 +54,7 @@ import zlib
 
 import numpy as np
 
-from ..config import NO_NEW_STOP, CrawlConfig, PortalConfig
+from ..config import CrawlConfig, PortalConfig
 from ..functions.urls import extract_offer_ids, host_of
 from ..sources.synth_portal import Portal
 from ..stages.fetch import make_fetch_fn
@@ -607,8 +607,9 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
             st.no_new_streak += 1
         else:
             st.no_new_streak = 0
-        # per-source no-new stop policy (config.NO_NEW_STOP registry)
-        limit = NO_NEW_STOP.get(m["source"], 2)
+        # per-source no-new stop policy (config.NO_NEW_STOP registry,
+        # overridable per run via PortalConfig.extra_sources — §2.10)
+        limit = portal.cfg.source_no_new_stop(m["source"])
         if limit is not None and st.no_new_streak >= limit:
             st.stop_reason = "no_new"
             continue

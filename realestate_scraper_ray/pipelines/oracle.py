@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..config import NO_NEW_STOP, REQ_FIELDS, CrawlConfig, PortalConfig
+from ..config import REQ_FIELDS, CrawlConfig, PortalConfig
 from ..sources.synth_portal import Portal
 
 _NUM = re.compile(r"(-?\d+(?:\.\d+)?)")
@@ -232,7 +232,7 @@ def _crawl_region(portal: Portal, cfg: CrawlConfig, source: str, region: str,
         st["last_page_done"] = page
         if new_on_page == 0:
             st["no_new_streak"] += 1
-            limit = NO_NEW_STOP.get(source, 2)
+            limit = portal.cfg.source_no_new_stop(source)
             if limit is not None and st["no_new_streak"] >= limit:
                 st["stop_reason"] = "no_new"
                 break

@@ -33,7 +33,7 @@ from dataclasses import dataclass
 
 import pyarrow as pa
 
-from ..config import PAGE_SIZE, SOURCE_WEIGHT, PortalConfig
+from ..config import PortalConfig
 from ..schemas import DOCUMENTS
 
 # ---------------------------------------------------------------------------
@@ -62,14 +62,23 @@ def span(kind: str, text: str = "", media_ref: str = "", offset: int = 0) -> dic
     return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
 
 
+# Source names in URLs are matched generically ([a-z]+) and validated
+# against cfg.sources in classify() — this is the §2.10 extension
+# surface: a NEW source plugs in by adding its name to
+# PortalConfig.sources plus one (name, page_size, weight, no_new_stop)
+# record in PortalConfig.extra_sources (serialized with the job to every
+# Ray worker), and the generic URL scheme (listing /mieszkania?page=N,
+# offer …-ogl<oid>) plus the engine's generic parse chain pick it up
+# with zero engine changes — the rebuild's analogue of the reference's
+# BaseAdapter protocol (scrapper/adapters/base.py:19-46).
 _LISTING_RE = re.compile(
-    r"^https://(?:(?P<region>[a-z-]+)\.(?P<source>otodom|gratka|morizon)\.pl"
-    r"|(?P<tm>ogloszenia\.trojmiasto\.pl))"
+    r"^https://(?:(?P<tm>ogloszenia\.trojmiasto\.pl)"
+    r"|(?P<region>[a-z-]+)\.(?P<source>[a-z]+)\.pl)"
     r"(?:/pl/wyniki/sprzedaz/mieszkanie/[a-z-]+|/nieruchomosci/(?P<tmr>[a-z-]+)|/mieszkania)"
     r"\?(?:limit=\d+&)?(?:page|strona)=(?P<page>\d+)(?:&days=(?P<days>\d+))?$"
 )
 _OFFER_RE = re.compile(
-    r"^https://(?:[a-z-]+\.(?:otodom|gratka|morizon)\.pl|ogloszenia\.trojmiasto\.pl)"
+    r"^https://(?:[a-z-]+\.[a-z]+\.pl|ogloszenia\.trojmiasto\.pl)"
     r"(?P<private>/private)?/(?:pl/oferta|oferta|nieruchomosci)/mieszkanie-"
     r"(?P<region>[a-z-]+)-(?P<k>\d+)(?:-ID|-mzn|-ogl|/ob/)(?P<oid>\d+)$"
 )
@@ -168,6 +177,8 @@ class Portal:
             if m.group("tm"):
                 return PageRef("listing", "trojmiasto", m.group("tmr"),
                                int(m.group("page")), days=days)
+            if m.group("source") not in self.cfg.sources:
+                return PageRef("void")
             return PageRef("listing", m.group("source"), m.group("region"),
                            int(m.group("page")), days=days)
         return PageRef("void")
@@ -175,11 +186,12 @@ class Portal:
     # -- topology -----------------------------------------------------------
 
     def page_size(self, source: str) -> int:
-        return max(3, int(PAGE_SIZE[source] * self.cfg.page_size_scale))
+        return max(3, int(self.cfg.source_page_size(source)
+                          * self.cfg.page_size_scale))
 
     def content_pages(self, source: str, region: str) -> int:
         c = self.cfg
-        w = SOURCE_WEIGHT[source]
+        w = self.cfg.source_weight(source)
         u = _unit(c.seed, "npages", source, region)
         return max(2, int(round(c.base_pages * w * (0.7 + 0.6 * u))))
 

@@ -226,3 +226,38 @@ def test_metrics_totals(run):
     assert engine.offers == len(oracle.offers)
     assert engine.pages_fetched == sum(
         st["fetched"] for st in oracle.state.values())
+
+
+def test_new_source_plugs_in(tmp_path, ray_session):
+    """§2.10 extension surface: a 5th portal source registers via
+    PortalConfig.extra_sources (name, page_size, weight, no_new_stop) —
+    no engine/module changes — and the generic URL scheme + parse chain
+    crawl it with full oracle equality (the rebuild's BaseAdapter
+    protocol, reference scrapper/adapters/base.py:19-46)."""
+    from collections import Counter
+
+    from realestate_scraper_ray.config import PortalConfig
+    from realestate_scraper_ray.sources.synth_portal import Portal
+
+    pcfg = PortalConfig(sources=("otodom", "domiporta"),
+                        regions=("pomorskie",),
+                        base_pages=3, page_size_scale=0.2,
+                        extra_sources=(("domiporta", 24, 1.2, 2),))
+    engine = run_crawl(pcfg, CRAWL, str(tmp_path / "wd"))
+    oracle = crawl_oracle(Portal(pcfg), CRAWL)
+
+    got_urls = sorted(engine.table("urls")["offer_url"].to_pylist())
+    assert got_urls == sorted(r["offer_url"] for r in oracle.urls)
+
+    eo = engine.table("offers")
+    got = sorted(zip(eo["offer_id"].to_pylist(),
+                     eo["price_amount"].to_pylist(),
+                     eo["city"].to_pylist()))
+    exp = sorted((r["offer_id"], r["price_amount"], r["city"])
+                 for r in oracle.offers)
+    assert got == exp
+    by_source = Counter(eo["source"].to_pylist())
+    assert by_source["domiporta"] > 0          # the new source crawled
+    # its no_new_stop policy (2) drove a real stop decision
+    st = engine.state.get("domiporta|pomorskie")
+    assert st and st["stop_reason"] in ("no_new", "no_links", "max_pages")
