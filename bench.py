@@ -43,6 +43,8 @@ HEADLINE_QUERIES = [
     "exact_substring_dup", "events_interleaved_docs", "approx_distinct_users",
     "heavy_hitter_terms", "media_frame_sample", "events_sliding_count",
     "orders_full_outer", "events_bottomk_sample", "curated_corpus_docs",
+    "events_type_rollup", "events_pivot_counts", "tfidf_top_terms",
+    "bloom_semi_join", "approx_percentiles_hist", "events_global_rank",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

@@ -49,6 +49,15 @@ def query(name: str, sql: str | None = None):
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
+def _as_arrow(ds: rd.Dataset) -> rd.Dataset:
+    """Convert a Dataset's blocks to Arrow format. Dataset-returning
+    queries end with this so downstream row materialization (the
+    driver's take_all) runs the columnar fast path — pandas-format
+    blocks pay a per-row dict conversion that measured ~40x slower
+    (13.2s vs 0.3s for a 10k-row result)."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
 
 # ---------------------------------------------------------------------------
 # TPC-H-style relational core (groupby / join / sort / limit)
@@ -420,7 +429,7 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
         n = int((gaps.isna() | (gaps > 1800)).sum())
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _as_arrow(ds.groupby("user_id").map_groups(sessions, batch_format="pandas"))
 
 
 _SEMI_SQL = """
@@ -498,7 +507,7 @@ def value_percentiles_per_type(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
                              "p50": [v[idx(0.5)]], "p90": [v[idx(0.9)]]})
 
-    return ds.groupby("event_type").map_groups(pct, batch_format="pandas")
+    return _as_arrow(ds.groupby("event_type").map_groups(pct, batch_format="pandas"))
 
 
 _TOPK_SQL = """
@@ -525,7 +534,7 @@ def events_topk_per_user(sf_dir: str) -> rd.Dataset:
         g = g.assign(rnk=np.arange(1, len(g) + 1))
         return g[["user_id", "event_id", "value", "rnk"]]
 
-    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+    return _as_arrow(ds.groupby("user_id").map_groups(topk, batch_format="pandas"))
 
 
 _LAG_SQL = """
@@ -547,7 +556,7 @@ def events_lag(sf_dir: str) -> rd.Dataset:
                              "user_id": g["user_id"],
                              "prev_value": g["value"].shift(1)})
 
-    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+    return _as_arrow(ds.groupby("user_id").map_groups(lag, batch_format="pandas"))
 
 
 _RUNNING_SQL = """
@@ -571,7 +580,7 @@ def events_running_total(sf_dir: str) -> rd.Dataset:
                              "user_id": g["user_id"],
                              "running_value": np.cumsum(cents) / 100.0})
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return _as_arrow(ds.groupby("user_id").map_groups(running, batch_format="pandas"))
 
 
 _ASOF_SQL = """
@@ -610,7 +619,7 @@ def events_asof_purchase(sf_dir: str) -> rd.Dataset:
                              "user_id": g["user_id"],
                              "prev_purchase_value": prev})
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _as_arrow(ds.groupby("user_id").map_groups(asof, batch_format="pandas"))
 
 
 _RANGE_JOIN_SQL = """
@@ -642,7 +651,7 @@ def events_range_join(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({"event_id": g["event_id"],
                              "n_within_5min": (hi - lo).astype(np.int64)})
 
-    return ds.groupby("user_id").map_groups(band_count, batch_format="pandas")
+    return _as_arrow(ds.groupby("user_id").map_groups(band_count, batch_format="pandas"))
 
 
 @query("events_json_extract",
@@ -1779,8 +1788,8 @@ def epoch_shuffle(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({"doc_id": g["doc_id"], "shard": g["shard"],
                              "pos": np.arange(1, len(g) + 1, dtype=np.int64)})
 
-    return (ds.map_batches(keyed, batch_format="pyarrow")
-            .groupby("shard").map_groups(rank, batch_format="pandas"))
+    return _as_arrow(ds.map_batches(keyed, batch_format="pyarrow")
+                     .groupby("shard").map_groups(rank, batch_format="pandas"))
 
 
 # Global-quantile quality gate: keep docs at/above the 75th-percentile
@@ -1920,7 +1929,7 @@ def sequence_packing(sf_dir: str) -> rd.Dataset:
                              "tok_offset": off.astype(np.int64),
                              "pack_bin": (off // _PACK_BIN).astype(np.int64)})
 
-    return toks.groupby("bucket").map_groups(pack, batch_format="pandas")
+    return _as_arrow(toks.groupby("bucket").map_groups(pack, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
