@@ -2833,26 +2833,20 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
-@query("events_global_rank", _GLOBAL_RANK_SQL)
-def events_global_rank(sf_dir: str) -> pd.DataFrame:
-    """Global ROW_NUMBER without a global sort operator and without
-    materializing anything row-scale on the driver: histogram-sketch
-    boundaries cut the value domain into ~32 equal-depth buckets (equal
-    values always share a bucket, so ordering never straddles one), a
-    tiny groupby counts each bucket, the driver turns ≤32 counts into
-    exclusive offsets, and each bucket ranks internally in map_groups —
-    hierarchical prefix sum, one value-range shuffle total.
-    Correctness needs only monotone bucketing; the sketch quality only
-    balances bucket sizes."""
+def _ranked_by_value(ds: rd.Dataset) -> pd.DataFrame:
+    """Global ROW_NUMBER over (value, event_id) without a global sort
+    operator and without materializing anything row-scale on the driver:
+    histogram-sketch boundaries cut the value domain into ~32 equal-depth
+    buckets (equal values always share a bucket, so ordering never
+    straddles one), a tiny groupby counts each bucket, the driver turns
+    ≤32 counts into exclusive offsets, and each bucket ranks internally
+    in map_groups — hierarchical prefix sum, one value-range shuffle
+    total. Correctness needs only monotone bucketing; the sketch quality
+    only balances bucket sizes."""
     from ray.data.aggregate import Max
 
     from ..functions.sketches import hist_partial
     nbins, n_buckets = 8192, 32
-    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"]) \
-        .map_batches(
-            lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
-                       .select(["event_id", "value"]),
-            batch_format="pyarrow")
     mm = ds.aggregate(Min("value"), Max("value"))
     lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
 
@@ -2890,6 +2884,44 @@ def events_global_rank(sf_dir: str) -> pd.DataFrame:
            .map_groups(rank, batch_format="pandas").to_pandas())
     return (out.astype({"event_id": "int64", "rnk": "int64"})
             .sort_values("rnk").reset_index(drop=True))
+
+
+@query("events_global_rank", _GLOBAL_RANK_SQL)
+def events_global_rank(sf_dir: str) -> pd.DataFrame:
+    """Global ROW_NUMBER over the purchase events — see
+    ``_ranked_by_value`` for the range-bucketed hierarchical prefix-sum
+    decomposition (no global sort, ≤32 ints on the driver)."""
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+                       .select(["event_id", "value"]),
+            batch_format="pyarrow")
+    return _ranked_by_value(ds)
+
+
+_NTILE_SQL = """
+SELECT event_id,
+       CAST(NTILE(4) OVER (ORDER BY value, event_id) AS BIGINT) AS quartile
+FROM events
+"""
+
+
+@query("events_value_quartile", _NTILE_SQL)
+def events_value_quartile(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) over the whole table: derived from the distributed
+    global rank (``_ranked_by_value``) with the standard NTILE split —
+    the first n%4 tiles get ⌈n/4⌉ rows — computed vectorized from the
+    rank alone; no extra pass over the data."""
+    ds = _pq(sf_dir, "events", ["event_id", "value"])
+    out = _ranked_by_value(ds)
+    n, tiles = len(out), 4
+    q, r = divmod(n, tiles)
+    rnk0 = out["rnk"].to_numpy() - 1
+    big = r * (q + 1)  # rows covered by the size-(q+1) tiles
+    quart = np.where(rnk0 < big, rnk0 // max(q + 1, 1),
+                     r + (rnk0 - big) // max(q, 1)) + 1
+    out = out.assign(quartile=quart.astype(np.int64))[["event_id", "quartile"]]
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 @query("curated_corpus_docs", _CURATED_SQL)
