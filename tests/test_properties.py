@@ -159,3 +159,48 @@ def test_misra_gries_never_overcounts_and_bounds_undercount(stream, k):
         assert est <= true[t]
     for t, cnt in true.items():
         assert cnt - sk.get(t, 0) <= bound
+
+
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                min_size=0, max_size=400),
+       st.integers(min_value=1, max_value=7))
+@settings(max_examples=60, deadline=None)
+def test_bloom_membership_and_split_invariance(vals, n_splits):
+    """No false negatives ever; OR-merge of any split equals single-pass."""
+    from realestate_scraper_ray.functions.sketches import (
+        bloom_merge, bloom_partial, bloom_probe,
+    )
+    arr = np.array(vals, dtype=np.int64)
+    single = bloom_partial(arr)
+    parts = [bloom_partial(c) for c in np.array_split(arr, n_splits)]
+    merged = bloom_merge(parts) if parts else single
+    assert np.array_equal(single, merged)
+    if len(arr):
+        assert bloom_probe(merged, arr).all()
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=500),
+       st.sampled_from([0.01, 0.25, 0.5, 0.9, 0.99]),
+       st.integers(min_value=2, max_value=9))
+@settings(max_examples=60, deadline=None)
+def test_hist_quantile_one_bin_error_and_split_invariance(vals, q, n_splits):
+    """Merged partials == single pass; quantile within one bin width of
+    the exact PERCENTILE_DISC, for any data/split/q."""
+    from realestate_scraper_ray.functions.sketches import (
+        hist_partial, hist_quantile,
+    )
+    arr = np.array(vals, dtype=np.float64)
+    lo, hi = float(arr.min()), float(arr.max())
+    nbins = 512
+    single = hist_partial(arr, lo, hi, nbins)
+    merged = np.zeros(nbins, dtype=np.int64)
+    for c in np.array_split(arr, n_splits):
+        merged += hist_partial(c, lo, hi, nbins)
+    assert np.array_equal(single, merged)
+    v = np.sort(arr)
+    exact = v[min(len(v) - 1, max(0, int(np.ceil(q * len(v))) - 1))]
+    approx = hist_quantile(merged, lo, hi, q)
+    binw = (hi - lo) / nbins if hi > lo else 0.0
+    assert abs(approx - exact) <= binw + 1e-9 + abs(exact) * 1e-12
