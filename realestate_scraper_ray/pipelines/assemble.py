@@ -1,0 +1,168 @@
+"""End-to-end training-set ASSEMBLY with resumable sharded output.
+
+The mixing/packing half of a training-data pipeline (pipelines/curate.py
+is the cleaning half): documents → global-quantile quality gate (keep
+n_tokens ≥ the exact 75th percentile, computed from a value-count
+histogram — no global sort) → source temperature sampling (τ=2
+flattening: keep-probability ∝ n_source^-0.5, decided by a content hash
+against a per-source threshold, join-free on the fact side) → seeded
+epoch shuffle (md5 order; shard = first hex digit, 16 shards) →
+per-shard sequence packing (fixed token bins cut from an intra-shard
+running prefix sum — shards pack independently, so packing needs no
+cross-shard coordination at any scale).
+
+Resumability mirrors ``pipelines/curate.py``: each shard commits
+atomically (tmp + rename) and a re-run SKIPS shards whose file already
+exists; ``manifest.json`` (written last) records the stage funnel and
+per-shard rows, and its presence marks the output complete. The shard
+key is content-derived (md5 of doc_id), so resuming with a different
+input sharding produces byte-identical shards.
+
+Per-stage semantics are exactly the SQL-oracled catalog queries
+(`quality_quantile_filter`, `source_temperature_sample`,
+`epoch_shuffle`, `sequence_packing` — relational.py), composed; the
+`assembled_training_set` queries() entry checks the whole chain against
+one composed DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count
+
+OUT_COLS = ["doc_id", "source", "n_tokens", "shard", "pos", "pack_bin"]
+
+
+def assemble_training_set(sf_dir: str, out_dir: str, *,
+                          bin_tokens: int = 2048,
+                          quantile: float = 0.75) -> dict:
+    """Run the assembly chain over ``{sf_dir}/documents.parquet`` and
+    write packed shards to ``{out_dir}/shard=X/part.parquet``. Returns
+    the manifest dict. Shards already on disk are skipped (resume)."""
+    from ..functions.textstats import md5_fingerprints, token_counts
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    n_in = ds.count()
+
+    def tok(t: pa.Table) -> pa.Table:
+        tc = token_counts(t["text"].combine_chunks())
+        return t.append_column(
+            "n_tokens", pc.cast(tc["n_tokens_ws"], pa.int64()))
+
+    scored = ds.map_batches(tok, batch_format="pyarrow").materialize()
+
+    # exact global quantile from the value-count histogram (token counts
+    # are small ints, so the distinct-value set is tiny at any scale);
+    # quantile_disc picks the sorted element at index floor((N-1)*q)
+    hist = (scored.groupby("n_tokens").aggregate(Count(alias_name="n"))
+            .to_pandas().sort_values("n_tokens").reset_index(drop=True))
+    total = int(hist["n"].sum())
+    idx = int(np.floor((total - 1) * quantile))
+    cum = hist["n"].cumsum().to_numpy()
+    cutoff = int(hist["n_tokens"][int(np.searchsorted(cum, idx + 1))])
+    gated = scored.filter(expr=f"n_tokens >= {cutoff}").materialize()
+    n_gated = gated.count()
+
+    # per-source τ=2 temperature thresholds (tiny table, task closure)
+    counts = (gated.groupby("source").aggregate(Count(alias_name="n_g"))
+              .to_pandas())
+    n_total = float(counts["n_g"].sum())
+    thr = {
+        s: float(np.minimum(16777216.0,
+                            np.floor(0.125 * np.sqrt(n_total)
+                                     / np.sqrt(float(n)) * 16777216.0)))
+        for s, n in zip(counts["source"], counts["n_g"])}
+
+    def temp_gate(t: pa.Table) -> pa.Table:
+        fp = md5_fingerprints(t["text"].combine_chunks())
+        u = np.array([int(h[:6], 16) for h in fp.to_pylist()],
+                     dtype=np.float64)
+        lim = np.array([thr[s] for s in t["source"].to_pylist()])
+        return (t.filter(pa.array(u < lim))
+                .select(["doc_id", "source", "n_tokens"]))
+
+    kept = gated.map_batches(temp_gate, batch_format="pyarrow")
+
+    # epoch-shuffle key: md5('ep1:' || doc_id); shard = first hex digit
+    def shuffle_key(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        hv = md5_fingerprints(pc.binary_join_element_wise("ep1", ids, ":"))
+        return (t.append_column("hv", hv)
+                .append_column("shard", pc.utf8_slice_codeunits(hv, 0, 1)))
+
+    keyed = kept.map_batches(shuffle_key, batch_format="pyarrow")
+
+    # per-shard: shuffle order = (hv, doc_id); pack bins from the
+    # intra-shard exclusive prefix sum — shards pack independently
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hv", "doc_id"]).reset_index(drop=True)
+        ntok = g["n_tokens"].to_numpy(dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"], "source": g["source"],
+            "n_tokens": ntok, "shard": g["shard"],
+            "pos": np.arange(1, len(g) + 1, dtype=np.int64),
+            "pack_bin": off // bin_tokens})
+
+    packed = keyed.groupby("shard").map_groups(pack, batch_format="pandas")
+
+    written, skipped, rows = [], [], {}
+    # the write is driver-side here only because shards are result-scale
+    # at test sf; at 100 TB the same map_groups writes its shard file
+    # from inside the task (same atomic tmp+rename discipline)
+    for shard, tbl in _iter_shards(packed):
+        sdir = os.path.join(out_dir, f"shard={shard}")
+        dest = os.path.join(sdir, "part.parquet")
+        rows[shard] = tbl.num_rows
+        if os.path.exists(dest):
+            skipped.append(shard)
+            continue
+        os.makedirs(sdir, exist_ok=True)
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(tbl.sort_by("pos").select(OUT_COLS), tmp)
+        os.replace(tmp, dest)
+        written.append(shard)
+
+    manifest = {
+        "n_in": int(n_in), "n_after_quality": int(n_gated),
+        "n_after_temperature": int(sum(rows.values())),
+        "quantile_cutoff_tokens": cutoff, "bin_tokens": bin_tokens,
+        "shard_rows": {k: int(v) for k, v in sorted(rows.items())},
+        "written": sorted(written), "skipped": sorted(skipped),
+    }
+    tmp = os.path.join(out_dir, f"manifest.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def _iter_shards(ds: rd.Dataset):
+    """Yield (shard, arrow table) per non-empty shard via the one
+    shard-key shuffle the pipeline already performs."""
+    tbl = pa.Table.from_pylist(ds.take_all())
+    if tbl.num_rows == 0:
+        return
+    for shard in sorted(set(tbl["shard"].to_pylist())):
+        yield str(shard), tbl.filter(pc.equal(tbl["shard"], shard))
+
+
+def read_assembled(out_dir: str) -> rd.Dataset:
+    """Streaming reader over the assembled output (all shards)."""
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d, "part.parquet")
+        if d.startswith("shard=") and os.path.exists(p):
+            files.append(p)
+    return rd.read_parquet(files)

@@ -2924,6 +2924,59 @@ def events_value_quartile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+# Composed oracle for the end-to-end ASSEMBLY pipeline
+# (pipelines/assemble.py): quantile gate → temperature sample → epoch
+# shuffle → per-shard packing, each CTE the SQL of its catalog twin.
+_ASSEMBLED_SQL = r"""
+WITH s AS (
+  SELECT doc_id, source, text,
+         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (SELECT quantile_disc(n_tokens, 0.75) AS q FROM s),
+gated AS (SELECT doc_id, source, text, n_tokens FROM s, c WHERE n_tokens >= q),
+g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g FROM gated GROUP BY source),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gated),
+t AS (SELECT source,
+             LEAST(16777216.0, FLOOR(0.125 * sqrt(n) / sqrt(n_g) * 16777216.0)) AS thr
+      FROM g, tot),
+kept AS (
+  SELECT d.doc_id, d.source, d.n_tokens
+  FROM gated d JOIN t USING (source)
+  WHERE CAST('0x' || substr(md5(d.text), 1, 6) AS BIGINT) < t.thr),
+h AS (SELECT doc_id, source, n_tokens,
+             md5('ep1:' || CAST(doc_id AS VARCHAR)) AS hv FROM kept)
+SELECT doc_id, source, n_tokens, substr(hv, 1, 1) AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(hv, 1, 1)
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos,
+       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY substr(hv, 1, 1)
+            ORDER BY hv, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       // 2048 AS pack_bin
+FROM h
+"""
+
+
+@query("assembled_training_set", _ASSEMBLED_SQL)
+def assembled_training_set(sf_dir: str) -> pd.DataFrame:
+    """The user-facing ASSEMBLY pipeline (pipelines/assemble.py) end to
+    end — global-quantile quality gate → source temperature sampling →
+    seeded epoch shuffle → per-shard sequence packing — with its
+    RESUMABLE sharded parquet output, verified against one composed SQL
+    oracle of all four stages."""
+    import shutil
+    import tempfile
+
+    from .assemble import assemble_training_set, read_assembled
+    out = os.path.join(tempfile.gettempdir(),
+                       f"rsr_assembled_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(out, ignore_errors=True)  # fresh run (resume in pytest)
+    assemble_training_set(sf_dir, out)
+    df = read_assembled(out).to_pandas()
+    return (df.astype({"doc_id": "int64", "n_tokens": "int64",
+                       "pos": "int64", "pack_bin": "int64"})
+            .sort_values(["shard", "pos"]).reset_index(drop=True))
+
+
 @query("curated_corpus_docs", _CURATED_SQL)
 def curated_corpus_docs(sf_dir: str) -> pd.DataFrame:
     """The user-facing curation pipeline (pipelines/curate.py) end to
