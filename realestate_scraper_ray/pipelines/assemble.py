@@ -115,24 +115,23 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
             "pos": np.arange(1, len(g) + 1, dtype=np.int64),
             "pack_bin": off // bin_tokens})
 
-    packed = keyed.groupby("shard").map_groups(pack, batch_format="pandas")
+    # each shard's map_groups task packs AND writes its own file
+    # (atomic tmp + rename, skip-if-exists) — the write scales with the
+    # shard count, and only (shard, rows, written) rows reach the driver
+    def pack_and_write(g: pd.DataFrame) -> pd.DataFrame:
+        out = pack(g)
+        shard = str(out["shard"].iloc[0])
+        wrote = _write_shard(out_dir, shard, out)
+        return pd.DataFrame({"shard": [shard],
+                             "rows": [np.int64(len(out))],
+                             "wrote": [wrote]})
 
-    written, skipped, rows = [], [], {}
-    # the write is driver-side here only because shards are result-scale
-    # at test sf; at 100 TB the same map_groups writes its shard file
-    # from inside the task (same atomic tmp+rename discipline)
-    for shard, tbl in _iter_shards(packed):
-        sdir = os.path.join(out_dir, f"shard={shard}")
-        dest = os.path.join(sdir, "part.parquet")
-        rows[shard] = tbl.num_rows
-        if os.path.exists(dest):
-            skipped.append(shard)
-            continue
-        os.makedirs(sdir, exist_ok=True)
-        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(tbl.sort_by("pos").select(OUT_COLS), tmp)
-        os.replace(tmp, dest)
-        written.append(shard)
+    summary = (keyed.groupby("shard")
+               .map_groups(pack_and_write, batch_format="pandas")
+               .to_pandas())
+    rows = dict(zip(summary["shard"], summary["rows"].astype(int)))
+    written = sorted(summary["shard"][summary["wrote"]])
+    skipped = sorted(summary["shard"][~summary["wrote"]])
 
     manifest = {
         "n_in": int(n_in), "n_after_quality": int(n_gated),
@@ -148,14 +147,20 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
     return manifest
 
 
-def _iter_shards(ds: rd.Dataset):
-    """Yield (shard, arrow table) per non-empty shard via the one
-    shard-key shuffle the pipeline already performs."""
-    tbl = pa.Table.from_pylist(ds.take_all())
-    if tbl.num_rows == 0:
-        return
-    for shard in sorted(set(tbl["shard"].to_pylist())):
-        yield str(shard), tbl.filter(pc.equal(tbl["shard"], shard))
+def _write_shard(out_dir: str, shard: str, df: pd.DataFrame) -> bool:
+    """Atomically write one shard's file from inside its task; returns
+    False (skip) when the file already exists (resume)."""
+    sdir = os.path.join(out_dir, f"shard={shard}")
+    dest = os.path.join(sdir, "part.parquet")
+    if os.path.exists(dest):
+        return False
+    os.makedirs(sdir, exist_ok=True)
+    tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(
+        pa.Table.from_pandas(df.sort_values("pos")[OUT_COLS],
+                             preserve_index=False), tmp)
+    os.replace(tmp, dest)
+    return True
 
 
 def read_assembled(out_dir: str) -> rd.Dataset:

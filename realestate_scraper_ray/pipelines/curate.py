@@ -90,23 +90,32 @@ def curate_corpus(sf_dir: str, out_dir: str, n_buckets: int = 16,
 
     bucketed = survivors.map_batches(add_bucket, batch_format="pyarrow")
 
-    written, skipped, counts = [], [], {}
-    # groupby(bucket) co-locates each partition; the write itself is
-    # driver-side here only because buckets are result-scale — at 100 TB
-    # the same map_groups writes its bucket file from inside the task
-    for bucket, tbl in _iter_buckets(bucketed, n_buckets):
+    # each bucket's map_groups task writes its own file (atomic tmp +
+    # rename, skip-if-exists) — the write scales with the bucket count
+    # and only (bucket, rows, wrote) summary rows reach the driver
+    def write_bucket(t: pa.Table) -> pa.Table:
+        bucket = int(t["bucket"][0].as_py())
         bdir = os.path.join(out_dir, f"bucket={bucket:02d}")
         dest = os.path.join(bdir, "part.parquet")
-        counts[bucket] = tbl.num_rows
-        if os.path.exists(dest):
-            skipped.append(bucket)
-            continue
-        os.makedirs(bdir, exist_ok=True)
-        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(tbl.sort_by("doc_id").select(
-            ["doc_id", "text", "source"]), tmp)
-        os.replace(tmp, dest)
-        written.append(bucket)
+        wrote = False
+        if not os.path.exists(dest):
+            os.makedirs(bdir, exist_ok=True)
+            tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(t.sort_by("doc_id").select(
+                ["doc_id", "text", "source"]), tmp)
+            os.replace(tmp, dest)
+            wrote = True
+        return pa.table({"bucket": pa.array([bucket], pa.int32()),
+                         "rows": pa.array([t.num_rows], pa.int64()),
+                         "wrote": pa.array([wrote])})
+
+    summary = (bucketed.groupby("bucket")
+               .map_groups(write_bucket, batch_format="pyarrow")
+               .to_pandas())
+    counts = dict(zip(summary["bucket"].astype(int),
+                      summary["rows"].astype(int)))
+    written = sorted(int(b) for b in summary["bucket"][summary["wrote"]])
+    skipped = sorted(int(b) for b in summary["bucket"][~summary["wrote"]])
 
     manifest = {
         "n_in": int(n_in), "n_after_quality": int(n_gated),
@@ -121,19 +130,6 @@ def curate_corpus(sf_dir: str, out_dir: str, n_buckets: int = 16,
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     return manifest
-
-
-def _iter_buckets(ds: rd.Dataset, n_buckets: int):
-    """Yield (bucket, arrow table) per non-empty bucket, via one
-    groupby shuffle on the partition key."""
-    def pack(t: pa.Table) -> pa.Table:
-        return t
-    grouped = ds.groupby("bucket").map_groups(pack, batch_format="pyarrow")
-    tbl = pa.Table.from_pylist(grouped.take_all())
-    if tbl.num_rows == 0:
-        return
-    for bucket in sorted(set(tbl["bucket"].to_pylist())):
-        yield int(bucket), tbl.filter(pc.equal(tbl["bucket"], bucket))
 
 
 def read_curated(out_dir: str) -> rd.Dataset:
