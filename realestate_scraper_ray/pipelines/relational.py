@@ -583,6 +583,40 @@ def events_running_total(sf_dir: str) -> rd.Dataset:
     return _as_arrow(ds.groupby("user_id").map_groups(running, batch_format="pandas"))
 
 
+_MOVING_AVG_SQL = """
+WITH w AS (SELECT event_id, user_id, ts,
+                  CAST(ROUND(value*100, 0) AS BIGINT) AS v
+           FROM events)
+SELECT event_id, user_id,
+       (SUM(v) OVER win / 100.0) / COUNT(*) OVER win AS avg3
+FROM w
+WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("events_moving_avg", _MOVING_AVG_SQL)
+def events_moving_avg(sf_dir: str) -> rd.Dataset:
+    """ROWS-frame window (moving average over the trailing 3 rows per
+    key): integer-cent cumulative sums make the windowed sum EXACT
+    (int64 cumsum differences lose nothing), so the double division
+    matches SQL bit-for-bit regardless of combine order."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def mavg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        cum = np.cumsum(cents)
+        win = cum - np.concatenate([[0, 0, 0], cum[:-3]])[:len(cum)]
+        n = np.minimum(np.arange(1, len(cum) + 1), 3)
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "avg3": (win / 100.0) / n})
+
+    return _as_arrow(
+        ds.groupby("user_id").map_groups(mavg, batch_format="pandas"))
+
+
 _ASOF_SQL = """
 SELECT e.event_id, e.user_id, p.value AS prev_purchase_value
 FROM events e
