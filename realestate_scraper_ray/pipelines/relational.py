@@ -1988,6 +1988,27 @@ def _crawl_result():
     return _CRAWL_CACHE["res"]
 
 
+@query("crawl_quarantine")
+def crawl_quarantine(sf_dir: str) -> pd.DataFrame:
+    """S16/S17 debug-sink surface in the driver gate: a small crawl with
+    hard failure injection (fail_depth ≥ fetch_attempts) leaves its
+    fetch_fail pages in the per-generation quarantine table — the
+    reference's debug_html/err_N.html analogue (detail.py:241-247)."""
+    from ..config import CrawlConfig, PortalConfig
+    from .crawl import run_crawl
+    if "fail" not in _CRAWL_CACHE:
+        pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                            page_size_scale=0.1)
+        _CRAWL_CACHE["fail"] = run_crawl(
+            pcfg, CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 12,
+                              fetch_batch_size=64, fail_per_mille=150,
+                              fail_depth=9, fetch_attempts=3),
+            "/tmp/rsr_entry_crawl_fail")
+    out = _CRAWL_CACHE["fail"].table("quarantine").to_pandas()
+    return (out.sort_values(["source", "region", "page_idx", "url"])
+            .reset_index(drop=True))
+
+
 @query("crawl_urls")
 def crawl_urls(sf_dir: str) -> pd.DataFrame:
     t = _crawl_result().table("urls").to_pandas()
