@@ -2979,6 +2979,93 @@ def events_value_quartile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+_PROMO_SQL = """
+SELECT SUM(CASE WHEN p_type = 'PROMO' THEN d ELSE 0 END)/10000.0 AS promo_revenue,
+       SUM(d)/10000.0 AS total_revenue,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN d ELSE 0 END) AS DOUBLE)
+           / SUM(d) AS promo_share
+FROM (SELECT l_partkey,
+             CAST(ROUND(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT) AS d
+      FROM lineitem) l
+JOIN part ON p_partkey = l_partkey
+"""
+
+
+@query("promo_revenue_share", _PROMO_SQL)
+def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (fact ⋈ dimension + conditional aggregate): the
+    part dimension rides through the adaptive lookup join (broadcast
+    under the 64 MiB cap — a true dimension at any scale — shuffled
+    above it), revenue sums are integer-scaled 1e-4 units, and the share
+    is one double division of two exact integers, so Ray's combine order
+    and DuckDB agree bit-for-bit."""
+    from ..stages.joins import lookup_join
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def disc(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            10000.0)), pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "d": d})
+
+    part = _pq(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = lookup_join(li.map_batches(disc, batch_format="pyarrow"),
+                         part, "l_partkey", "p_partkey", ["p_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy()
+        promo = pc.equal(t["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array([int(d[promo].sum())], pa.int64()),
+                         "t": pa.array([int(d.sum())], pa.int64())})
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("p"), Sum("t")))
+    p, t = int(agg["sum(p)"]), int(agg["sum(t)"])
+    return pd.DataFrame({"promo_revenue": [p / 10000.0],
+                         "total_revenue": [t / 10000.0],
+                         "promo_share": [p / t]})
+
+
+_SUPPLIER_REGION_SQL = """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       SUM(CAST(ROUND(s_acctbal*100, 0) AS BIGINT))/100.0 AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@query("supplier_balance_by_region", _SUPPLIER_REGION_SQL)
+def supplier_balance_by_region(sf_dir: str) -> pd.DataFrame:
+    """Dimension-chain join (supplier → nation → region, the snowflake
+    walk of q5) through two adaptive lookup joins, then a pre-aggregated
+    groupby on the region name (integer-cent balances)."""
+    from ..stages.joins import lookup_join
+    sup = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    nat = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _pq(sf_dir, "region", ["r_regionkey", "r_name"])
+    j = lookup_join(sup, nat, "s_nationkey", "n_nationkey", ["n_regionkey"])
+    j = lookup_join(j, reg, "n_regionkey", "r_regionkey", ["r_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["s_acctbal"], 100.0)),
+                        pa.int64())
+        p = pa.table({"r_name": t["r_name"], "c": cents})
+        return p.group_by("r_name").aggregate([("c", "sum"), ("c", "count")])
+
+    out = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Sum("c_sum", alias_name="c"),
+                      Sum("c_count", alias_name="n_suppliers"))
+           .to_pandas())
+    out["total_acctbal"] = out["c"] / 100.0
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return (out[["r_name", "n_suppliers", "total_acctbal"]]
+            .sort_values("r_name").reset_index(drop=True))
+
+
 # Composed oracle for the end-to-end ASSEMBLY pipeline
 # (pipelines/assemble.py): quantile gate → temperature sample → epoch
 # shuffle → per-shard packing, each CTE the SQL of its catalog twin.
