@@ -2979,6 +2979,60 @@ def events_value_quartile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+_ABOVE_AVG_SQL = """
+WITH a AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_cents
+  FROM orders GROUP BY o_custkey)
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o JOIN a USING (o_custkey)
+WHERE CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT) > a.avg_cents
+"""
+
+
+@query("orders_above_cust_avg", _ABOVE_AVG_SQL)
+def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated-aggregate filter (orders above their own customer's
+    average): the per-key aggregate is one pre-aggregated groupby whose
+    result is customer-scale, joined back through the adaptive lookup
+    join, then a stateless comparison — the decorrelated plan every
+    engine rewrites this subquery into. The average is a double division
+    of exact integer cents, so both sides compare identical doubles."""
+    from ..stages.joins import lookup_join
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"], "c": c})
+
+    fact = ds.map_batches(cents, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select(["o_custkey", "c"])
+                .group_by("o_custkey").aggregate([("c", "sum"),
+                                                  ("c", "count")]))
+
+    avg = (fact.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Sum("c_sum", alias_name="s"),
+                      Sum("c_count", alias_name="n"))
+           .map_batches(lambda t: pa.table({
+               "o_custkey": t["o_custkey"],
+               "avg_cents": pc.divide(pc.cast(t["s"], pa.float64()),
+                                      pc.cast(t["n"], pa.float64()))}),
+               batch_format="pyarrow"))
+    joined = lookup_join(fact, avg, "o_custkey", "o_custkey", ["avg_cents"])
+    out = (joined.map_batches(
+        lambda t: t.filter(pc.greater(pc.cast(t["c"], pa.float64()),
+                                      t["avg_cents"]))
+                   .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow").to_pandas())
+    return (out.sort_values("o_orderkey").reset_index(drop=True))
+
+
 _PROMO_SQL = """
 SELECT SUM(CASE WHEN p_type = 'PROMO' THEN d ELSE 0 END)/10000.0 AS promo_revenue,
        SUM(d)/10000.0 AS total_revenue,
