@@ -432,7 +432,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         (s, r): RegionState() for s in portal_cfg.sources for r in portal_cfg.regions
     }
     if resume:
-        gen = _restore_checkpoint(workdir, state, urlseen)
+        gen = _restore_checkpoint(workdir, state, urlseen, politeness)
         _clean_partial(workdir, gen)
         _append_retry_rows(portal, state, _frontier_dir(workdir, gen), cfg)
     else:
@@ -468,7 +468,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         # resume (replace-on-retry), trading a little recompute for less
         # per-wave filter-dump I/O
         if (gen + 1) % cfg.checkpoint_every == 0:
-            _write_checkpoint(workdir, gen, state, urlseen,
+            _write_checkpoint(workdir, gen, state, urlseen, politeness,
                               full=ckpt_idx % cfg.checkpoint_full_every == 0)
             ckpt_idx += 1
             last_ckpt = gen
@@ -476,7 +476,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         if stop_after_generations is not None and gen >= stop_after_generations:
             break  # simulated kill: checkpoint durable, work abandoned
     if gen > 0 and last_ckpt != gen - 1 and stop_after_generations is None:
-        _write_checkpoint(workdir, gen - 1, state, urlseen)  # durable terminal state
+        _write_checkpoint(workdir, gen - 1, state, urlseen, politeness)  # durable terminal state
 
     res = CrawlResult(workdir=workdir, generations=gen,
                       state={f"{s}|{r}": asdict(st) for (s, r), st in state.items()},
@@ -634,7 +634,9 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
 
 
 def _write_checkpoint(workdir: str, gen: int, state: dict,
-                      urlseen: UrlSeenService, full: bool = True) -> None:
+                      urlseen: UrlSeenService,
+                      politeness: "PolitenessService | None" = None,
+                      full: bool = True) -> None:
     """Atomic checkpoint commit. ``full`` dumps complete filter bytes;
     otherwise only the keys admitted since the previous checkpoint
     (incremental — at 10^10 keys full dumps are ~20 GB, deltas are
@@ -650,6 +652,12 @@ def _write_checkpoint(workdir: str, gen: int, state: dict,
         json.dump({"generation": gen,
                    "regions": {f"{s}|{r}": asdict(st) for (s, r), st in state.items()}},
                   f)
+    # per-host politeness budgets (north_star crawl-state clause):
+    # remaining per-host delays, relative so a restarted process's
+    # monotonic clock doesn't matter
+    if politeness is not None:
+        with open(os.path.join(tmp, "politeness.json"), "w") as f:
+            json.dump(politeness.dump_headroom(), f)
     sub = "filters" if full else "deltas"
     blobs = urlseen.dump() if full else urlseen.dump_deltas()
     os.makedirs(os.path.join(tmp, sub))
@@ -685,7 +693,8 @@ def _read_shard_blobs(d: str) -> list[bytes]:
     return blobs
 
 
-def _restore_checkpoint(workdir: str, state: dict, urlseen: UrlSeenService) -> int:
+def _restore_checkpoint(workdir: str, state: dict, urlseen: UrlSeenService,
+                        politeness: "PolitenessService | None" = None) -> int:
     last = latest_checkpoint_gen(workdir)
     if last is None:
         raise FileNotFoundError(f"no checkpoint under {workdir}")
@@ -695,6 +704,10 @@ def _restore_checkpoint(workdir: str, state: dict, urlseen: UrlSeenService) -> i
     for key, st in payload["regions"].items():
         s, r = key.split("|")
         state[(s, r)] = RegionState(**st)
+    pol_path = os.path.join(root, f"gen-{last}", "politeness.json")
+    if politeness is not None and os.path.exists(pol_path):
+        with open(pol_path) as f:
+            politeness.restore_headroom(json.load(f))
     # filter state: newest full dump ≤ last, then replay delta chain
     gens = sorted(int(d.split("-", 1)[1]) for d in os.listdir(root)
                   if d.startswith("gen-") and int(d.split("-", 1)[1]) <= last)

@@ -52,6 +52,19 @@ class PolitenessShard:
     def snapshot(self) -> dict[str, float]:
         return dict(self.free_at)
 
+    def snapshot_headroom(self) -> dict[str, float]:
+        """Checkpoint form: per-host REMAINING delay (free_at − now).
+        Relative, so it survives a process restart where the monotonic
+        clock resets; hosts at/under budget (headroom ≤ 0) are dropped —
+        they restore to 'free now', which is exactly their state."""
+        now = time.monotonic()
+        return {h: t - now for h, t in self.free_at.items() if t > now}
+
+    def restore_headroom(self, headroom: dict[str, float]) -> None:
+        now = time.monotonic()
+        for h, d in headroom.items():
+            self.free_at[h] = now + d
+
 
 class PolitenessService:
     def __init__(self, n_shards: int, rps_per_host: float, burst: int = 1):
@@ -74,6 +87,20 @@ class PolitenessService:
         if delay > 0:
             time.sleep(delay)
         return delay
+
+    def dump_headroom(self) -> list[dict[str, float]]:
+        """Per-shard host→remaining-delay maps for the crawl checkpoint
+        (the north_star's 'per-host budgets' state). Empty when
+        politeness is disabled."""
+        if not self.shards:
+            return []
+        return ray.get([s.snapshot_headroom.remote() for s in self.shards])
+
+    def restore_headroom(self, blobs: list[dict[str, float]]) -> None:
+        if not self.shards or not blobs:
+            return
+        ray.get([s.restore_headroom.remote(b)
+                 for s, b in zip(self.shards, blobs)])
 
 
 def parse_robots(text: str) -> list[str]:

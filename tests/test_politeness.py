@@ -48,3 +48,31 @@ def test_crawl_respects_per_host_budget(tmp_path, ray_session):
     pages = res.pages_fetched + res.pages_failed
     assert pages >= 8
     assert wall >= (pages - 1) / rps * 0.9  # budget enforced (burst=1)
+
+
+def test_budget_headroom_checkpoint_roundtrip(ray_session):
+    """Per-host budget state survives the checkpoint form (north_star
+    crawl-state clause): remaining delays dump relative and restore
+    into a fresh service, so a restarted job cannot burst past budget."""
+    svc = PolitenessService(2, rps_per_host=1.0)
+    svc.acquire("busy.pl", 1)      # books slot now
+    ray.get(svc.shards[0].acquire.remote("busy.pl", 3))  # 3 more slots booked
+    blobs = svc.dump_headroom()
+    assert any("busy.pl" in b for b in blobs)
+    headroom = next(b["busy.pl"] for b in blobs if "busy.pl" in b)
+    assert 2.0 < headroom <= 4.0   # ~4 booked slots minus elapsed time
+
+    fresh = PolitenessService(2, rps_per_host=1.0)
+    fresh.restore_headroom(blobs)
+    # next acquire on the restored service must wait out the headroom
+    import zlib
+    shard = fresh.shards[zlib.crc32(b"busy.pl") % 2]
+    delay = ray.get(shard.acquire.remote("busy.pl", 1))
+    assert delay > 1.5             # restored budget enforced
+    # unknown hosts are unaffected
+    assert ray.get(shard.acquire.remote("fresh.pl", 1)) == 0.0
+
+    # disabled politeness: dump is empty, restore is a no-op
+    off = PolitenessService(2, rps_per_host=1e9)
+    assert off.dump_headroom() == []
+    off.restore_headroom(blobs)
