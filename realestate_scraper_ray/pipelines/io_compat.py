@@ -1,0 +1,94 @@
+"""Reference-format CSV compatibility: export crawl tables in the
+reference scraper's exact CSV layouts, and read frontier CSVs with its
+tolerant column handling — so a user of the reference can point their
+existing downstream consumers at this engine's output unchanged.
+
+Reference formats (citations into /root/reference/):
+  - ``urls.csv``:   ``offer_url, offer_id, page_idx, source``
+    (adapter writers, e.g. otodom.py:620-625; ``source`` added by 3 of
+    4 adapters, morizon.py:714-719)
+  - ``offers.csv``: the 11-column ``OFFER_SCHEMA`` order
+    (pipelines/detail.py:22), missing values as empty strings
+    (storage.py:75,128)
+  - ``photos.csv``: ``offer_id, seq, url`` (otodom.py:817-825)
+  - URL reader: accepts ``offer_url`` / ``url`` / ``href`` columns
+    (detail.py:33-42), skipping blank cells.
+
+Writes are atomic (tmp + rename), the engine-wide analogue of the
+reference's flock+tmp+replace append discipline (storage.py:53-82).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import uuid
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import OFFER_COLUMNS
+
+URLS_COLUMNS: tuple[str, ...] = ("offer_url", "offer_id", "page_idx", "source")
+PHOTO_COLUMNS: tuple[str, ...] = ("offer_id", "seq", "url")
+
+
+def _write_csv(path: str, header: tuple[str, ...], tbl: pa.Table) -> int:
+    """Fixed-order, header-once CSV write; unknown columns dropped and
+    missing ones filled with '' (storage.py extrasaction/restval)."""
+    cols = {}
+    for name in header:
+        if name in tbl.column_names:
+            cols[name] = tbl[name].to_pylist()
+        else:
+            cols[name] = [""] * tbl.num_rows
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        for i in range(tbl.num_rows):
+            w.writerow(["" if cols[c][i] is None else cols[c][i]
+                        for c in header])
+    os.replace(tmp, path)
+    return tbl.num_rows
+
+
+def export_reference_csv(result, out_dir: str) -> dict[str, int]:
+    """Export a CrawlResult's urls/offers/photos tables as the
+    reference's CSV artifacts. Returns row counts per file."""
+    os.makedirs(out_dir, exist_ok=True)
+    counts = {}
+    counts["urls.csv"] = _write_csv(
+        os.path.join(out_dir, "urls.csv"), URLS_COLUMNS,
+        result.table("urls"))
+    counts["offers.csv"] = _write_csv(
+        os.path.join(out_dir, "offers.csv"), OFFER_COLUMNS,
+        result.table("offers"))
+    counts["photos.csv"] = _write_csv(
+        os.path.join(out_dir, "photos.csv"), PHOTO_COLUMNS,
+        result.table("photos"))
+    return counts
+
+
+def read_urls_csv(path: str) -> rd.Dataset:
+    """Frontier reader with the reference's tolerant column handling
+    (detail.py:33-42): the URL may live in ``offer_url``, ``url`` or
+    ``href``; blank cells are skipped. Returns a Dataset with one
+    ``url`` column, streamed via ``ray.data.read_csv``."""
+    ds = rd.read_csv(path)
+    names = ds.schema().names
+    col = next((c for c in ("offer_url", "url", "href") if c in names), None)
+    if col is None:
+        raise ValueError(
+            f"{path}: no offer_url/url/href column (found {names})")
+
+    def pick(t: pa.Table) -> pa.Table:
+        urls = t[col]
+        out = pa.table({"url": urls})
+        mask = pa.compute.and_(
+            pa.compute.is_valid(urls),
+            pa.compute.not_equal(
+                pa.compute.cast(urls, pa.string()), ""))
+        return out.filter(mask)
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -1,0 +1,72 @@
+"""Reference-format CSV round trip: exact headers/column order, empty-
+string fill, and the tolerant offer_url/url/href frontier reader."""
+
+import csv
+import os
+
+import pytest
+
+from realestate_scraper_ray.config import OFFER_COLUMNS, CrawlConfig, PortalConfig
+from realestate_scraper_ray.pipelines.crawl import run_crawl
+from realestate_scraper_ray.pipelines.io_compat import (
+    PHOTO_COLUMNS, URLS_COLUMNS, export_reference_csv, read_urls_csv,
+)
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory, ray_session):
+    wd = tmp_path_factory.mktemp("csvcrawl")
+    pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                        page_size_scale=0.12)
+    res = run_crawl(pcfg, CrawlConfig(urlseen_shards=2,
+                                      urlseen_capacity=1 << 14,
+                                      fetch_batch_size=64), str(wd / "run"))
+    out = str(wd / "csv")
+    counts = export_reference_csv(res, out)
+    return res, out, counts
+
+
+def test_reference_headers_and_counts(exported):
+    res, out, counts = exported
+    for fname, header, table in (("urls.csv", URLS_COLUMNS, "urls"),
+                                 ("offers.csv", OFFER_COLUMNS, "offers"),
+                                 ("photos.csv", PHOTO_COLUMNS, "photos")):
+        with open(os.path.join(out, fname), newline="") as f:
+            rows = list(csv.reader(f))
+        assert tuple(rows[0]) == tuple(header)       # exact column order
+        assert len(rows) - 1 == counts[fname] == res.table(table).num_rows
+    # every cell is a string; engine nulls became '' (storage.py:75)
+    with open(os.path.join(out, "offers.csv"), newline="") as f:
+        body = list(csv.DictReader(f))
+    assert all(v is not None for r in body for v in r.values())
+    # offer values survive the round trip
+    eng = res.table("offers").to_pandas().sort_values("offer_id")
+    assert sorted(r["offer_id"] for r in body) == list(eng["offer_id"])
+
+
+@pytest.mark.parametrize("colname", ["offer_url", "url", "href"])
+def test_read_urls_csv_tolerant_columns(tmp_path, ray_session, colname):
+    p = str(tmp_path / "u.csv")
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([colname, "extra"])
+        w.writerow(["https://a.example.pl/x", "1"])
+        w.writerow(["", "2"])                        # blank cell skipped
+        w.writerow(["https://b.example.pl/y", "3"])
+    got = [r["url"] for r in read_urls_csv(p).take_all()]
+    assert got == ["https://a.example.pl/x", "https://b.example.pl/y"]
+
+
+def test_read_urls_csv_roundtrip(exported, tmp_path):
+    res, out, _ = exported
+    ds = read_urls_csv(os.path.join(out, "urls.csv"))
+    assert sorted(r["url"] for r in ds.take_all()) == \
+        sorted(res.table("urls")["offer_url"].to_pylist())
+
+
+def test_read_urls_csv_missing_column(tmp_path, ray_session):
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w", newline="") as f:
+        csv.writer(f).writerows([["nope"], ["x"]])
+    with pytest.raises(ValueError, match="offer_url/url/href"):
+        read_urls_csv(p)
