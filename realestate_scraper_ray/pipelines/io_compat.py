@@ -70,6 +70,20 @@ def export_reference_csv(result, out_dir: str) -> dict[str, int]:
     return counts
 
 
+def export_debug_jsonl(result, path: str) -> int:
+    """Quarantine table as the reference's JSONL debug-dump format
+    (detail.py:194,207-212: one JSON object per failed URL). Returns
+    the row count."""
+    import json
+    tbl = result.table("quarantine")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        for row in tbl.to_pylist():
+            f.write(json.dumps(row, sort_keys=True) + "\n")
+    os.replace(tmp, path)
+    return tbl.num_rows
+
+
 def read_urls_csv(path: str) -> rd.Dataset:
     """Frontier reader with the reference's tolerant column handling
     (detail.py:33-42): the URL may live in ``offer_url``, ``url`` or

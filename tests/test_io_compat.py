@@ -70,3 +70,23 @@ def test_read_urls_csv_missing_column(tmp_path, ray_session):
         csv.writer(f).writerows([["nope"], ["x"]])
     with pytest.raises(ValueError, match="offer_url/url/href"):
         read_urls_csv(p)
+
+
+def test_export_debug_jsonl(tmp_path, ray_session):
+    import json
+
+    pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                        page_size_scale=0.1)
+    res = run_crawl(pcfg, CrawlConfig(urlseen_shards=2,
+                                      urlseen_capacity=1 << 12,
+                                      fetch_batch_size=64,
+                                      fail_per_mille=150, fail_depth=9,
+                                      fetch_attempts=3),
+                    str(tmp_path / "run"))
+    p = str(tmp_path / "debug.jsonl")
+    from realestate_scraper_ray.pipelines.io_compat import export_debug_jsonl
+    n = export_debug_jsonl(res, p)
+    assert n == res.pages_failed > 0
+    rows = [json.loads(line) for line in open(p)]
+    assert len(rows) == n
+    assert all(r["url"].startswith("https://") for r in rows)
