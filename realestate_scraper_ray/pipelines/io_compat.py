@@ -84,6 +84,31 @@ def export_debug_jsonl(result, path: str) -> int:
     return tbl.num_rows
 
 
+def export_coverage_report(result, path: str) -> dict[str, float]:
+    """The reference's measurement-campaign report (S19,
+    mierzalnosc_excel.py:90-122) as CSV: every discovered URL
+    left-joined against the offers table, misses annotated with the
+    failure reason (the 'wynik' column) — 'fetch_fail' when the page is
+    in the quarantine table, 'incomplete' otherwise (REQ_FIELDS /
+    validation drop). Returns per-source coverage ratios."""
+    urls = result.table("urls").to_pandas()
+    offers = result.table("offers").to_pandas()
+    failed = set(result.table("quarantine")["url"].to_pylist()) \
+        if result.table("quarantine").num_rows else set()
+    parsed = set(offers["url"])
+    urls = urls.sort_values(["source", "region", "page_idx", "pos"])
+    urls["parsed"] = urls["offer_url"].isin(parsed)
+    urls["wynik"] = [
+        "" if ok else ("fetch_fail" if u in failed else "incomplete")
+        for u, ok in zip(urls["offer_url"], urls["parsed"])]
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    urls[["source", "offer_url", "offer_id", "page_idx",
+          "parsed", "wynik"]].to_csv(tmp, index=False)
+    os.replace(tmp, path)
+    cov = urls.groupby("source")["parsed"].mean()
+    return {s: float(v) for s, v in cov.items()}
+
+
 def read_urls_csv(path: str) -> rd.Dataset:
     """Frontier reader with the reference's tolerant column handling
     (detail.py:33-42): the URL may live in ``offer_url``, ``url`` or

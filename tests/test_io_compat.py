@@ -90,3 +90,34 @@ def test_export_debug_jsonl(tmp_path, ray_session):
     rows = [json.loads(line) for line in open(p)]
     assert len(rows) == n
     assert all(r["url"].startswith("https://") for r in rows)
+
+
+def test_export_coverage_report(tmp_path, ray_session):
+    import pandas as pd
+
+    pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                        page_size_scale=0.12)
+    res = run_crawl(pcfg, CrawlConfig(urlseen_shards=2,
+                                      urlseen_capacity=1 << 12,
+                                      fetch_batch_size=64,
+                                      fail_per_mille=120, fail_depth=9,
+                                      fetch_attempts=3),
+                    str(tmp_path / "run"))
+    p = str(tmp_path / "coverage.csv")
+    from realestate_scraper_ray.pipelines.io_compat import export_coverage_report
+    cov = export_coverage_report(res, p)
+    df = pd.read_csv(p, keep_default_na=False)
+    assert len(df) == res.table("urls").num_rows
+    # parsed rows have no reason; every miss has one
+    assert (df.loc[df["parsed"], "wynik"] == "").all()
+    assert (df.loc[~df["parsed"], "wynik"].isin(
+        ["fetch_fail", "incomplete"])).all()
+    # detail-page hard failures appear as fetch_fail misses
+    q = set(res.table("quarantine")["url"].to_pylist())
+    detail_failed = df["offer_url"].isin(q)
+    assert (df.loc[detail_failed, "wynik"] == "fetch_fail").all()
+    # per-source ratio matches the file
+    for s, v in cov.items():
+        part = df[df["source"] == s]
+        assert abs(part["parsed"].mean() - v) < 1e-12
+    assert 0 < min(cov.values()) <= max(cov.values()) <= 1
