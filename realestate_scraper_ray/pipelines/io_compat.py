@@ -84,6 +84,36 @@ def export_debug_jsonl(result, path: str) -> int:
     return tbl.num_rows
 
 
+def export_debug_html(result, portal, out_dir: str,
+                      limit: int | None = None) -> int:
+    """The reference's failed-page HTML dump (S17, detail.py:241-247 /
+    stream.py:26-39: ``debug_html/err_{i}.html``): re-render each
+    quarantined URL's page body deterministically (the portal is a pure
+    function of the URL) and write it as ``err_{i}.html`` in quarantine
+    order. Only meaningful for HTML-mode portals (cfg.html_bytes > 0);
+    span-mode pages dump their span list as JSON. Returns files written."""
+    import json
+    os.makedirs(out_dir, exist_ok=True)
+    rows = result.table("quarantine").to_pylist()
+    rows.sort(key=lambda r: (r["source"], r["region"],
+                             r["page_idx"], r["url"]))
+    if limit is not None:
+        rows = rows[:limit]
+    for i, row in enumerate(rows):
+        if portal.cfg.html_bytes > 0:
+            body = portal.render_html(row["url"]) or ""
+            name = f"err_{i}.html"
+        else:
+            body = json.dumps(portal.render(row["url"]) or [],
+                              sort_keys=True)
+            name = f"err_{i}.json"
+        tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(body)
+        os.replace(tmp, os.path.join(out_dir, name))
+    return len(rows)
+
+
 def export_coverage_report(result, path: str) -> dict[str, float]:
     """The reference's measurement-campaign report (S19,
     mierzalnosc_excel.py:90-122) as CSV: every discovered URL

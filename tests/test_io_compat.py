@@ -121,3 +121,27 @@ def test_export_coverage_report(tmp_path, ray_session):
         part = df[df["source"] == s]
         assert abs(part["parsed"].mean() - v) < 1e-12
     assert 0 < min(cov.values()) <= max(cov.values()) <= 1
+
+
+def test_export_debug_html(tmp_path, ray_session):
+    from realestate_scraper_ray.pipelines.io_compat import export_debug_html
+    from realestate_scraper_ray.sources.synth_portal import Portal
+
+    pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                        page_size_scale=0.1, html_bytes=20_000)
+    res = run_crawl(pcfg, CrawlConfig(urlseen_shards=2,
+                                      urlseen_capacity=1 << 12,
+                                      fetch_batch_size=64,
+                                      fail_per_mille=150, fail_depth=9,
+                                      fetch_attempts=3),
+                    str(tmp_path / "run"))
+    out = str(tmp_path / "debug_html")
+    n = export_debug_html(res, Portal(pcfg), out)
+    assert n == res.pages_failed > 0
+    files = sorted(os.listdir(out))
+    assert files == [f"err_{i}.html" for i in range(n)] or \
+        sorted(files, key=lambda s: int(s[4:-5])) == \
+        [f"err_{i}.html" for i in range(n)]
+    body = open(os.path.join(out, "err_0.html")).read()
+    assert body.startswith("<!doctype") or "<html" in body
+    assert len(body) > 10_000  # real page body, not a stub
