@@ -110,6 +110,13 @@ class PortalConfig:
     # already-seen offers → triggers the reference's "no_new twice in a
     # row" auto-stop (morizon.py:697-709, gratka.py:788-800)
     tail_repeat_pages: int = 2
+    # offers whose price/area/rooms arrive ONLY as Polish prose in a
+    # description span (no structured fields) → exercises the
+    # reference's free-text extraction: price regexes with
+    # reservation blockers (M13, gratka.py:20-21, otodom.py:435-437)
+    # and the largest-m²-in-[10,1000] area heuristic with range
+    # stripping and price-context exclusion (M14, morizon.py:289-312)
+    prose_per_mille: int = 120
     # photo payloads whose magic bytes are not a supported image format
     # → the media stage marks them status='failed' (the reference's
     # content-type / magic-sniff rejection, images.py:56-75)

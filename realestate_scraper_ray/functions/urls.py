@@ -193,3 +193,60 @@ def parse_polish_dates(texts: pa.Array | pa.ChunkedArray | list[str]) -> pa.Arra
         ).alias("ts")
     )
     return out.to_arrow()["ts"].combine_chunks()
+
+
+# ---------------------------------------------------------------------------
+# M13/M14 free-text extraction — the reference's prose fallbacks:
+#   - price regexes + reservation blockers (gratka.py:20-21 PRICE_TOTAL_RE
+#     / PRICE_PERM2_RE; blocker phrases otodom.py:435-437)
+#   - area/rooms heuristic (morizon.py:289-312): strip "N–M m²" ranges,
+#     then the LARGEST standalone m² value in [10, 1000] whose 16-char
+#     left context contains neither "zł" nor "/m"; rooms = first
+#     "N pokoje" match.
+# Scalar per call (runs only on the prose-description subset of pages);
+# the returned values are the RAW matched groups, so the normal number
+# coercion (coerce_float, NBSP/comma handling) stays the single parser.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+PRICE_TOTAL_RE = _re.compile(r"([\d\s.,]+)\s*(?:zł|PLN)", _re.I)
+PRICE_PERM2_RE = _re.compile(r"([\d\s.,]+)\s*zł\s*/\s*m", _re.I)
+PRICE_BLOCKERS = ("zarezerw", "zapytaj o cen", "brak ceny",
+                  "cena do uzgodnienia")
+_M2_RANGE_RE = _re.compile(r"\b\d+\s*[–-]\s*\d+\s*m[²2]\b")
+_M2_RE = _re.compile(r"([\d\.,]+)\s*m[²2]\b", _re.I)
+_ROOMS_TXT_RE = _re.compile(r"\b(\d+)\s+pokoje?\b", _re.I)
+
+
+def prices_from_text(text: str | None) -> tuple[str | None, str | None, bool]:
+    """(raw_total, raw_ppm2, blocked). Blocker phrases suppress all
+    price extraction (the listing is reserved / price-on-request)."""
+    if not text:
+        return None, None, False
+    low = text.lower()
+    if any(b in low for b in PRICE_BLOCKERS):
+        return None, None, True
+    mt = PRICE_TOTAL_RE.search(text)
+    mp = PRICE_PERM2_RE.search(text)
+    return (mt.group(1) if mt else None,
+            mp.group(1) if mp else None, False)
+
+
+def area_rooms_from_text(text: str | None) -> tuple[str | None, str | None]:
+    """(raw_area, raw_rooms) per the reference heuristic; raw_area is
+    the group of the largest in-range candidate."""
+    if not text:
+        return None, None
+    m = _ROOMS_TXT_RE.search(text)
+    rooms = m.group(1) if m else None
+    clean = _M2_RANGE_RE.sub(" ", text)
+    best_raw, best = None, None
+    for m in _M2_RE.finditer(clean):
+        ctx = clean[max(0, m.start() - 16):m.start()]
+        if "zł" in ctx or "/m" in ctx:
+            continue
+        v = coerce_float(m.group(1))
+        if v is not None and 10 <= v <= 1000 and (best is None or v > best):
+            best, best_raw = v, m.group(1)
+    return best_raw, rooms

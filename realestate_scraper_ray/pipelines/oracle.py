@@ -83,6 +83,48 @@ class OracleResult:
     state: dict = field(default_factory=dict)          # (source, region) -> stop state
 
 
+# M13/M14 free-text fallback twins (independent scalar code mirroring
+# the reference: gratka.py:20-21 price regexes, otodom.py:435-437
+# blockers, morizon.py:289-312 area/rooms heuristic)
+_O_PRICE_TOTAL = re.compile(r"([\d\s.,]+)\s*(?:zł|PLN)", re.I)
+_O_PRICE_PERM2 = re.compile(r"([\d\s.,]+)\s*zł\s*/\s*m", re.I)
+_O_BLOCKERS = ("zarezerw", "zapytaj o cen", "brak ceny",
+               "cena do uzgodnienia")
+_O_M2_RANGE = re.compile(r"\b\d+\s*[–-]\s*\d+\s*m[²2]\b")
+_O_M2 = re.compile(r"([\d\.,]+)\s*m[²2]\b", re.I)
+_O_ROOMS = re.compile(r"\b(\d+)\s+pokoje?\b", re.I)
+
+
+def _prose_fallback(fields: dict[str, str]) -> None:
+    """Fill missing price/area/rooms fields from a prose description
+    (setdefault — structured surfaces keep precedence)."""
+    desc = fields.get("description")
+    if not desc:
+        return
+    if not any(b in desc.lower() for b in _O_BLOCKERS):
+        mt = _O_PRICE_TOTAL.search(desc)
+        if mt:
+            fields.setdefault("price_amount", mt.group(1))
+            fields.setdefault("price_currency", "PLN")
+        mp = _O_PRICE_PERM2.search(desc)
+        if mp:
+            fields.setdefault("price_per_m2", mp.group(1))
+    clean = _O_M2_RANGE.sub(" ", desc)
+    best_raw = best = None
+    for m in _O_M2.finditer(clean):
+        ctx = clean[max(0, m.start() - 16):m.start()]
+        if "zł" in ctx or "/m" in ctx:
+            continue
+        v = _coerce(m.group(1))
+        if v is not None and 10 <= v <= 1000 and (best is None or v > best):
+            best, best_raw = v, m.group(1)
+    if best_raw is not None:
+        fields.setdefault("area_m2", best_raw)
+    mr = _O_ROOMS.search(desc)
+    if mr:
+        fields.setdefault("rooms", mr.group(1))
+
+
 def parse_offer_spans(spans: list[dict]) -> tuple[dict, list[str]]:
     """Scalar offer parser: text spans → field dict; image spans →
     ordered, deduped photo URL list."""
@@ -92,6 +134,7 @@ def parse_offer_spans(spans: list[dict]) -> tuple[dict, list[str]]:
     for s in sorted([s for s in spans if s["kind"] == "text"], key=lambda s: s["offset"]):
         k, _, v = s["text"].partition("=")
         fields.setdefault(k, v)
+    _prose_fallback(fields)
     for s in sorted([s for s in spans if s["kind"] == "image"], key=lambda s: s["offset"]):
         u = s["media_ref"]
         if u not in photo_seen:

@@ -298,6 +298,15 @@ class Portal:
             # a duplicate photo URL in the gallery → keep-first dedup
             # (otodom.py:775-785)
             "dup_photo": n_photos >= 2 and 300 <= b < 380,
+            # price/area/rooms served only as Polish prose in a
+            # description span (M13/M14 free-text extraction surface);
+            # band 380+ is disjoint from the structured-variant bands
+            "prose": 380 <= b < 380 + c.prose_per_mille,
+            # a quarter of prose pages are reserved listings — the
+            # price-blocker phrases null all price extraction
+            # (otodom.py:435-437)
+            "reserved": (380 <= b < 380 + c.prose_per_mille
+                         and self._bucket("reserved", oid) < 250),
             # posted_at in Polish 'dd.mm.yyyy HH:MM' format half the time
             "polish_date": b % 2 == 0,
         }
@@ -405,7 +414,7 @@ class Portal:
         text("title", f"Mieszkanie {f['city']} {f['rooms']} pok. {f['true_area']} m2")
         if f["inquiry"]:
             text("inquiry", 1)  # 'Zapytaj o cenę' → no price spans
-        else:
+        elif not f["prose"]:
             text("price_amount", f"{f['price']:.0f} zł")
             text("price_currency", "pln" if f["lower_currency"] else "PLN")
             if not f["omit_ppm2"]:
@@ -418,8 +427,16 @@ class Portal:
             text("lat", f["lat"])
             text("lon", f["lon"])
         area = round(f["true_area"] * 1.2, 1) if f["bad_area"] else f["true_area"]
-        text("area_m2", f"{area} m²")
-        text("rooms", f["rooms"])
+        if f["prose"]:
+            # M13/M14 surface: price/area/rooms live only in Polish
+            # prose — decoys exercise the reference rules: a range
+            # (stripped, morizon.py:298), a sub-10-m² cellar (out of
+            # [10,1000]), the zł/m² context exclusion, and for reserved
+            # listings the price-blocker phrases
+            text("description", self._prose_description(f, area))
+        else:
+            text("area_m2", f"{area} m²")
+            text("rooms", f["rooms"])
         text("floor", f["floor"])
         text("floors", f["floors"])
         text("market_type", f["market_type"])
@@ -433,6 +450,22 @@ class Portal:
         for seq, u in enumerate(urls):
             spans.append(span("image", media_ref=u, offset=seq))
         return spans
+
+    def _prose_description(self, f: dict, area: float) -> str:
+        """Deterministic Polish prose carrying price/area/rooms. The
+        sentence order (total price before zł/m²) matters: the
+        reference's PRICE_TOTAL_RE takes the FIRST number followed by
+        zł/PLN (gratka.py:20-21), so the total must precede the
+        per-m² figure — faithfully reproduced here."""
+        if f["reserved"]:
+            return ("Zarezerwowano. Oferta chwilowo niedostepna, "
+                    "zapraszamy wkrotce.")
+        grp = f"{int(f['price']):,}".replace(",", " ")
+        ppm2 = f"{f['ppm2']}".replace(".", ",")
+        a = f"{area}".replace(".", ",")
+        return (f"Cena {grp} zł ({ppm2} zł/m²). Powierzchnia {a} m², "
+                f"do tego piwnica 8 m² i taras 12–18 m². "
+                f"{f['rooms']} pokoje, świetny stan.")
 
     def _render_investment(self, ref: PageRef) -> list[dict]:
         c = self.cfg

@@ -555,6 +555,26 @@ class FetchParse:
                 if s["media_ref"] not in pseen:
                     pseen.add(s["media_ref"])
                     purls.append(s["media_ref"])
+        desc = fields.get("description")
+        if desc:
+            # M13/M14 free-text fallback: fill only MISSING fields from
+            # the prose description (setdefault keeps the M31 first-wins
+            # precedence — structured surfaces always beat prose); the
+            # raw matched groups flow into the same coerce_float path as
+            # structured values
+            from ..functions.urls import area_rooms_from_text, prices_from_text
+            raw_total, raw_ppm2, blocked = prices_from_text(desc)
+            if not blocked:
+                if raw_total is not None:
+                    fields.setdefault("price_amount", raw_total)
+                    fields.setdefault("price_currency", "PLN")
+                if raw_ppm2 is not None:
+                    fields.setdefault("price_per_m2", raw_ppm2)
+            raw_area, raw_rooms = area_rooms_from_text(desc)
+            if raw_area is not None:
+                fields.setdefault("area_m2", raw_area)
+            if raw_rooms is not None:
+                fields.setdefault("rooms", raw_rooms)
         ctx.append(r)
         for k in raw:
             raw[k].append(fields.get(k))

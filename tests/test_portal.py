@@ -97,3 +97,36 @@ def test_robots():
     assert prefixes == ["/private"]
     assert not path_allowed("https://x.pl/private/pl/oferta/a-ID1", prefixes)
     assert path_allowed("https://x.pl/pl/oferta/a-ID1", prefixes)
+
+
+def test_prose_surface_parses_to_exact_facts(ray_session):
+    """The prose-description pages (M13/M14 surface) recover the exact
+    price/ppm2/area/rooms facts through the free-text fallback, and
+    reserved prose pages drop at the completeness gate."""
+    from realestate_scraper_ray.config import PortalConfig
+    from realestate_scraper_ray.pipelines.oracle import parse_offer_spans
+    from realestate_scraper_ray.sources.synth_portal import Portal
+
+    portal = Portal(PortalConfig(regions=("pomorskie", "mazowieckie"),
+                                 base_pages=3, page_size_scale=0.5))
+    n_prose = n_reserved = 0
+    for region in portal.cfg.regions:
+        for source in portal.cfg.sources:
+            for k in range(40):
+                f = portal.offer_facts(source, region, k)
+                if not f["prose"]:
+                    continue
+                n_prose += 1
+                spans = portal.render(portal.offer_url(source, region, k))
+                offer, _ = parse_offer_spans(spans)
+                if f["reserved"]:
+                    n_reserved += 1
+                    assert offer["price_amount"] is None
+                    assert offer["area_m2"] is None
+                else:
+                    assert offer["price_amount"] == f["price"]
+                    assert offer["price_currency"] == "PLN"
+                    assert offer["rooms"] == f["rooms"]
+                    # prose area is exact unless the >8% correction fires
+                    assert offer["area_m2"] is not None
+    assert n_prose > 10 and n_reserved > 0

@@ -89,3 +89,41 @@ def test_build_proxies_and_city_in_text():
     mask = city_in_text(["Gdańsk Wrzeszcz", "GDANSK!", "Sopot", "Warszawa"],
                         "Gdańsk")
     assert mask.to_pylist() == [True, True, False, False]
+
+
+def test_prose_price_extraction_reference_semantics():
+    """M13: first number before zł/PLN is the total (gratka.py:20-21),
+    zł/m² number is the per-m² price, blockers null everything
+    (otodom.py:435-437)."""
+    from realestate_scraper_ray.functions.urls import (
+        coerce_float, prices_from_text,
+    )
+    t, p, blocked = prices_from_text(
+        "Cena 1 500 000 zł (19868,42 zł/m²). Okazja!")
+    assert not blocked
+    assert coerce_float(t) == 1500000.0
+    assert coerce_float(p) == 19868.42
+    for phrase in ("Zarezerwowano", "ZAPYTAJ O CENĘ", "brak ceny",
+                   "Cena do uzgodnienia"):
+        t, p, blocked = prices_from_text(f"{phrase} — 999 zł")
+        assert blocked and t is None and p is None
+    assert prices_from_text("bez ceny w tekście") == (None, None, False)
+    assert prices_from_text(None) == (None, None, False)
+
+
+def test_prose_area_rooms_reference_semantics():
+    """M14 (morizon.py:289-312): ranges stripped, price-context m²
+    excluded, largest in [10,1000] wins, rooms = first 'N pokoje'."""
+    from realestate_scraper_ray.functions.urls import (
+        area_rooms_from_text, coerce_float,
+    )
+    a, r = area_rooms_from_text(
+        "garaż 25 m² oraz mieszkanie 80,5 m², taras 12–18 m², "
+        "cena 10 000 zł/m² czyli 800 m² nie liczy się; 4 pokoje")
+    assert coerce_float(a) == 80.5      # largest valid; 800 is price ctx
+    assert r == "4"
+    a, _ = area_rooms_from_text("piwnica 8 m² i hala 1200 m²")
+    assert a is None                     # both outside [10, 1000]
+    a, _ = area_rooms_from_text("metraż 55 m2 brutto")
+    assert coerce_float(a) == 55.0       # 'm2' spelling accepted
+    assert area_rooms_from_text("") == (None, None)
