@@ -250,3 +250,24 @@ def area_rooms_from_text(text: str | None) -> tuple[str | None, str | None]:
         if v is not None and 10 <= v <= 1000 and (best is None or v > best):
             best, best_raw = v, m.group(1)
     return best_raw, rooms
+
+
+# M15 street cleanup (gratka.py:501-517): collapse commas/whitespace,
+# strip one leading street-type prefix, and null out values with no
+# letters left (digits-only "addresses").
+_STREET_PREFIXES = ("ul.", "ulica", "al.", "aleja", "aleje", "pl.",
+                    "plac", "os.", "osiedle")
+_LETTER_RE = _re.compile(r"[A-Za-zĄąĆćĘęŁłŃńÓóŚśŻżŹź]")
+
+
+def clean_street(s: str | None) -> str | None:
+    if not s:
+        return None
+    t = _re.sub(r"\s*,\s*", " ", s.strip())
+    t = _re.sub(r"\s+", " ", t)
+    low = t.lower()
+    for p in _STREET_PREFIXES:
+        if low.startswith(p + " "):
+            t = t[len(p) + 1:].lstrip()
+            break
+    return t if _LETTER_RE.search(t) else None

@@ -94,6 +94,24 @@ _O_M2_RANGE = re.compile(r"\b\d+\s*[–-]\s*\d+\s*m[²2]\b")
 _O_M2 = re.compile(r"([\d\.,]+)\s*m[²2]\b", re.I)
 _O_ROOMS = re.compile(r"\b(\d+)\s+pokoje?\b", re.I)
 
+# M15 street cleanup twin (gratka.py:501-517)
+_O_STREET_PREFIXES = ("ul.", "ulica", "al.", "aleja", "aleje", "pl.",
+                      "plac", "os.", "osiedle")
+_O_LETTER = re.compile(r"[A-Za-zĄąĆćĘęŁłŃńÓóŚśŻżŹź]")
+
+
+def _clean_street(s: str | None) -> str | None:
+    if not s:
+        return None
+    t = re.sub(r"\s*,\s*", " ", s.strip())
+    t = re.sub(r"\s+", " ", t)
+    low = t.lower()
+    for p in _O_STREET_PREFIXES:
+        if low.startswith(p + " "):
+            t = t[len(p) + 1:].lstrip()
+            break
+    return t if _O_LETTER.search(t) else None
+
 
 def _prose_fallback(fields: dict[str, str]) -> None:
     """Fill missing price/area/rooms fields from a prose description
@@ -177,7 +195,7 @@ def parse_offer_spans(spans: list[dict]) -> tuple[dict, list[str]]:
         # wide columns (storage.py:13-20; datetimes validate.py:9-50)
         "title": fields.get("title"),
         "district": fields.get("district"),
-        "street": fields.get("street"),
+        "street": _clean_street(fields.get("street")),
         "floor": int(fields["floor"]) if "floor" in fields else None,
         "floors": int(fields["floors"]) if "floors" in fields else None,
         "market_type": fields.get("market_type"),

@@ -596,6 +596,10 @@ class FetchParse:
         rooms = np.array([int(v) if v is not None else -1 for v in raw["rooms"]])
         inquiry = np.array([v is not None for v in raw["inquiry"]])
         cur = [(c.upper() if c else None) for c in raw["price_currency"]]
+        # M15 street cleanup (gratka.py:501-517): strip ul./al./pl.
+        # prefixes, collapse separators, null letterless remainders
+        from ..functions.urls import clean_street
+        street = [clean_street(v) for v in raw["street"]]
         floor = [int(v) if v is not None else None for v in raw["floor"]]
         floors = [int(v) if v is not None else None for v in raw["floors"]]
         # Polish/ISO date coercion, vectorized over the whole batch
@@ -644,7 +648,7 @@ class FetchParse:
             emit("offer", url=r["url"], source=offer["source"], region=r["region"],
                  page_idx=r["page_idx"], pos=r["pos"],
                  title=raw["title"][i], district=raw["district"][i],
-                 street=raw["street"][i], floor=floor[i], floors=floors[i],
+                 street=street[i], floor=floor[i], floors=floors[i],
                  market_type=raw["market_type"][i],
                  property_type=raw["property_type"][i],
                  posted_at=posted[i], updated_at=updated[i],

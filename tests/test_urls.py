@@ -127,3 +127,17 @@ def test_prose_area_rooms_reference_semantics():
     a, _ = area_rooms_from_text("metraż 55 m2 brutto")
     assert coerce_float(a) == 55.0       # 'm2' spelling accepted
     assert area_rooms_from_text("") == (None, None)
+
+
+def test_clean_street_reference_semantics():
+    """M15 (gratka.py:501-517): one leading street-type prefix is
+    stripped, separators collapse, letterless remainders become None."""
+    from realestate_scraper_ray.functions.urls import clean_street
+    assert clean_street("ul. Polna 12") == "Polna 12"
+    assert clean_street("  Aleja   Zwycięstwa , 7 ") == "Zwycięstwa 7"
+    assert clean_street("plac Wolności") == "Wolności"
+    assert clean_street("osiedle Słoneczne 3") == "Słoneczne 3"
+    assert clean_street("Krótka 5") == "Krótka 5"     # no prefix → kept
+    assert clean_street("ulicami miasta") == "ulicami miasta"  # not a prefix+space
+    assert clean_street("ul. 123") is None            # digits only
+    assert clean_street("") is None and clean_street(None) is None
