@@ -117,6 +117,11 @@ class PortalConfig:
     # and the largest-m²-in-[10,1000] area heuristic with range
     # stripping and price-context exclusion (M14, morizon.py:289-312)
     prose_per_mille: int = 120
+    # photo URLs whose HEAD probe declares a non-image content type
+    # (anti-hotlink interstitials) → the media stage rejects them WITHOUT
+    # transferring the body (S2, the reference's HEAD→MIME gate,
+    # images.py:48-60)
+    hotlink_per_mille: int = 20
     # photo payloads whose magic bytes are not a supported image format
     # → the media stage marks them status='failed' (the reference's
     # content-type / magic-sniff rejection, images.py:56-75)

@@ -318,7 +318,7 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
             _write_fragment(
                 media_download_rows(
                     photos.select(["offer_id", "seq", "url", "source"]),
-                    portal.photo_bytes),
+                    portal.photo_bytes, head_mime=portal.photo_head_mime),
                 media_dir)
         # quarantine: failed fetches persisted per generation — the
         # debug-sink analogue (detail.py:241-247) and the audit trail

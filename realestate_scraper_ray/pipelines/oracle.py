@@ -371,10 +371,15 @@ def _emit_offer(portal: Portal, cfg: CrawlConfig, source: str, region: str,
             import hashlib
 
             from ..stages.media import photo_path, sniff_mime
-            blob = portal.photo_bytes(purl)
             row = {"offer_id": offer["offer_id"], "seq": seq, "url": purl,
                    "source": source, "mime": None, "ext": None, "n_bytes": 0,
                    "sha256": None, "status": "failed", "local_path": None}
+            declared = portal.photo_head_mime(purl)  # S2 HEAD gate
+            if declared is not None and not declared.startswith("image/"):
+                row.update(mime=declared)
+                res.media.append(row)
+                continue
+            blob = portal.photo_bytes(purl)
             if blob is not None:
                 mime, ext = sniff_mime(blob)
                 row.update(mime=mime, ext=ext, n_bytes=len(blob))

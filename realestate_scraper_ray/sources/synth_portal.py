@@ -319,6 +319,23 @@ class Portal:
     _PHOTO_MAGICS = (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n",
                      b"RIFF\x00\x00\x00\x00WEBP")
 
+    def photo_head_mime(self, url: str) -> str | None:
+        """Declared Content-Type for a photo URL — the synthetic HEAD
+        probe (S2, reference images.py:48-60). A hash bucket of
+        ``hotlink_per_mille`` URLs declares ``text/html`` (anti-hotlink
+        interstitial); the media stage must reject those without ever
+        requesting the body. Declared/actual mismatches in the other
+        direction (declared image, body not an image) are exercised by
+        the ``bad_photo_per_mille`` magic-sniff bucket."""
+        m = _PHOTO_RE.match(url)
+        if not m:
+            return None
+        oid, seq = m.group("oid"), int(m.group("seq"))
+        if (_h64(self.cfg.seed, "headmime", oid, seq) % 1000
+                < self.cfg.hotlink_per_mille):
+            return "text/html"
+        return "image/jpeg"
+
     def photo_bytes(self, url: str) -> bytes | None:
         """Deterministic image payload for a photo URL — the synthetic
         stand-in for the reference's HEAD+GET download

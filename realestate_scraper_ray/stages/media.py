@@ -215,7 +215,7 @@ MEDIA_OUT_SCHEMA = pa.schema([
 
 
 def media_download_rows(photos: pa.Table, fetch_bytes, root: str = "media",
-                        attempts: int = 1) -> pa.Table:
+                        attempts: int = 1, head_mime=None) -> pa.Table:
     """The reference's per-photo download chain
     (/root/reference/scrapper/core/images.py:48-91: HEAD→MIME gate→GET→
     magic sniff→sha256→atomic write to {source}/{offer_id}/{seq:03d}.{ext};
@@ -229,6 +229,16 @@ def media_download_rows(photos: pa.Table, fetch_bytes, root: str = "media",
     for offer_id, seq, url, source in zip(
             photos["offer_id"].to_pylist(), photos["seq"].to_pylist(),
             photos["url"].to_pylist(), photos["source"].to_pylist()):
+        # S2 HEAD→MIME gate (images.py:48-60): a non-image declared
+        # content type rejects the photo WITHOUT transferring the body
+        declared = head_mime(url) if head_mime is not None else None
+        if declared is not None and not declared.startswith("image/"):
+            cols["offer_id"].append(offer_id); cols["seq"].append(seq)
+            cols["url"].append(url); cols["source"].append(source)
+            cols["mime"].append(declared); cols["ext"].append(None)
+            cols["n_bytes"].append(0); cols["sha256"].append(None)
+            cols["status"].append("failed"); cols["local_path"].append(None)
+            continue
         blob = None
         for _ in range(max(1, attempts)):
             blob = fetch_bytes(url)

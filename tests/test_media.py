@@ -94,3 +94,31 @@ def test_frame_sample_real_decoder_gated(ray_session):
     from realestate_scraper_ray.stages.media import MediaFrameSample
     with pytest.raises(NotImplementedError):
         MediaFrameSample(decoder="ffmpeg")
+
+
+def test_head_mime_gate_rejects_without_fetch():
+    """S2 (images.py:48-60): a non-image declared content type fails
+    the photo before any body transfer — the GET is never issued."""
+    import pyarrow as pa
+
+    from realestate_scraper_ray.stages.media import media_download_rows
+
+    photos = pa.table({
+        "offer_id": ["A", "A"], "seq": [0, 1],
+        "url": ["https://img.x.pl/1/0.jpg", "https://img.x.pl/1/1.jpg"],
+        "source": ["otodom", "otodom"]})
+    fetched: list[str] = []
+
+    def fetch(url):
+        fetched.append(url)
+        return b"\xff\xd8\xff" + b"x" * 64
+
+    def head(url):
+        return "text/html" if url.endswith("0.jpg") else "image/jpeg"
+
+    out = media_download_rows(photos, fetch, head_mime=head)
+    rows = {r["seq"]: r for r in out.to_pylist()}
+    assert rows[0]["status"] == "failed" and rows[0]["mime"] == "text/html"
+    assert rows[0]["n_bytes"] == 0 and rows[0]["sha256"] is None
+    assert rows[1]["status"] == "ok" and rows[1]["mime"] == "image/jpeg"
+    assert fetched == ["https://img.x.pl/1/1.jpg"]   # no GET for the reject
