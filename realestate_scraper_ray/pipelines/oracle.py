@@ -356,6 +356,12 @@ def _emit_offer(portal: Portal, cfg: CrawlConfig, source: str, region: str,
     offer, photo_urls = parse_offer_spans(spans)
     if any(offer.get(f) is None for f in REQ_FIELDS):
         return  # completeness gate (detail.py:30-31)
+    # typed/range validation (M23, validate.py:9-50 rooms∈[0,20],
+    # floor∈[-2,200]): ValidationError → row dropped (detail.py:92/220)
+    if not (0 <= offer["rooms"] <= 20):
+        return
+    if offer.get("floor") is not None and not (-2 <= offer["floor"] <= 200):
+        return
     st["parsed"] += 1
     from datetime import datetime
     now = datetime.fromisoformat(cfg.now)  # detail.py:89-90 stamps

@@ -261,7 +261,7 @@ class Portal:
                      "Jezyce", "Srodmiescie", "Zaspa", "Oliwa")
         streets = ("Polna", "Lesna", "Dluga", "Krotka", "Sloneczna",
                    "Ogrodowa", "Lipowa", "Kwiatowa", "Szkolna", "Parkowa")
-        floor = hb("floor", 11)            # 0..10
+        floor = 250 if 500 <= b < 520 else hb("floor", 11)  # 0..10 (250 = M23 bucket)
         return {
             "district": districts[hb("district", len(districts))],
             # street optional ~20% of the time (reference fields optional)
@@ -307,6 +307,11 @@ class Portal:
             # (otodom.py:435-437)
             "reserved": (380 <= b < 380 + c.prose_per_mille
                          and self._bucket("reserved", oid) < 250),
+            # an absurd floor number (e.g. 250) → the typed/range
+            # validation gate drops the whole row, like the reference's
+            # pydantic ValidationError path (M23, validate.py:9-50
+            # floor∈[-2,200]; drop at detail.py:92/220)
+            "bad_floor": 500 <= b < 520,
             # posted_at in Polish 'dd.mm.yyyy HH:MM' format half the time
             "polish_date": b % 2 == 0,
         }

@@ -644,6 +644,13 @@ class FetchParse:
             }
             if any(offer.get(f) is None for f in REQ_FIELDS):
                 continue  # completeness gate (M22)
+            # typed/range validation (M23, validate.py:9-50): rows with
+            # out-of-range values drop whole, like the reference's
+            # pydantic ValidationError path (detail.py:92/220)
+            if not (0 <= offer["rooms"] <= 20):
+                continue
+            if floor[i] is not None and not (-2 <= floor[i] <= 200):
+                continue
             r = ctx[i]
             emit("offer", url=r["url"], source=offer["source"], region=r["region"],
                  page_idx=r["page_idx"], pos=r["pos"],

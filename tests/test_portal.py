@@ -130,3 +130,26 @@ def test_prose_surface_parses_to_exact_facts(ray_session):
                     # prose area is exact unless the >8% correction fires
                     assert offer["area_m2"] is not None
     assert n_prose > 10 and n_reserved > 0
+
+
+def test_range_validation_drops_bad_floor(ray_session):
+    """M23: offers with floor outside [-2, 200] (the bad_floor bucket)
+    drop whole, and at least one such page exists at this scale."""
+    from realestate_scraper_ray.config import PortalConfig
+    from realestate_scraper_ray.pipelines.oracle import parse_offer_spans
+    from realestate_scraper_ray.sources.synth_portal import Portal
+
+    portal = Portal(PortalConfig(regions=("pomorskie", "mazowieckie"),
+                                 base_pages=3, page_size_scale=0.5))
+    n_bad = 0
+    for region in portal.cfg.regions:
+        for source in portal.cfg.sources:
+            for k in range(60):
+                f = portal.offer_facts(source, region, k)
+                if f["bad_floor"]:
+                    n_bad += 1
+                    spans = portal.render(
+                        portal.offer_url(source, region, k))
+                    offer, _ = parse_offer_spans(spans)
+                    assert offer["floor"] == 250  # parsed, then dropped
+    assert n_bad > 0
