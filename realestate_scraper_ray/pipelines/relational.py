@@ -646,9 +646,12 @@ def events_asof_purchase(sf_dir: str) -> rd.Dataset:
         p = g[g["event_type"] == "purchase"]
         pts = p["ts"].to_numpy()
         pval = p["value"].to_numpy()
-        # rightmost purchase with p.ts < e.ts  (strict: side="left")
-        idx = np.searchsorted(pts, g["ts"].to_numpy(), side="left") - 1
-        prev = np.where(idx >= 0, pval[np.maximum(idx, 0)], np.nan)
+        if len(pts) == 0:  # no purchases for this user → all-NULL, like
+            prev = np.full(len(g), np.nan)  # the ASOF LEFT JOIN oracle
+        else:
+            # rightmost purchase with p.ts < e.ts (strict: side="left")
+            idx = np.searchsorted(pts, g["ts"].to_numpy(), side="left") - 1
+            prev = np.where(idx >= 0, pval[np.maximum(idx, 0)], np.nan)
         return pd.DataFrame({"event_id": g["event_id"],
                              "user_id": g["user_id"],
                              "prev_purchase_value": prev})
@@ -1974,6 +1977,15 @@ def sequence_packing(sf_dir: str) -> rd.Dataset:
 _CRAWL_CACHE: dict[str, Any] = {}
 
 
+def _fresh_workdir(path: str) -> str:
+    """Fixed /tmp workdirs for the driver-gate crawls: a stale directory
+    left by a previous process would make run_crawl's fresh-run
+    os.makedirs raise FileExistsError, so clear it first."""
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def _crawl_result():
     from ..config import CrawlConfig, PortalConfig
     from .crawl import run_crawl
@@ -1984,7 +1996,7 @@ def _crawl_result():
         _CRAWL_CACHE["res"] = run_crawl(
             pcfg, CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
                               fetch_batch_size=64, media_fetch=True),
-            "/tmp/rsr_entry_crawl")
+            _fresh_workdir("/tmp/rsr_entry_crawl"))
     return _CRAWL_CACHE["res"]
 
 
@@ -1997,13 +2009,14 @@ def crawl_quarantine(sf_dir: str) -> pd.DataFrame:
     from ..config import CrawlConfig, PortalConfig
     from .crawl import run_crawl
     if "fail" not in _CRAWL_CACHE:
+        workdir = _fresh_workdir("/tmp/rsr_entry_crawl_fail")
         pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
                             page_size_scale=0.1)
         _CRAWL_CACHE["fail"] = run_crawl(
             pcfg, CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 12,
                               fetch_batch_size=64, fail_per_mille=150,
                               fail_depth=9, fetch_attempts=3),
-            "/tmp/rsr_entry_crawl_fail")
+            workdir)
     out = _CRAWL_CACHE["fail"].table("quarantine").to_pandas()
     return (out.sort_values(["source", "region", "page_idx", "url"])
             .reset_index(drop=True))
@@ -2057,7 +2070,7 @@ def crawl_last_days(sf_dir: str) -> pd.DataFrame:
         _CRAWL_CACHE["last_days"] = run_crawl(
             pcfg, CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
                               fetch_batch_size=64, last_days=15),
-            "/tmp/rsr_entry_crawl_lastdays")
+            _fresh_workdir("/tmp/rsr_entry_crawl_lastdays"))
     t = _CRAWL_CACHE["last_days"].table("offers").to_pandas()
     return t[["offer_id", "source", "url", "posted_at", "region",
               "page_idx", "pos"]].sort_values(
@@ -2123,7 +2136,10 @@ def crawl_geocode(sf_dir: str) -> pd.DataFrame:
     morizon.py:406-425), then the >800 m snap (J5)."""
     from ..stages.geo import GeocoderActor, geocode_and_snap
     offers = rd.from_arrow(_crawl_result().table("offers"))
-    g = GeocoderActor.remote(cache_path="/tmp/rsr_entry_geocache.json")
+    cache_path = "/tmp/rsr_entry_geocache.json"
+    if os.path.exists(cache_path):  # stale cache from a previous process
+        os.unlink(cache_path)       # would warm-start the miss path
+    g = GeocoderActor.remote(cache_path=cache_path)
     out = pa.Table.from_pylist(
         geocode_and_snap(offers, g).select_columns(
             ["offer_id", "lat", "lon", "geo_snapped", "geo_level"])

@@ -120,21 +120,36 @@ def _raw_decode_at(block: str, key: str):
     crawler uses (simdjson / SAX style) so a multi-hundred-KB state
     object costs O(needed value), not O(document). Returns None when the
     key is absent or the targeted parse fails (caller falls back to a
-    full ``json.loads``). Assumes the key text does not occur inside an
-    earlier string value — true for `__NEXT_DATA__` ad state."""
+    full ``json.loads``).
+
+    The search is anchored after the ``"ad":`` object start and each
+    candidate occurrence must sit in key position (preceded by ``{`` or
+    ``,`` — a real portal's description string could contain the literal
+    key text, and decoding from inside a string value would silently
+    return the wrong value instead of triggering the full-parse
+    fallback). Ambiguity → None → caller does the full ``json.loads``."""
     import json as _json
-    i = block.find(key)
-    if i < 0:
-        return None
-    j = i + len(key)
+    anchor = block.find('"ad":')
+    start = anchor + 5 if anchor >= 0 else 0
     n = len(block)
-    while j < n and block[j] in " \t\r\n":
-        j += 1
-    try:
-        val, _ = _json.JSONDecoder().raw_decode(block, j)
-    except ValueError:
-        return None
-    return val
+    i = block.find(key, start)
+    while i >= 0:
+        # key position check: previous non-space char opens or continues
+        # an object — inside a string value it would be string content
+        k = i - 1
+        while k >= 0 and block[k] in " \t\r\n":
+            k -= 1
+        if k >= 0 and block[k] in "{,":
+            j = i + len(key)
+            while j < n and block[j] in " \t\r\n":
+                j += 1
+            try:
+                val, _ = _json.JSONDecoder().raw_decode(block, j)
+            except ValueError:
+                return None
+            return val
+        i = block.find(key, i + 1)
+    return None
 
 
 def _next_data_ad(block: str) -> dict:

@@ -91,8 +91,11 @@ def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
             return out
 
         return fact.map_batches(probe, batch_format="pyarrow")
-    return fact.join(d, join_type="inner", num_partitions=num_partitions,
-                     on=(fact_key,), right_on=(dim_key,))
+    joined = fact.join(d, join_type="inner", num_partitions=num_partitions,
+                       on=(fact_key,), right_on=(dim_key,))
+    # Project to the broadcast path's schema (fact columns + payload
+    # only) so crossing the size cap never changes downstream schemas.
+    return joined.select_columns(fact.schema().names + payload_cols)
 
 
 def adaptive_partitions(n_rows: int, rows_per_partition: int = 100_000,

@@ -88,19 +88,35 @@ class PolitenessService:
             time.sleep(delay)
         return delay
 
-    def dump_headroom(self) -> list[dict[str, float]]:
-        """Per-shard host→remaining-delay maps for the crawl checkpoint
-        (the north_star's 'per-host budgets' state). Empty when
-        politeness is disabled."""
+    def dump_headroom(self) -> dict[str, float]:
+        """One host→remaining-delay map for the crawl checkpoint (the
+        north_star's 'per-host budgets' state). Shard-count independent:
+        the map is re-sharded on restore with the same crc32 routing
+        ``acquire`` uses, so a resume with a different shard count still
+        enforces every budget. Empty when politeness is disabled."""
         if not self.shards:
-            return []
-        return ray.get([s.snapshot_headroom.remote() for s in self.shards])
+            return {}
+        merged: dict[str, float] = {}
+        for blob in ray.get([s.snapshot_headroom.remote()
+                             for s in self.shards]):
+            merged.update(blob)
+        return merged
 
-    def restore_headroom(self, blobs: list[dict[str, float]]) -> None:
-        if not self.shards or not blobs:
+    def restore_headroom(self, headroom: dict[str, float]) -> None:
+        if isinstance(headroom, list):  # legacy per-shard-list checkpoint
+            merged: dict[str, float] = {}
+            for blob in headroom:
+                merged.update(blob)
+            headroom = merged
+        if not self.shards or not headroom:
             return
+        import zlib
+
+        per_shard: list[dict[str, float]] = [{} for _ in self.shards]
+        for host, delay in headroom.items():
+            per_shard[zlib.crc32(host.encode()) % self.n][host] = delay
         ray.get([s.restore_headroom.remote(b)
-                 for s, b in zip(self.shards, blobs)])
+                 for s, b in zip(self.shards, per_shard) if b])
 
 
 def parse_robots(text: str) -> list[str]:

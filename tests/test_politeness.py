@@ -52,20 +52,22 @@ def test_crawl_respects_per_host_budget(tmp_path, ray_session):
 
 def test_budget_headroom_checkpoint_roundtrip(ray_session):
     """Per-host budget state survives the checkpoint form (north_star
-    crawl-state clause): remaining delays dump relative and restore
-    into a fresh service, so a restarted job cannot burst past budget."""
+    crawl-state clause): remaining delays dump as ONE host→delay map and
+    restore into a fresh service via the same crc32 routing acquire
+    uses, so a restarted job cannot burst past budget."""
+    import zlib
+
     svc = PolitenessService(2, rps_per_host=1.0)
     svc.acquire("busy.pl", 1)      # books slot now
-    ray.get(svc.shards[0].acquire.remote("busy.pl", 3))  # 3 more slots booked
-    blobs = svc.dump_headroom()
-    assert any("busy.pl" in b for b in blobs)
-    headroom = next(b["busy.pl"] for b in blobs if "busy.pl" in b)
-    assert 2.0 < headroom <= 4.0   # ~4 booked slots minus elapsed time
+    busy_shard = svc.shards[zlib.crc32(b"busy.pl") % 2]
+    ray.get(busy_shard.acquire.remote("busy.pl", 3))  # 3 more slots booked
+    headroom = svc.dump_headroom()
+    assert "busy.pl" in headroom
+    assert 2.0 < headroom["busy.pl"] <= 4.0  # ~4 booked slots minus elapsed
 
     fresh = PolitenessService(2, rps_per_host=1.0)
-    fresh.restore_headroom(blobs)
+    fresh.restore_headroom(headroom)
     # next acquire on the restored service must wait out the headroom
-    import zlib
     shard = fresh.shards[zlib.crc32(b"busy.pl") % 2]
     delay = ray.get(shard.acquire.remote("busy.pl", 1))
     assert delay > 1.5             # restored budget enforced
@@ -74,5 +76,35 @@ def test_budget_headroom_checkpoint_roundtrip(ray_session):
 
     # disabled politeness: dump is empty, restore is a no-op
     off = PolitenessService(2, rps_per_host=1e9)
-    assert off.dump_headroom() == []
-    off.restore_headroom(blobs)
+    assert off.dump_headroom() == {}
+    off.restore_headroom(headroom)
+
+
+def test_headroom_restores_across_different_shard_count(ray_session):
+    """The checkpoint is shard-count independent: a resume with MORE (or
+    fewer) politeness shards must still route every restored budget to
+    the shard acquire consults — a positional per-shard restore would
+    silently un-enforce budgets here."""
+    import zlib
+
+    svc = PolitenessService(2, rps_per_host=1.0)
+    hosts = [f"h{i}.pl" for i in range(6)]
+    for h in hosts:
+        svc.acquire(h, 1)
+        shard = svc.shards[zlib.crc32(h.encode()) % 2]
+        ray.get(shard.acquire.remote(h, 3))
+    headroom = svc.dump_headroom()
+    assert set(headroom) == set(hosts)
+
+    resumed = PolitenessService(5, rps_per_host=1.0)  # different count
+    resumed.restore_headroom(headroom)
+    for h in hosts:
+        shard = resumed.shards[zlib.crc32(h.encode()) % 5]
+        assert ray.get(shard.acquire.remote(h, 1)) > 1.0
+
+    # legacy list-of-per-shard-blobs checkpoints still restore
+    legacy = PolitenessService(3, rps_per_host=1.0)
+    legacy.restore_headroom([{h: 3.0} for h in hosts])
+    for h in hosts:
+        shard = legacy.shards[zlib.crc32(h.encode()) % 3]
+        assert ray.get(shard.acquire.remote(h, 1)) > 1.0
