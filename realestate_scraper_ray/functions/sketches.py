@@ -191,3 +191,113 @@ def misra_gries_error_bound(n_tokens: int, k: int) -> int:
     per-partial bounds, so the merged estimate undercounts by at most
     sum(n_i)/k = n/k."""
     return n_tokens // k
+
+
+def grouped_percentile_disc(ds, group_col: str, value_col: str,
+                            qs: dict[str, float], nbins: int = 8192,
+                            driver_cap_bytes: int = 64 << 20):
+    """EXACT grouped PERCENTILE_DISC without ever sorting a whole group
+    in one task — the scale-safe replacement for the classic
+    ``groupby(low_cardinality_key).map_groups(sort)`` pattern, where one
+    pandas task ends up holding 1/n_groups of the table.
+
+    Two streaming passes over the Dataset:
+
+    1. per-(batch, group) fixed-width histogram partials (``nbins``
+       int64 counts, constant size regardless of input), sum-merged per
+       group by one sketch-only shuffle. The driver receives exactly
+       ``n_groups`` sketches and turns each target rank
+       ``k = ceil(q·n)`` into (bin, within-bin rank) — bounded by
+       ``driver_cap_bytes`` (n_groups × nbins × 8 ≤ cap, the same
+       measured-cap rule the adaptive joins use).
+    2. a vectorized filter keeps only rows that fall in a targeted bin
+       of their group (expected group_n/nbins rows per target) and a
+       tiny ``map_groups`` picks the within-bin order statistic exactly.
+
+    Equal values always share a bin, so the k-th smallest of the group
+    is the j-th smallest of its bin with j = k − count(bins below) —
+    exact, not approximate; the histogram only LOCATES the value. Skew
+    caveat: a bin holding one massively repeated value stays large, but
+    then every candidate in it is that same value and the in-bin sort is
+    of the distinct remainder.
+
+    Returns a pandas DataFrame with ``group_col`` plus one column per
+    key of ``qs``.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd  # noqa: F401  (ds is a ray.data.Dataset)
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    width = (hi - lo) or 1.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups, blobs = [], []
+        g = t.group_by(group_col).aggregate([(value_col, "list")])
+        for i in range(g.num_rows):
+            groups.append(g[group_col][i].as_py())
+            vals = np.asarray(g[f"{value_col}_list"][i].as_py(),
+                              dtype=np.float64)
+            blobs.append(hist_partial(vals, lo, hi, nbins).tobytes())
+        return pa.table({group_col: pa.array(groups),
+                         "counts": pa.array(blobs, pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        total = np.zeros(nbins, dtype=np.int64)
+        for b in g["counts"]:
+            total += np.frombuffer(b.as_py(), dtype=np.int64)
+        return pa.table({group_col: g[group_col][:1],
+                         "counts": pa.array([total.tobytes()], pa.binary())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col).map_groups(merge, batch_format="pyarrow")
+              .take_all())
+    if len(merged) * nbins * 8 > driver_cap_bytes:
+        raise ValueError(
+            f"{len(merged)} groups x {nbins} bins exceeds the driver "
+            f"sketch cap; raise driver_cap_bytes or lower nbins")
+
+    # targets[group][bin] = [(q_name, within_bin_rank), ...]
+    targets: dict = {}
+    for row in merged:
+        counts = np.frombuffer(row["counts"], dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        per_bin: dict[int, list[tuple[str, int]]] = {}
+        for name, q in qs.items():
+            k = min(n, max(1, int(np.ceil(q * n))))
+            b = int(np.searchsorted(cum, k))
+            j = k - (int(cum[b - 1]) if b > 0 else 0)
+            per_bin.setdefault(b, []).append((name, j))
+        targets[row[group_col]] = per_bin
+
+    def keep_targeted(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        bins = np.clip(((vals - lo) / width * nbins).astype(np.int64),
+                       0, nbins - 1)
+        gvals = t[group_col].to_pylist()
+        mask = np.fromiter(
+            (g in targets and int(b) in targets[g]
+             for g, b in zip(gvals, bins)), dtype=bool, count=len(gvals))
+        out = t.filter(pa.array(mask))
+        return out.append_column("_bin", pa.array(bins[mask]))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        key = g[group_col].iloc[0]
+        got: dict[str, float] = {}
+        for b, wants in targets[key].items():
+            inbin = np.sort(g.loc[g["_bin"] == b, value_col].to_numpy())
+            for name, j in wants:
+                got[name] = float(inbin[j - 1])
+        # fixed column order across groups (block schemas must agree)
+        row = {group_col: [key]}
+        row.update({name: [got[name]] for name in qs})
+        return pd.DataFrame(row)
+
+    out = (ds.map_batches(keep_targeted, batch_format="pyarrow")
+           .groupby(group_col).map_groups(pick, batch_format="pandas")
+           .to_pandas())
+    return out[[group_col] + list(qs)].sort_values(group_col
+                                                   ).reset_index(drop=True)

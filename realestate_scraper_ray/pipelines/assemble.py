@@ -44,10 +44,19 @@ OUT_COLS = ["doc_id", "source", "n_tokens", "shard", "pos", "pack_bin"]
 
 def assemble_training_set(sf_dir: str, out_dir: str, *,
                           bin_tokens: int = 2048,
-                          quantile: float = 0.75) -> dict:
+                          quantile: float = 0.75,
+                          shard_hex_digits: int = 1) -> dict:
     """Run the assembly chain over ``{sf_dir}/documents.parquet`` and
     write packed shards to ``{out_dir}/shard=X/part.parquet``. Returns
-    the manifest dict. Shards already on disk are skipped (resume)."""
+    the manifest dict. Shards already on disk are skipped (resume).
+
+    ``shard_hex_digits`` (k) sets the shard count to 16**k: the shard is
+    the first k hex digits of the shuffle key, so each per-shard
+    ``map_groups`` task holds 16**-k of the gated corpus — size k so one
+    shard ~= one comfortable block at the target scale (k=1 → 16 shards
+    fits the test corpora; 100 TB wants k≥5). Offsets, positions and
+    pack bins are intra-shard, so every choice of k is deterministic
+    for that k."""
     from ..functions.textstats import md5_fingerprints, token_counts
 
     os.makedirs(out_dir, exist_ok=True)
@@ -94,12 +103,13 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
 
     kept = gated.map_batches(temp_gate, batch_format="pyarrow")
 
-    # epoch-shuffle key: md5('ep1:' || doc_id); shard = first hex digit
+    # epoch-shuffle key: md5('ep1:' || doc_id); shard = first k hex digits
     def shuffle_key(t: pa.Table) -> pa.Table:
         ids = pc.cast(t["doc_id"], pa.string())
         hv = md5_fingerprints(pc.binary_join_element_wise("ep1", ids, ":"))
         return (t.append_column("hv", hv)
-                .append_column("shard", pc.utf8_slice_codeunits(hv, 0, 1)))
+                .append_column("shard", pc.utf8_slice_codeunits(
+                    hv, 0, shard_hex_digits)))
 
     keyed = kept.map_batches(shuffle_key, batch_format="pyarrow")
 
@@ -137,6 +147,7 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
         "n_in": int(n_in), "n_after_quality": int(n_gated),
         "n_after_temperature": int(sum(rows.values())),
         "quantile_cutoff_tokens": cutoff, "bin_tokens": bin_tokens,
+        "shard_hex_digits": shard_hex_digits,
         "shard_rows": {k: int(v) for k, v in sorted(rows.items())},
         "written": sorted(written), "skipped": sorted(skipped),
     }

@@ -495,19 +495,18 @@ FROM events GROUP BY event_type
 
 
 @query("value_percentiles_per_type", _MEDIAN_SQL)
-def value_percentiles_per_type(sf_dir: str) -> rd.Dataset:
+def value_percentiles_per_type(sf_dir: str) -> pd.DataFrame:
     """Exact grouped percentiles (PERCENTILE_DISC: element at index
-    ceil(q·n)−1 of the sorted group) via map_groups."""
+    ceil(q·n)−1 of the sorted group) via the two-pass histogram-target
+    kernel — a 5-value event_type key means a plain
+    groupby.map_groups(sort) puts ~1/5 of the table in ONE pandas task;
+    here the shuffle moves 64 KiB sketches and the second pass touches
+    only the ~n/8192 rows of each targeted bin (exact order statistic
+    inside the bin)."""
+    from ..functions.sketches import grouped_percentile_disc
     ds = _pq(sf_dir, "events", ["event_type", "value"])
-
-    def pct(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy())
-        n = len(v)
-        idx = lambda q: min(n - 1, max(0, int(np.ceil(q * n)) - 1))  # noqa: E731
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "p50": [v[idx(0.5)]], "p90": [v[idx(0.9)]]})
-
-    return _as_arrow(ds.groupby("event_type").map_groups(pct, batch_format="pandas"))
+    return grouped_percentile_disc(ds, "event_type", "value",
+                                   {"p50": 0.5, "p90": 0.9})
 
 
 _TOPK_SQL = """
@@ -1184,7 +1183,7 @@ FROM kept WHERE doc_id = canonical
 
 
 @query("documents_clean_corpus", _CLEAN_SQL)
-def documents_clean_corpus(sf_dir: str) -> pd.DataFrame:
+def documents_clean_corpus(sf_dir: str) -> rd.Dataset:
     """Flagship training-data cleaning pipeline (C4-style): vectorized
     quality stats → quality gate (≥40 words, punct ≤ 20 % of chars) →
     exact dedup keep-first (md5 hash-partition + per-group min id).
@@ -1208,10 +1207,10 @@ def documents_clean_corpus(sf_dir: str) -> pd.DataFrame:
     gated = ds.map_batches(gate, batch_format="pyarrow")
     canon = gated.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
     kept = semi_join(gated, canon.select_columns(["doc_id"]), "doc_id", "doc_id")
-    out = pa.Table.from_pylist(
-        kept.select_columns(["doc_id", "source", "n_words"]).take_all()).to_pandas()
-    return (out.astype({"doc_id": "int64", "n_words": "int64"})
-            .sort_values("doc_id").reset_index(drop=True))
+    # corpus-scale result: hand the Dataset back as Arrow blocks (the
+    # harness materializes it on the columnar fast path) instead of
+    # funneling every kept row through the driver here
+    return _as_arrow(kept.select_columns(["doc_id", "source", "n_words"]))
 
 
 @query("dedup_exact_text",
@@ -1531,15 +1530,12 @@ def media_decode_meta(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthesize binary payloads (magic bytes +
     text), run the actor-pool decode stage, emit typed metadata. The
     decode itself is the deterministic stub (stages/media.py)."""
-    from ..stages.media import decode_media, synth_media_table
-    docs = pa.Table.from_pylist(
-        _pq(sf_dir, "documents", ["doc_id", "text"]).take_all())
-    media = synth_media_table(docs["text"].to_pylist(),
-                              [str(i) for i in docs["doc_id"].to_pylist()])
-    ds = rd.from_arrow(media)
+    from ..stages.media import decode_media, synth_media_batch
+    ds = (_pq(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(synth_media_batch, batch_format="pyarrow"))
     out = decode_media(ds, concurrency=2, batch_size=128)
-    t = pa.Table.from_pylist(out.take_all())
-    return t.select(["media_id", "mime", "n_bytes"]).to_pandas()
+    return (_as_arrow(out.select_columns(["media_id", "mime", "n_bytes"]))
+            .to_pandas())
 
 
 # ---------------------------------------------------------------------------
@@ -1806,19 +1802,20 @@ FROM h
 """
 
 
-@query("epoch_shuffle", _EPOCH_SQL)
-def epoch_shuffle(sf_dir: str) -> rd.Dataset:
-    """Seeded epoch shuffle for training-data loaders (reference's
-    deterministic re-run property, generalized): hash-keyed shard +
-    intra-shard rank, stable under any input partitioning."""
+def epoch_shuffle_ds(ds: rd.Dataset, shard_hex_digits: int = 1) -> rd.Dataset:
+    """Seeded epoch shuffle engine: hash-keyed shard (first k hex digits
+    of md5 → 16**k shards) + intra-shard rank, stable under any input
+    partitioning. Size k so one shard ~= one comfortable block — the
+    per-shard sort runs inside map_groups, so a fixed k would put
+    16**-k of the corpus in ONE pandas task at any scale."""
     from ..functions.textstats import md5_fingerprints
-    ds = _pq(sf_dir, "documents", ["doc_id"])
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = pc.cast(t["doc_id"], pa.string())
         hv = md5_fingerprints(pc.binary_join_element_wise("ep1", ids, ":"))
         return pa.table({"doc_id": t["doc_id"], "hv": hv,
-                         "shard": pc.utf8_slice_codeunits(hv, 0, 1)})
+                         "shard": pc.utf8_slice_codeunits(
+                             hv, 0, shard_hex_digits)})
 
     def rank(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["hv", "doc_id"]).reset_index(drop=True)
@@ -1827,6 +1824,15 @@ def epoch_shuffle(sf_dir: str) -> rd.Dataset:
 
     return _as_arrow(ds.map_batches(keyed, batch_format="pyarrow")
                      .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
+@query("epoch_shuffle", _EPOCH_SQL)
+def epoch_shuffle(sf_dir: str) -> rd.Dataset:
+    """Seeded epoch shuffle for training-data loaders (reference's
+    deterministic re-run property, generalized); k=1 here to match the
+    SQL oracle's substr(hv, 1, 1) — the engine takes k."""
+    return epoch_shuffle_ds(_pq(sf_dir, "documents", ["doc_id"]),
+                            shard_hex_digits=1)
 
 
 # Global-quantile quality gate: keep docs at/above the 75th-percentile
@@ -2878,16 +2884,13 @@ def approx_percentiles_hist(sf_dir: str) -> pd.DataFrame:
               .groupby("event_type").map_groups(merge, batch_format="pyarrow")
               .to_pandas())
 
-    def exact(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy())
-        n = len(v)
-        idx = lambda q: min(n - 1, max(0, int(np.ceil(q * n)) - 1))  # noqa: E731
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "n": [np.int64(n)],
-                             "p50": [v[idx(0.5)]], "p95": [v[idx(0.95)]]})
-
-    ex = (ds.groupby("event_type").map_groups(exact, batch_format="pandas")
-          .to_pandas())
+    from ..functions.sketches import grouped_percentile_disc
+    ex = grouped_percentile_disc(ds, "event_type", "value",
+                                 {"p50": 0.5, "p95": 0.95})
+    ns = pa.Table.from_pylist(
+        ds.groupby("event_type").aggregate(Count(alias_name="n"))
+        .take_all()).to_pandas()
+    ex = ex.merge(ns, on="event_type")
     out = ex.merge(approx, on="event_type")
     out["p50_sketch_ok"] = (out["p50_a"] - out["p50"]).abs() <= binw + 1e-9
     out["p95_sketch_ok"] = (out["p95_a"] - out["p95"]).abs() <= binw + 1e-9

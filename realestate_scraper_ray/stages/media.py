@@ -272,16 +272,31 @@ def photo_path(root: str, source: str, offer_id: str, seq: int, ext: str) -> str
     return f"{root}/{source}/{offer_id}/{seq:03d}.{ext}"
 
 
-def synth_media_table(texts: list[str], ids: list[str]) -> pa.Table:
+def synth_media_table(texts: list[str], ids: list[str],
+                      variant: list[int] | None = None) -> pa.Table:
     """Deterministic fake payloads (JPEG/PNG/WebP magic + text bytes) —
-    the test substrate for the media stages."""
+    the test substrate for the media stages. ``variant`` selects each
+    row's magic (defaults to the row's position, the original
+    list-order behavior)."""
     payloads = []
     kinds = []
     magics = [b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"RIFF\x00\x00\x00\x00WEBP"]
     types = ["image", "image", "image"]
     for i, t in enumerate(texts):
-        m = i % len(magics)
+        m = (variant[i] if variant is not None else i) % len(magics)
         payloads.append(magics[m] + (t or "").encode())
         kinds.append(types[m])
     return pa.table({"media_id": pa.array(ids), "payload": pa.array(payloads, pa.binary()),
                      "media_type": pa.array(kinds)})
+
+
+def synth_media_batch(t: pa.Table) -> pa.Table:
+    """map_batches form of :func:`synth_media_table` over a documents
+    batch (doc_id, text): the payload is a pure per-row function of
+    (doc_id, text), so synthesis streams inside the Dataset — nothing
+    ever reaches the driver. The magic is keyed on ``doc_id % 3``
+    (position-independent: batch boundaries can't change the result)."""
+    ids = t["doc_id"].to_pylist()
+    return synth_media_table(t["text"].to_pylist(),
+                             [str(i) for i in ids],
+                             variant=[int(i) for i in ids])

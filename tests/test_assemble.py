@@ -62,3 +62,54 @@ def test_assemble_deterministic_across_runs(tmp_path, ray_session):
     da = read_assembled(a).to_pandas().sort_values(["shard", "pos"])
     db = read_assembled(b).to_pandas().sort_values(["shard", "pos"])
     assert da.reset_index(drop=True).equals(db.reset_index(drop=True))
+
+
+def test_assemble_shard_count_scales(tmp_path, ray_session):
+    """shard_hex_digits=k gives 16**k-way sharding: same survivor set and
+    per-doc token counts as k=1, shard = first k hex digits of the
+    shuffle key, every per-shard invariant intact — the knob that keeps
+    one packing task ~= one block at any scale."""
+    import hashlib
+
+    a = str(tmp_path / "k1")
+    b = str(tmp_path / "k2")
+    m1 = assemble_training_set(SF, a, shard_hex_digits=1)
+    m2 = assemble_training_set(SF, b, shard_hex_digits=2)
+    assert m2["shard_hex_digits"] == 2
+    # identical funnel: sharding must not change WHICH docs survive
+    assert m1["n_after_temperature"] == m2["n_after_temperature"]
+    d1 = read_assembled(a).to_pandas()
+    d2 = read_assembled(b).to_pandas()
+    assert sorted(d1["doc_id"]) == sorted(d2["doc_id"])
+    assert (d1.set_index("doc_id")["n_tokens"].sort_index()
+            .equals(d2.set_index("doc_id")["n_tokens"].sort_index()))
+    # shard IS the first 2 hex digits of md5('ep1:'||doc_id)
+    hv = {i: hashlib.md5(f"ep1:{i}".encode()).hexdigest()
+          for i in d2["doc_id"]}
+    assert all(s == hv[i][:2] for i, s in zip(d2["doc_id"], d2["shard"]))
+    assert len(set(d2["shard"])) > len(set(d1["shard"]))
+    # intra-shard invariants hold at k=2 too
+    for shard, g in d2.groupby("shard"):
+        g = g.sort_values("pos").reset_index(drop=True)
+        assert list(g["pos"]) == list(range(1, len(g) + 1))
+        off = np.concatenate([[0], np.cumsum(g["n_tokens"].to_numpy())[:-1]])
+        assert (g["pack_bin"].to_numpy() == off // m2["bin_tokens"]).all()
+
+
+def test_epoch_shuffle_shard_digits(ray_session):
+    """epoch_shuffle_ds(k=2) re-ranks within 256 shards; doc set and
+    relative hv-order inside any k=1 shard prefix are preserved."""
+    import ray.data as rd
+
+    from realestate_scraper_ray.pipelines.relational import epoch_shuffle_ds
+
+    ds = rd.read_parquet(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id"])
+    k1 = epoch_shuffle_ds(ds, 1).to_pandas()
+    k2 = epoch_shuffle_ds(ds, 2).to_pandas()
+    assert sorted(k1["doc_id"]) == sorted(k2["doc_id"])
+    assert set(k2["shard"].str.len()) == {2}
+    assert set(k2["shard"].str[:1]) <= set(k1["shard"])
+    # k=2 shards partition each k=1 shard: per-shard pos is 1..n
+    for _, g in k2.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
