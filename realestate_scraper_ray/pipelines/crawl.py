@@ -71,7 +71,8 @@ FRONTIER_SCHEMA = pa.schema([
 # validate.py:9-50) plus the engine's order keys
 OFFER_OUT_COLS = ["offer_id", "source", "url", "price_amount", "price_currency",
                   "price_per_m2", "city", "lat", "lon", "area_m2", "rooms",
-                  "title", "district", "street", "floor", "floors",
+                  "title", "district", "street", "description",
+                  "floor", "floors",
                   "market_type", "property_type", "posted_at", "updated_at",
                   "first_seen", "last_seen",
                   "region", "page_idx", "pos"]

@@ -171,6 +171,12 @@ def parse_offer_spans(spans: list[dict]) -> tuple[dict, list[str]]:
     if "inquiry" in fields:  # Zapytaj o cenę → null all price fields
         price = ppm2 = None
         cur = None
+    # inverse price derivation (otodom.py:157-165): only zł/m²
+    # published → price = round(ppm2·area), currency PLN
+    if price is None and ppm2 is not None and area is not None and area > 0:
+        price = float(np.round(ppm2 * area))
+        if cur is None:
+            cur = "PLN"
     # rounding convention: np.round (half-even on the scaled double) is
     # the spec for derived values — the engine's vectorized path and this
     # scalar oracle must agree bit-for-bit
@@ -195,6 +201,9 @@ def parse_offer_spans(spans: list[dict]) -> tuple[dict, list[str]]:
         # wide columns (storage.py:13-20; datetimes validate.py:9-50)
         "title": fields.get("title"),
         "district": fields.get("district"),
+        # sink-side description[:5000] truncation (backend.py:128)
+        "description": (fields["description"][:5000]
+                        if fields.get("description") else None),
         "street": _clean_street(fields.get("street")),
         "floor": int(fields["floor"]) if "floor" in fields else None,
         "floors": int(fields["floors"]) if "floors" in fields else None,
@@ -356,6 +365,8 @@ def _emit_offer(portal: Portal, cfg: CrawlConfig, source: str, region: str,
     offer, photo_urls = parse_offer_spans(spans)
     if any(offer.get(f) is None for f in REQ_FIELDS):
         return  # completeness gate (detail.py:30-31)
+    if offer["price_amount"] <= 0:
+        return  # backend sink price<=0 reject (backend.py:100-107)
     # typed/range validation (M23, validate.py:9-50 rooms∈[0,20],
     # floor∈[-2,200]): ValidationError → row dropped (detail.py:92/220)
     if not (0 <= offer["rooms"] <= 20):

@@ -2055,9 +2055,9 @@ def crawl_offers_wide(sf_dir: str) -> pd.DataFrame:
     Polish dd.mm.yyyy dates coerced to timestamps (M5)."""
     t = _crawl_result().table("offers").to_pandas()
     cols = ["offer_id", "source", "url", "title", "district", "street",
-            "floor", "floors", "market_type", "property_type",
-            "posted_at", "updated_at", "first_seen", "last_seen",
-            "region", "page_idx", "pos"]
+            "description", "floor", "floors", "market_type",
+            "property_type", "posted_at", "updated_at",
+            "first_seen", "last_seen", "region", "page_idx", "pos"]
     return t[cols].sort_values(
         ["source", "region", "page_idx", "pos"]).reset_index(drop=True)
 

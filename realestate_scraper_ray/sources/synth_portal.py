@@ -312,6 +312,18 @@ class Portal:
             # pydantic ValidationError path (M23, validate.py:9-50
             # floor∈[-2,200]; drop at detail.py:92/220)
             "bad_floor": 500 <= b < 520,
+            # price served ONLY as zł/m² → the engine must derive
+            # price = round(ppm2·area), currency PLN (the reference's
+            # inverse price derivation, otodom.py:157-165)
+            "ppm2_only": 520 <= b < 560,
+            # a 0-zł price (portal data error) → the backend sink's
+            # price<=0 reject (backend.py:100-107) drops the whole row
+            "zero_price": 560 <= b < 575,
+            # prose sub-bucket with a >5000-char description →
+            # exercises the sink's description[:5000] truncation
+            # (backend.py:128)
+            "long_desc": (380 <= b < 380 + c.prose_per_mille
+                          and self._bucket("longdesc", oid) < 300),
             # posted_at in Polish 'dd.mm.yyyy HH:MM' format half the time
             "polish_date": b % 2 == 0,
         }
@@ -436,6 +448,13 @@ class Portal:
         text("title", f"Mieszkanie {f['city']} {f['rooms']} pok. {f['true_area']} m2")
         if f["inquiry"]:
             text("inquiry", 1)  # 'Zapytaj o cenę' → no price spans
+        elif f["ppm2_only"]:
+            # only the per-m² figure is published — the parser derives
+            # the total price (otodom.py:157-165)
+            text("price_per_m2", f"{f['ppm2']} zł/m2")
+        elif f["zero_price"]:
+            text("price_amount", "0 zł")
+            text("price_currency", "PLN")
         elif not f["prose"]:
             text("price_amount", f"{f['price']:.0f} zł")
             text("price_currency", "pln" if f["lower_currency"] else "PLN")
@@ -485,9 +504,14 @@ class Portal:
         grp = f"{int(f['price']):,}".replace(",", " ")
         ppm2 = f"{f['ppm2']}".replace(".", ",")
         a = f"{area}".replace(".", ",")
+        # long_desc pages pad past 5000 chars so the sink's
+        # description[:5000] truncation (backend.py:128) is exercised;
+        # the extractable facts stay in the first sentences
+        tail = (" Okolica pelna zieleni, blisko szkoly i przystanku." * 120
+                if f["long_desc"] else "")
         return (f"Cena {grp} zł ({ppm2} zł/m²). Powierzchnia {a} m², "
                 f"do tego piwnica 8 m² i taras 12–18 m². "
-                f"{f['rooms']} pokoje, świetny stan.")
+                f"{f['rooms']} pokoje, świetny stan.{tail}")
 
     def _render_investment(self, ref: PageRef) -> list[dict]:
         c = self.cfg

@@ -65,6 +65,7 @@ COMBINED_SCHEMA = pa.schema([
     ("title", pa.string()),
     ("district", pa.string()),
     ("street", pa.string()),
+    ("description", pa.string()),
     ("floor", pa.int32()),
     ("floors", pa.int32()),
     ("market_type", pa.string()),
@@ -470,7 +471,7 @@ class FetchParse:
             "offer_id", "source", "title", "price_amount", "price_currency",
             "price_per_m2", "city", "lat", "lon", "area_m2", "rooms", "inquiry",
             "district", "street", "floor", "floors", "market_type",
-            "property_type", "posted_at", "updated_at")}
+            "property_type", "posted_at", "updated_at", "description")}
         offer_photos: list[list[str]] = []
 
         def emit(rec_kind: str, **kv):
@@ -630,6 +631,11 @@ class FetchParse:
         price[inquiry] = np.nan
         ppm2[inquiry] = np.nan
         cur = [None if q else c for q, c in zip(inquiry, cur)]
+        # inverse price derivation (otodom.py:157-165): price missing
+        # but zł/m² and area present → price = round(ppm2·area), PLN
+        inv = np.isnan(price) & ~np.isnan(ppm2) & ~np.isnan(area) & (area > 0)
+        price[inv] = np.round(ppm2[inv] * area[inv])
+        cur = [("PLN" if m and c is None else c) for m, c in zip(inv, cur)]
         # derive ppm2 = round(price/area, 2) when missing (M19)
         d = np.isnan(ppm2) & ~np.isnan(price) & ~np.isnan(area) & (area > 0)
         ppm2[d] = _round2(price[d] / area[d])
@@ -659,6 +665,11 @@ class FetchParse:
             }
             if any(offer.get(f) is None for f in REQ_FIELDS):
                 continue  # completeness gate (M22)
+            # backend sink row gate (backend.py:100-107): price<=0 rows
+            # are never shipped — applied at emission so every sink
+            # (parquet, CSV export) sees the same row set
+            if offer["price_amount"] <= 0:
+                continue
             # typed/range validation (M23, validate.py:9-50): rows with
             # out-of-range values drop whole, like the reference's
             # pydantic ValidationError path (detail.py:92/220)
@@ -667,9 +678,13 @@ class FetchParse:
             if floor[i] is not None and not (-2 <= floor[i] <= 200):
                 continue
             r = ctx[i]
+            desc = raw["description"][i]
             emit("offer", url=r["url"], source=offer["source"], region=r["region"],
                  page_idx=r["page_idx"], pos=r["pos"],
                  title=raw["title"][i], district=raw["district"][i],
+                 # description[:5000] — the sink-side truncation rule
+                 # (backend.py:128) applied at emission
+                 description=desc[:5000] if desc else None,
                  street=street[i], floor=floor[i], floors=floors[i],
                  market_type=raw["market_type"][i],
                  property_type=raw["property_type"][i],

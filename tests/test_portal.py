@@ -153,3 +153,39 @@ def test_range_validation_drops_bad_floor(ray_session):
                     offer, _ = parse_offer_spans(spans)
                     assert offer["floor"] == 250  # parsed, then dropped
     assert n_bad > 0
+
+
+def test_sink_row_semantics_and_inverse_price(ray_session):
+    """Backend sink rules (backend.py:100-128) + inverse price
+    derivation (otodom.py:157-165): ppm2-only offers derive
+    price = round(ppm2*area) with PLN currency; 0-zl prices parse but
+    are sink-dropped (equality tests assert the drop end-to-end);
+    >5000-char descriptions truncate at exactly 5000."""
+    import numpy as np
+    from realestate_scraper_ray.config import PortalConfig
+    from realestate_scraper_ray.pipelines.oracle import parse_offer_spans
+    from realestate_scraper_ray.sources.synth_portal import Portal
+
+    portal = Portal(PortalConfig(regions=("pomorskie", "mazowieckie"),
+                                 base_pages=3, page_size_scale=0.5))
+    n_inv = n_zero = n_long = 0
+    for region in portal.cfg.regions:
+        for source in portal.cfg.sources:
+            for k in range(60):
+                f = portal.offer_facts(source, region, k)
+                spans = portal.render(portal.offer_url(source, region, k))
+                offer, _ = parse_offer_spans(spans)
+                if f["ppm2_only"]:
+                    n_inv += 1
+                    assert offer["price_amount"] == float(
+                        np.round(f["ppm2"] * f["true_area"]))
+                    assert offer["price_currency"] == "PLN"
+                    assert offer["price_per_m2"] == f["ppm2"]
+                if f["zero_price"]:
+                    n_zero += 1
+                    assert offer["price_amount"] == 0.0  # parsed, sink-dropped
+                if f["long_desc"] and not f["reserved"]:
+                    n_long += 1
+                    assert offer["description"] is not None
+                    assert len(offer["description"]) == 5000
+    assert n_inv > 0 and n_zero > 0 and n_long > 0
