@@ -566,8 +566,16 @@ class Portal:
     _LD_CAPABLE = ("title", "price_amount", "price_currency", "city",
                    "street", "lat", "lon", "area_m2", "rooms")
 
+    # LD script open-tag variants: 0/1 the canonical serialization
+    # (literal fast path), 2/3 attribute noise / single quotes — the
+    # extractor needs its tolerant regex pass for those
+    _LD_TAGS = ('<script type="application/ld+json">',
+                '<script type="application/ld+json">',
+                '<script data-rh="true" type="application/ld+json">',
+                "<script type='application/ld+json'>")
+
     def _ld_block(self, fields: dict[str, str], ld_keys: list[str],
-                  images: list[str] | None) -> str:
+                  images: list[str] | None, tag_variant: int = 0) -> str:
         """A realistic schema.org JSON-LD @graph block: Product with
         nested Offer / GeoCoordinates / PostalAddress / floorSize, plus
         a BreadcrumbList noise node (the reference's LD walk must skip
@@ -606,7 +614,7 @@ class Portal:
             {"@type": "ListItem", "position": 1, "name": "Nieruchomości"},
             {"@type": "ListItem", "position": 2, "name": "Mieszkania"}]}
         doc = {"@context": "https://schema.org", "@graph": [crumbs, product]}
-        return ('<script type="application/ld+json">'
+        return (self._LD_TAGS[tag_variant % len(self._LD_TAGS)]
                 + _json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
                 + "</script>")
 
@@ -623,6 +631,124 @@ class Portal:
             self._seo_pad_cache = cached
         return cached
 
+    # -- per-portal listing card markup -------------------------------------
+    #
+    # Attribute order, quoting style and decoy elements vary by a
+    # per-target hash so the extractors must be attribute-order- and
+    # quote-insensitive (the tolerance BeautifulSoup gives the
+    # reference, core/parse.py:10-26). Decoys render in HTML only —
+    # never in the span document — so a portal extractor that fails to
+    # filter them breaks the html-mode ≡ span-mode equality tests.
+
+    def _is_pagination(self, ref: PageRef, target: str) -> bool:
+        return self.classify(target).kind == "listing" or (
+            ref.kind == "investment" and "?page=" in target)
+
+    def _otodom_listing_els(self, ref: PageRef, url: str,
+                            targets: list[str]) -> list[str]:
+        """Otodom cards (otodom.py:497-534): article containers with
+        data-cy anchors; investment targets get the evkld750 badge +
+        "Ukończona" marker; a decoy in-progress investment card must be
+        dropped by the badge rule."""
+        els: list[str] = []
+        for t in targets:
+            if self._is_pagination(ref, t):
+                els.append(f'<a href="{t}">następna</a>')
+                continue
+            v = _h64(self.cfg.seed, "attrvar", t) % 4
+            if self.classify(t).kind == "investment":
+                els.append(
+                    '<article data-sentry-element="Container">'
+                    '<aside class="evkld750-badge">Inwestycja</aside>'
+                    '<span>Ukończona</span>'
+                    f'<a data-cy="listing-item-link" href="{t}">osiedle</a>'
+                    '</article>')
+                continue
+            a = (f'<a data-cy="listing-item-link" href="{t}">oferta</a>',
+                 f'<a href="{t}" data-cy="listing-item-link">oferta</a>',
+                 f"<a href='{t}' class=\"css-1x2y\" "
+                 f"data-cy='listing-item-link'>oferta</a>",
+                 f'<a href={t} data-cy=listing-item-link>oferta</a>')[v]
+            els.append(f'<article data-sentry-element="Container">{a}</article>')
+        if ref.kind == "listing" and els and _h64(
+                self.cfg.seed, "invdecoy", url) % 3 == 0:
+            decoy = self.investment_url(ref.region, 888000 + ref.page)
+            els.insert(_h64(self.cfg.seed, "invdecoypos", url) % len(els),
+                       '<article data-sentry-element="Container">'
+                       '<aside class="evkld750-badge">Inwestycja</aside>'
+                       '<span>W budowie</span>'
+                       f'<a data-cy="listing-item-link" href="{decoy}">'
+                       'osiedle</a></article>')
+        return els
+
+    def _gratka_listing_els(self, ref: PageRef, url: str,
+                            targets: list[str]) -> list[str]:
+        """Gratka article cards (gratka.py:618-665): /ob/ anchor +
+        location text; a decoy card with a foreign city must be dropped
+        by the normalized-city containment filter."""
+        city = ref.region.split("-")[0].capitalize()
+        els: list[str] = []
+        for t in targets:
+            if self._is_pagination(ref, t):
+                els.append(f'<a href="{t}">następna</a>')
+                continue
+            v = _h64(self.cfg.seed, "attrvar", t) % 3
+            loc = f"{city}, {ref.region}"
+            card = (
+                f'<article data-cy="listing-item"><a href="{t}">Mieszkanie'
+                f'</a><div data-cy="listing-item-location">{loc}</div>'
+                '</article>',
+                f'<article><a href="{t}">Mieszkanie</a>'
+                f'<p class="teaser__location">{loc}</p></article>',
+                f"<article data-cy='listing-item'><a href='{t}'>"
+                f"Mieszkanie, {loc}</a></article>")[v]
+            els.append(card)
+        if els and _h64(self.cfg.seed, "obdecoy", url) % 3 == 0:
+            oid = self.oid("gratka", ref.region, 999999)
+            decoy = (f"https://{self.host('gratka', ref.region)}"
+                     f"/nieruchomosci/mieszkanie-{ref.region}-999999/ob/{oid}")
+            els.insert(_h64(self.cfg.seed, "obdecoypos", url) % len(els),
+                       f'<article data-cy="listing-item"><a href="{decoy}">'
+                       'Mieszkanie</a><div data-cy="listing-item-location">'
+                       'Praga, Czechy</div></article>')
+        return els
+
+    def _morizon_listing_els(self, ref: PageRef, url: str,
+                             targets: list[str]) -> list[str]:
+        """Morizon raw anchors (morizon.py:95-113): absolute or
+        relative mzn hrefs; a decoy non-offer link must be dropped at
+        the mzn-id pattern level."""
+        els: list[str] = []
+        for t in targets:
+            if self._is_pagination(ref, t):
+                els.append(f'<a href="{t}">następna</a>')
+                continue
+            if _h64(self.cfg.seed, "relhref", t) % 2 == 0:
+                path = t[t.find("/", t.find("//") + 2):]  # relative form
+                els.append(f'<a href="{path}">Mieszkanie</a>')
+            else:
+                els.append(f'<a href="{t}">Mieszkanie</a>')
+        if els and _h64(self.cfg.seed, "mzndecoy", url) % 3 == 0:
+            els.insert(_h64(self.cfg.seed, "mzndecoypos", url) % len(els),
+                       '<a href="https://www.morizon.pl/kredyty/hipoteczny">'
+                       'kredyt hipoteczny</a>')
+        return els
+
+    def _generic_listing_els(self, ref: PageRef,
+                             targets: list[str]) -> list[str]:
+        """Generic data-cy dialect (trojmiasto + §2.10 extension
+        sources), quote-style varied."""
+        els: list[str] = []
+        for t in targets:
+            if self._is_pagination(ref, t):
+                els.append(f'<a class="pagination-next" href="{t}">następna</a>')
+                continue
+            v = _h64(self.cfg.seed, "attrvar", t) % 2
+            a = (f'<a data-cy="listing-item-link" href="{t}">oferta</a>',
+                 f"<a href='{t}' data-cy='listing-item-link'>oferta</a>")[v]
+            els.append(f'<article data-cy="listing-item">{a}</article>')
+        return els
+
     def render_html(self, url: str) -> str | None:
         spans = self.render(url)
         if spans is None:
@@ -630,29 +756,38 @@ class Portal:
         ref = self.classify(url)
         els: list[str] = []
         if ref.kind in ("listing", "investment"):
-            # card markup mirroring the reference's listing selectors
-            # (a[data-cy=listing-item-link], otodom.py:497-534)
-            for s in sorted(spans, key=lambda s: s["offset"]):
-                t = s["media_ref"]
-                if self.classify(t).kind == "listing" or (
-                        ref.kind == "investment" and "?page=" in t):
-                    els.append(f'<a class="pagination-next" href="{t}">następna</a>')
-                else:
-                    els.append(f'<article data-cy="listing-item"><a '
-                               f'data-cy="listing-item-link" href="{t}">'
-                               f'oferta</a></article>')
+            # per-portal listing dialects — each source serves its own
+            # card markup, mirroring the reference's per-adapter
+            # selectors (otodom.py:497-534 data-cy cards + investment
+            # badges; gratka.py:618-665 article cards + location text;
+            # morizon.py:95-113 raw mzn hrefs); trojmiasto + extension
+            # sources use the generic data-cy dialect
+            source = "otodom" if ref.kind == "investment" else ref.source
+            targets = [s["media_ref"]
+                       for s in sorted(spans, key=lambda s: s["offset"])]
+            if source == "otodom":
+                els = self._otodom_listing_els(ref, url, targets)
+            elif source == "gratka":
+                els = self._gratka_listing_els(ref, url, targets)
+            elif source == "morizon":
+                els = self._morizon_listing_els(ref, url, targets)
+            else:
+                els = self._generic_listing_els(ref, targets)
             return self._html_doc(els)
         # Offer pages distribute the same facts across the reference's
-        # real parse surfaces (presence preserved, so html-mode crawl
-        # output ≡ span-mode output):
-        #   otodom/trojmiasto: __NEXT_DATA__ state (primary path,
-        #     otodom.py:57-190, trojmiasto.py:63-71) + a JSON-LD block
-        #   gratka/morizon: JSON-LD Product (primary, gratka.py:170-244,
-        #     morizon.py:140-192) + CSS param fallback; a hash bucket
-        #     omits geo from LD and serves a Leaflet L.marker() script
-        #     instead (the M17 geo-fallback chain, morizon.py:209-243);
-        #     photos alternate between LD image lists and gallery <img>
-        #     tags with srcset (argmax-by-width, M26)
+        # real per-portal parse surfaces (presence preserved, so
+        # html-mode crawl output ≡ span-mode output):
+        #   otodom: JSON-LD Product (otodom.py:220-313) +
+        #     __NEXT_DATA__ ``ad`` params/images (otodom.py:57-190)
+        #   trojmiasto: __NEXT_DATA__ ``advert`` structured object with
+        #     the characteristics walk (trojmiasto.py:283-330) — no LD
+        #   gratka: JSON-LD (±geo) + div[data-cy=propertyNumber] offer
+        #     id (gratka.py:613-616) + CSS params + Leaflet L.marker geo
+        #     fallback (M17)
+        #   morizon: JSON-LD (±geo) + CSS params + hydrated map-bounds
+        #     geo fallback (morizon.py:26-29, 115-140); photos alternate
+        #     LD image lists ↔ gallery srcset (argmax-by-width, M26)
+        #   extension sources: the generic LD + params + Leaflet dialect
         fields: dict[str, str] = {}
         images: list[str] = []
         for s in sorted(spans, key=lambda s: s["offset"]):
@@ -662,10 +797,11 @@ class Portal:
             else:
                 images.append(s["media_ref"])
         h = _h64(self.cfg.seed, "htmlvar", ref.oid)
-        if ref.source in ("otodom", "trojmiasto"):
+        ld_tag = _h64(self.cfg.seed, "ldtag", ref.oid) % 4  # 0/1 literal
+        if ref.source == "otodom":
             import json as _json
             ld_keys = [k for k in self._LD_CAPABLE if k in fields]
-            els.append(self._ld_block(fields, ld_keys, None))
+            els.append(self._ld_block(fields, ld_keys, None, ld_tag))
             ad = _json.dumps({"id": ref.oid,
                               "params": [[k, v] for k, v in fields.items()],
                               "images": images}, separators=(",", ":"))
@@ -677,20 +813,54 @@ class Portal:
             els.append('<script id="__NEXT_DATA__" type="application/json">'
                        + payload + "</script>")
             return self._html_doc(els)
+        if ref.source == "trojmiasto":
+            import json as _json
+
+            from ..stages.portals import fields_to_advert
+            adv = _json.dumps(fields_to_advert(fields, images),
+                              ensure_ascii=False, separators=(",", ":"))
+            # seo pad is a SIBLING of advert so the partial-parse
+            # raw_decode of the advert value never touches it
+            payload = ('{"props":{"pageProps":{"advert":' + adv
+                       + ',"seo":' + self._seo_pad_json() + '}}}')
+            open_tag = (
+                '<script id="__NEXT_DATA__" type="application/json">'
+                if h % 2 == 0 else
+                "<script type='application/json' id='__NEXT_DATA__'>")
+            els.append(open_tag + payload + "</script>")
+            return self._html_doc(els)
         ld_no_geo = h % 10 < 3
         photos_in_ld = h % 2 == 0
+        is_gratka = ref.source == "gratka"
+        is_morizon = ref.source == "morizon"
         ld_keys = [k for k in self._LD_CAPABLE if k in fields]
         if ld_no_geo:
             ld_keys = [k for k in ld_keys if k not in ("lat", "lon")]
         els.append(self._ld_block(fields, ld_keys,
-                                  images if photos_in_ld and images else None))
+                                  images if photos_in_ld and images else None,
+                                  ld_tag))
         if ld_no_geo and "lat" in fields:
-            els.append(f'<script>var map=L.map("map");'
-                       f'L.marker([{fields["lat"]}, {fields["lon"]}])'
-                       f'.addTo(map);</script>')
+            if is_morizon:
+                # hydrated map bounds: NE == SW == the point, so the
+                # extractor's corner average recovers it exactly
+                la, lo = fields["lat"], fields["lon"]
+                els.append('<script>window.__HYDRATED__=['
+                           '{"latitude":101,"longitude":102},'
+                           f'{la},{lo},'
+                           '{"latitude":103,"longitude":104},'
+                           f'{la},{lo}]</script>')
+            else:
+                els.append(f'<script>var map=L.map("map");'
+                           f'L.marker([{fields["lat"]}, {fields["lon"]}])'
+                           f'.addTo(map);</script>')
+        if is_gratka and "offer_id" in fields:
+            els.append(f'<div data-cy="propertyNumber">'
+                       f'gratka-{fields["offer_id"]}</div>')
         for k, v in fields.items():
             if k in ld_keys or (ld_no_geo and k in ("lat", "lon")):
                 continue
+            if is_gratka and k == "offer_id":
+                continue  # carried by the propertyNumber div
             els.append(f'<div class="param" data-field="{k}">{v}</div>')
         if images and not photos_in_ld:
             for u in images:

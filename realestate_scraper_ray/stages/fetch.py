@@ -187,6 +187,53 @@ def _iter_script_blocks(html: str, open_tag: str):
             return
         yield html[i + n:j]
         pos = j + 9
+
+
+def _iter_marker_scripts(html: str, marker: str):
+    """Script blocks identified by an attribute *marker* substring
+    (e.g. ``application/ld+json``), attribute-order- and
+    quote-insensitive: find the marker, backtrack to the enclosing
+    ``<script``, slice to ``</script>``. Pure memchr — this is the
+    tolerant analogue of the reference's soup-based
+    ``find_ld_json_all`` (core/parse.py:28-35) at regex-free cost."""
+    pos = 0
+    while True:
+        i = html.find(marker, pos)
+        if i < 0:
+            return
+        s = html.rfind("<script", pos, i)
+        e = html.find(">", i)
+        if s < 0 or e < 0:
+            return
+        j = html.find("</script>", e)
+        if j < 0:
+            return
+        yield html[e + 1:j]
+        pos = j + 9
+
+
+def _find_next_block(html: str) -> str | None:
+    """The ``__NEXT_DATA__`` state block, any tag serialization."""
+    for block in _iter_marker_scripts(html, "__NEXT_DATA__"):
+        return block
+    return None
+
+
+def _next_data_advert(block: str) -> dict | None:
+    """``props.pageProps.advert`` — the trojmiasto "modern page" state
+    (trojmiasto.py:283-295 prefers ``advert`` over ``ad``). Partial
+    parse first; full ``json.loads`` fallback."""
+    if '"advert":' not in block:
+        return None
+    val = _raw_decode_at(block, '"advert":')
+    if isinstance(val, dict):
+        return val
+    import json as _json
+    try:
+        return (_json.loads(block).get("props", {})
+                .get("pageProps", {}).get("advert"))
+    except ValueError:
+        return None
 _LD_RE = re.compile(
     r'<script type="application/ld\+json">(.*?)</script>', re.S)
 _LEAFLET_RE = re.compile(r'L\.marker\(\[\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\]\)')
@@ -240,8 +287,7 @@ def extract_ldjson_fields(html: str) -> tuple[dict[str, str], list[str]]:
     images: list[str] = []
     if "application/ld+json" not in html:  # memchr gate: skip the scan
         return fields, images
-    for block in _iter_script_blocks(
-            html, '<script type="application/ld+json">'):
+    for block in _iter_marker_scripts(html, "application/ld+json"):
         try:
             doc = _json.loads(block)
         except ValueError:
@@ -280,43 +326,98 @@ def extract_ldjson_fields(html: str) -> tuple[dict[str, str], list[str]]:
 def extract_listing_links(html: str) -> list[str]:
     """Listing-card link extraction (M11): the regex analogue of the
     reference's a[data-cy=listing-item-link] card selector
-    (otodom.py:497-534); absolute URLs, document order."""
-    if 'data-cy="listing-item-link"' not in html:
+    (otodom.py:497-534), attribute-order- and quote-insensitive;
+    absolute URLs, document order."""
+    if "listing-item-link" not in html:
         return []
-    return _CARD_RE.findall(html)
+    from .portals import _CARD_ANY_RE
+    out = [m.group(1) or m.group(2) or m.group(3)
+           for m in _CARD_ANY_RE.finditer(html)]
+    if not out:
+        # fast path missed despite the marker → tolerant DOM pass
+        from .htmlparse import parse_html
+        for a in parse_html(html).find_all(
+                "a", attrs={"data-cy": "listing-item-link"}):
+            h = a.get("href")
+            if h:
+                out.append(h)
+    return out
 
 
-def html_to_spans(html: str) -> list[dict]:
+def _page_ctx(url: str | None) -> tuple[str, str]:
+    """(source, scheme://host) for per-portal extractor dispatch."""
+    if not url:
+        return "", ""
+    host = host_of(url)
+    i = url.find(host)
+    base = url[:i + len(host)]
+    if host == "ogloszenia.trojmiasto.pl":
+        return "trojmiasto", base
+    parts = host.split(".")
+    return (parts[1] if len(parts) >= 3 else
+            (parts[0] if len(parts) == 2 else "")), base
+
+
+def html_to_spans(html: str, url: str | None = None) -> list[dict]:
     """Parse a rendered portal page back into its span document via the
-    full extractor chain with the reference's precedence (M31,
+    per-portal extractor chain with the reference's precedence (M31,
     otodom.py:628-665: LD+JSON > __NEXT_DATA__ > geo fallbacks > CSS;
     photos: NEXT images > LD images > gallery imgs w/ srcset argmax,
-    otodom.py:681-785). Inverse of Portal.render_html; tests assert
-    crawl-output equality between html mode and span mode."""
+    otodom.py:681-785). Listing-link extraction dispatches on the page
+    host to the portal dialect (stages/portals.py); offer-field
+    surfaces are substring-gated, so one chain serves every dialect.
+    Inverse of Portal.render_html; tests assert crawl-output equality
+    between html mode and span mode."""
+    from .portals import (advert_to_fields, base_of, hydrated_center,
+                          listing_links_generic, listing_links_gratka,
+                          listing_links_morizon, listing_links_otodom,
+                          property_number)
+    source, base = _page_ctx(url)
     spans: list[dict] = []
-    links = extract_listing_links(html)
+    links: list[str] = []
+    if "<a" in html:
+        if source == "otodom":
+            links = listing_links_otodom(html, base)
+        elif source == "gratka":
+            city = host_of(url).split(".")[0].split("-")[0].capitalize()
+            links = listing_links_gratka(html, base, city)
+        elif source == "morizon":
+            links = listing_links_morizon(html, base)
+        else:
+            links = listing_links_generic(html, base or base_of(url or "https://x.pl"))
     for i, u in enumerate(links):
         spans.append({"kind": "link", "text": "", "media_ref": u, "offset": i})
-    if "pagination-next" in html:
-        for u in _NEXT_RE.findall(html):
-            spans.append({"kind": "link", "text": "", "media_ref": u,
-                          "offset": len(links)})
 
     fields, ld_images = extract_ldjson_fields(html)
     next_images: list[str] = []
-    # cheap substring gates before whole-document DOTALL scans: the
-    # chain's surfaces are mutually exclusive per portal, so most
-    # passes miss and a memchr beats a 200 KB regex scan ~20×
-    block = _find_script_block(
-        html, '<script id="__NEXT_DATA__" type="application/json">')
+    # cheap substring gates before any whole-document scan: the chain's
+    # surfaces are mutually exclusive per portal, so most passes miss
+    # and a memchr beats a 200 KB regex scan ~20×
+    block = _find_next_block(html) if "__NEXT_DATA__" in html else None
     if block is not None:
-        for k, v in _next_data_params(block):
-            fields.setdefault(k, str(v))
-        next_images = [str(u) for u in _next_data_images(block)]
+        adv = _next_data_advert(block)
+        if adv is not None:
+            afields, aimages = advert_to_fields(adv)
+            for k, v in afields.items():
+                fields.setdefault(k, v)
+            next_images = aimages
+        else:
+            for k, v in _next_data_params(block):
+                fields.setdefault(k, str(v))
+            next_images = [str(u) for u in _next_data_images(block)]
+    if "propertyNumber" in html:
+        pn = property_number(html)
+        if pn:
+            fields.setdefault("offer_id", pn)
     lm = _LEAFLET_RE.search(html) if "L.marker" in html else None
     if lm:
         fields.setdefault("lat", lm.group(1))
         fields.setdefault("lon", lm.group(2))
+    if '{"latitude":10' in html:  # hydrated map bounds (morizon)
+        hc = hydrated_center(html)
+        if hc is not None:
+            fields.setdefault("lat", hc[0])
+            fields.setdefault("lon", hc[1])
     if '<div class="param"' in html:
         for k, v in _FIELD_RE.findall(html):
             fields.setdefault(k, v)
@@ -432,7 +533,7 @@ class FetchParse:
                     return self._docs.get(url)
                 if self.portal.cfg.html_bytes > 0:
                     html = self.portal.render_html(url)
-                    return None if html is None else html_to_spans(html)
+                    return None if html is None else html_to_spans(html, url)
                 return self.portal.render(url)
         return None
 

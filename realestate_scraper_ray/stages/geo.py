@@ -179,18 +179,48 @@ def _geo_h64(seed: int, *key: object) -> int:
 
 
 def synthetic_geocode(query: str, seed: int = 11,
-                      unknown_per_mille: int = 250) -> tuple[float, float] | None:
+                      unknown_per_mille: int = 250,
+                      wrong_per_mille: int = 120,
+                      ) -> tuple[float, float, str] | None:
     """Deterministic stand-in for the Nominatim lookup
-    (morizon.py:427-468): a pure function of the query string. Queries
-    with a ',' (street-/district-level) are unknown for a hash bucket of
-    ``unknown_per_mille`` — exercising the fallback chain; bare city
-    queries always resolve (the chain terminates)."""
+    (morizon.py:427-468): a pure function of the query string, returning
+    ``(lat, lon, display_name)``. Queries with a ',' (street-/
+    district-level) are unknown for a hash bucket of
+    ``unknown_per_mille`` — exercising the fallback chain; a second
+    bucket resolves to the WRONG place (the display names a different
+    street/city — real Nominatim does this on fuzzy matches, which is
+    exactly why gratka.py:326-426 verifies every hit against its query
+    terms); bare city queries always resolve and match (the chain
+    terminates)."""
     if ("," in query
             and _geo_h64(seed, "gknown", query) % 1000 < unknown_per_mille):
         return None
     lat = round(49.3 + (_geo_h64(seed, "glat", query) / 2.0**64) * 5.3, 6)
     lon = round(14.3 + (_geo_h64(seed, "glon", query) / 2.0**64) * 9.9, 6)
-    return lat, lon
+    if ("," in query
+            and _geo_h64(seed, "gwrong", query) % 1000 < wrong_per_mille):
+        return lat, lon, "Nowa Wieś, powiat nieznany, Polska"
+    return lat, lon, f"{query}, Polska"
+
+
+def geocode_result_matches(level: str, street: str | None,
+                           district: str | None, city: str | None,
+                           display: str | None) -> bool:
+    """Geocode result verification (gratka.py:326-426 ``_addr_has`` /
+    display_name containment): a hit is accepted only when its display
+    name contains the normalized query terms for its level — city
+    always, plus the street for street-level queries and the district
+    for district-level queries. Rejected hits fall through to the next
+    level of the query chain."""
+    from ..functions.urls import slugify
+    d = slugify(display or "")
+    if city and slugify(city) not in d:
+        return False
+    if level == "street" and street and slugify(street) not in d:
+        return False
+    if level == "district" and district and slugify(district) not in d:
+        return False
+    return True
 
 
 @ray.remote(num_cpus=0.25)
@@ -278,9 +308,18 @@ def geocode_and_snap(ds: rd.Dataset, geocoder, max_dist_m: float = 800.0) -> rd.
         for i, ch in enumerate(chains):
             pt, lvl = None, "none"
             for level, q in ch:
-                if resolved.get(q) is not None:
-                    pt, lvl = resolved[q], level
-                    break
+                r = resolved.get(q)
+                if r is None:
+                    continue
+                # result verification (gratka.py:326-426): reject hits
+                # whose canonical name matches none of the query terms
+                # (wrong-place fuzzy matches, poisoned cache entries)
+                if not geocode_result_matches(level, streets[i],
+                                              districts[i], cities[i],
+                                              r[2] if len(r) > 2 else None):
+                    continue
+                pt, lvl = (r[0], r[1]), level
+                break
             levels.append(lvl)
             if pt is None or np.isnan(lat[i]):
                 continue

@@ -158,7 +158,10 @@ def test_geocode_fallback_chain_and_snap(ray_session, tmp_path):
     known_street = None
     for i in range(200):
         q = f"ul. Znana {i}, Gdansk"
-        if synthetic_geocode(q) is not None:
+        r = synthetic_geocode(q)
+        # known AND verified: the wrong-place bucket would be rejected
+        # by geocode_result_matches and fall back to city level
+        if r is not None and "Znana" in r[2]:
             known_street = f"ul. Znana {i}"
             break
     g = GeocoderActor.remote()
@@ -183,3 +186,59 @@ def test_geocode_fallback_chain_and_snap(ray_session, tmp_path):
     pa_pt = synthetic_geocode(f"{known_street}, Gdansk")
     exp_a = float(haversine_m(54.35, 18.65, pa_pt[0], pa_pt[1])) > 800
     assert bool(out.loc["a", "geo_snapped"]) == exp_a
+
+
+def test_geocode_verification_rejects_wrong_hits(ray_session):
+    """gratka.py:326-426 result verification: a geocoder hit whose
+    display name matches none of the query terms is rejected and the
+    chain falls through to the next level."""
+    import ray
+    import ray.data as rd
+    from realestate_scraper_ray.stages.geo import (
+        GeocoderActor, geocode_and_snap, synthetic_geocode)
+    wrong_street = None
+    for i in range(800):
+        q = f"ul. Krzywa {i}, Gdansk"
+        r = synthetic_geocode(q)
+        if r is not None and "Krzywa" not in r[2]:
+            wrong_street = f"ul. Krzywa {i}"
+            break
+    assert wrong_street is not None  # the wrong-place bucket exists
+    g = GeocoderActor.remote()
+    t = pa.table({"offer_id": ["w"], "street": [wrong_street],
+                  "district": [None], "city": ["Gdansk"],
+                  "lat": [54.35], "lon": [18.65]})
+    out = pa.Table.from_pylist(
+        geocode_and_snap(rd.from_arrow(t), g).take_all()).to_pandas()
+    # the street-level hit resolved but named the wrong place → city
+    assert out.loc[0, "geo_level"] == "city"
+
+
+def test_geocode_verification_rejects_poisoned_cache(ray_session, tmp_path):
+    """A deliberately-wrong persisted cache entry (stale/corrupt) is
+    rejected by the same verification — the cache is not trusted more
+    than a live hit (gratka.py:326-426 applies to every result)."""
+    import json
+
+    import ray
+    import ray.data as rd
+    from realestate_scraper_ray.stages.geo import (
+        GeocoderActor, geocode_and_snap, synthetic_geocode)
+    street, city = "ul. Dluga 7", "Gdansk"
+    path = str(tmp_path / "poisoned.json")
+    with open(path, "w") as f:
+        json.dump({f"{street}, {city}":
+                   [52.0, 21.0, "Zupelnie Inna, Warszawa, Polska"]}, f)
+    g = GeocoderActor.remote(cache_path=path)
+    t = pa.table({"offer_id": ["p"], "street": [street],
+                  "district": [None], "city": [city],
+                  "lat": [54.35], "lon": [18.65]})
+    out = pa.Table.from_pylist(
+        geocode_and_snap(rd.from_arrow(t), g).take_all()).to_pandas()
+    assert out.loc[0, "geo_level"] == "city"
+    # and the snap point is the CITY point, not the poisoned one
+    cpt = synthetic_geocode(city)
+    from realestate_scraper_ray.stages.geo import haversine_m
+    if bool(out.loc[0, "geo_snapped"]):
+        assert float(haversine_m(out.loc[0, "lat"], out.loc[0, "lon"],
+                                 cpt[0], cpt[1])) < 1.0

@@ -39,16 +39,16 @@ def test_html_roundtrip_all_sources_and_kinds():
     span_p, html_p = Portal(SPAN_CFG), Portal(HTML_CFG)
     for src in ("otodom", "gratka", "morizon", "trojmiasto"):
         lst = span_p.listing_url(src, "pomorskie", 1)
-        assert _norm(span_p.render(lst)) == _norm(html_to_spans(html_p.render_html(lst)))
+        assert _norm(span_p.render(lst)) == _norm(html_to_spans(html_p.render_html(lst), lst))
         offer_urls = [s["media_ref"] for s in span_p.render(lst)
                       if span_p.classify(s["media_ref"]).kind == "offer"]
         for u in offer_urls[:5]:
-            got = html_to_spans(html_p.render_html(u))
+            got = html_to_spans(html_p.render_html(u), u)
             exp = span_p.render(u)
             assert _parsed(got) == _parsed(exp), u
             assert _norm(got) == _norm(exp), u  # photo spans exact
     inv = html_p.investment_url("pomorskie", 3)
-    assert _norm(span_p.render(inv)) == _norm(html_to_spans(html_p.render_html(inv)))
+    assert _norm(span_p.render(inv)) == _norm(html_to_spans(html_p.render_html(inv), inv))
 
 
 def test_next_data_path_used_for_otodom():
