@@ -249,18 +249,35 @@ def _host_buckets(urls: pa.Array | pa.ChunkedArray, cfg: CrawlConfig) -> np.ndar
     """Frontier partition key: hash(host) + per-URL salt for skewed
     hosts (SURVEY.md §7.4). A host matching a ``skew_salts`` substring
     spreads over N buckets; others map to one. Buckets order fragment
-    writes — the shuffle-free groupby-on-host."""
-    out = np.empty(len(urls), dtype=np.int64)
-    for i, u in enumerate(urls.to_pylist()):
-        h = host_of(u)
-        n_salt = 1
+    writes — the shuffle-free groupby-on-host.
+
+    Vectorized: hosts extract via a polars Rust kernel, per-DISTINCT-
+    host crc32 (host cardinality is O(sources×regions), not O(rows)),
+    per-URL salt via the polars xxh3 hash kernel with a fixed seed —
+    Python work is O(distinct hosts) per wave."""
+    import polars as pl
+    arr = urls if isinstance(urls, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(urls, pa.string())
+    s = pl.from_arrow(arr)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    hosts = s.str.extract(r"^https?://([^/]+)", 1).to_arrow()
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    enc = hosts.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    base_u = np.empty(max(1, len(uniq)), dtype=np.int64)
+    nsalt_u = np.ones(max(1, len(uniq)), dtype=np.uint64)
+    for j, h in enumerate(uniq):
+        h = h or ""
+        base_u[j] = zlib.crc32(h.encode())
         for frag, n in cfg.skew_salts:
             if frag in h:
-                n_salt = max(1, n)
+                nsalt_u[j] = max(1, n)
                 break
-        salt = zlib.crc32(u.encode()) % n_salt
-        out[i] = (zlib.crc32(h.encode()) + salt) % cfg.host_buckets
-    return out
+    inv = enc.indices.to_numpy(zero_copy_only=False)
+    salt = s.hash(seed=1147).to_numpy() % nsalt_u[inv]
+    return (base_u[inv] + salt.astype(np.int64)) % cfg.host_buckets
 
 
 def _write_fragment(table: pa.Table, dirpath: str,

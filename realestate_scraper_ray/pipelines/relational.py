@@ -202,9 +202,11 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
 
     def cust_nation(t: pa.Table) -> pa.Table:
         m = ray.get(n2n_ref)
-        names = pa.array([m.get(int(k)) for k in t["c_nationkey"].to_pylist()],
-                         pa.string())
-        out = t.append_column("n_name", names)
+        keys = pa.array(list(m.keys()), pa.int64())
+        vals = pa.array(list(m.values()), pa.string())
+        # vectorized dict lookup: index_in + take (misses → null)
+        idx = pc.index_in(t["c_nationkey"].cast(pa.int64()), keys)
+        out = t.append_column("n_name", pc.take(vals, idx))
         return out.filter(pc.is_valid(out["n_name"])).select(
             ["c_custkey", "n_name"])
 

@@ -11,12 +11,12 @@ for scale runs where ~1e-4 FP is acceptable; the trade-off is config
 (``CrawlConfig.fingerprint_bits``).
 
 Upstream key-collision bound: filter keys are the first 64 bits of
-sha1(canonical_url) (state/urlseen.py url_keys), so at the 10^10-URL
+xxh3(canonical_url) (state/urlseen.py url_keys), so at the 10^10-URL
 design point the birthday expectation is ~(10^10)^2 / 2^65 ≈ 3 colliding
 key *pairs* across the whole crawl — each would silently treat one
 distinct URL as already seen. That 64-bit stage, not the fingerprint FP
 rate, dominates total error at 10^10 keys; widening keys to 128 bits
-(sha1[:16], shard on the high half, fingerprint the low half) removes it
+(a 128-bit hash: shard on the high half, fingerprint the low half) removes it
 if ever needed. At test/bench scale (≤10^7 URLs) both rates are ≪1
 expected collisions, i.e. exact.
 

@@ -1,7 +1,7 @@
 """Sharded URL-seen service: cuckoo-filter partition actors.
 
 The crawl-frontier dedup path (north_rule): canonicalize URL →
-sha1 → 64-bit key → shard ``key % n_shards`` → per-shard
+xxh3 → 64-bit key → shard ``key % n_shards`` → per-shard
 ``contains_and_add`` (test-and-set, batch-atomic inside the actor).
 Replaces the reference's process-local ``DedupeSet``
 (/root/reference/scrapper/core/dedup.py:16-37) with partition affinity:
@@ -9,13 +9,13 @@ the same URL always lands on the same shard, so first-seen-wins holds
 under full parallelism. Each shard checkpoints its filter bytes for
 resume (FIXTURES.md F6 ``filter_bytes``).
 
-Keys are sha1-based — stable across processes/machines/restarts (never
-use process-seeded hashes for a persisted filter).
+Keys come from the polars xxh3 kernel with a FIXED seed — stable across
+processes/machines/restarts for a pinned polars version (never use
+process-seeded hashes for a persisted filter).
 """
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -25,14 +25,17 @@ from .cuckoo import CuckooFilter
 
 
 def url_keys(urls: list[str] | pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """sha1(url)[:8] → uint64 keys (vector over a batch)."""
-    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
-        urls = urls.to_pylist()
-    out = np.empty(len(urls), dtype=np.uint64)
-    sha1 = hashlib.sha1
-    for i, u in enumerate(urls):
-        out[i] = int.from_bytes(sha1(u.encode()).digest()[:8], "big")
-    return out
+    """url → uint64 keys, one vectorized xxh3 pass (polars ``hash``
+    kernel, fixed seed — deterministic across processes/nodes for a
+    pinned polars version, which is all the URL-seen service needs:
+    keys live only inside one job's filters and checkpoints)."""
+    import polars as pl
+    arr = urls if isinstance(urls, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(urls, pa.string())
+    s = pl.from_arrow(arr)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    return s.hash(seed=41).to_numpy().astype(np.uint64, copy=False)
 
 
 @ray.remote(num_cpus=0.25)
