@@ -261,13 +261,15 @@ def main_politeness() -> None:
         pcfg = PortalConfig(regions=regions, seed=7, base_pages=2,
                             page_size_scale=0.3,
                             sources=("otodom", "gratka", "morizon"))
-        # I/O-bound configuration: small same-host batches and fractional
-        # CPUs so throttled tasks oversubscribe the slots instead of
-        # starving them (see CrawlConfig.fetch_num_cpus). Slots must
-        # exceed the HOST count in both legs: a paced batch holds its
-        # slot for ~batch/rps seconds, so fewer slots than hosts caps
-        # host-parallelism (at 32 CPUs, 0.125 ⇒ 256 slots > 144 hosts)
-        ccfg = CrawlConfig(fetch_batch_size=16, fetch_num_cpus=0.125,
+        # I/O-bound configuration: interleaved slot-based pacing (the
+        # fetch stage books every host's slots up front and processes
+        # requests in due order) lets ONE task pace several hosts
+        # concurrently, so batches can be fat and slots few — 2×
+        # oversubscription (0.5 CPU/task) keeps enough paced tasks in
+        # flight without spawning a 200+-process worker pool whose
+        # mid-crawl cold starts used to stretch the full leg's waves
+        # (the r2 1.86 host-breadth tail was worker churn, not pacing)
+        ccfg = CrawlConfig(fetch_batch_size=64, fetch_num_cpus=0.5,
                            urlseen_shards=max(2, ncpu // 4),
                            checkpoint_every=5, checkpoint_full_every=4,
                            rps_per_host=2.0,

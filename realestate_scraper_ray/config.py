@@ -184,6 +184,11 @@ class CrawlConfig:
     # per-host, which is what lets throughput scale with host-parallelism)
     rps_per_host: float = 1e9           # effectively off for synthetic fetch
     politeness_shards: int = 4
+    # token-bucket burst depth: how many unconsumed slots a host may
+    # carry across wave barriers (a host idle during another host's
+    # wave tail catches up with ≤burst back-to-back requests next wave;
+    # long-run rate stays ≤ rps_per_host). 1 = no carry.
+    politeness_burst: int = 1
     # URL-seen service
     urlseen_shards: int = 8
     urlseen_capacity: int = 1 << 17     # keys per shard (test scale)

@@ -443,7 +443,8 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
     portal = Portal(portal_cfg)
     cfg = crawl_cfg
     urlseen = UrlSeenService(cfg.urlseen_shards, cfg.urlseen_capacity, cfg.fingerprint_bits)
-    politeness = PolitenessService(cfg.politeness_shards, cfg.rps_per_host)
+    politeness = PolitenessService(cfg.politeness_shards, cfg.rps_per_host,
+                                   cfg.politeness_burst)
     run_token = uuid.uuid4().hex[:12]  # keys warm-worker stage caches per run
 
     state: dict[tuple[str, str], RegionState] = {

@@ -550,20 +550,28 @@ class FetchParse:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.select(["url", "kind", "source", "region", "page_idx", "pos"]).to_pylist()
 
-        pace: dict[str, float] | None = None
+        # interleaved per-host pacing: book every host's slots in one
+        # RPC round, derive each request's due time (host's first slot
+        # + k intervals), then process requests in DUE order — a batch
+        # holding several hosts paces them concurrently (span = max over
+        # hosts, not sum), and request k of a host still lands on or
+        # after its booked slot (full budget compliance)
+        due: list[float] | None = None
+        order = range(len(rows))
         if self.politeness is not None and self.cfg.rps_per_host < 1e8:
+            hosts = [host_of(r["url"]) for r in rows]
             per_host: dict[str, int] = {}
-            for r in rows:
-                h = host_of(r["url"])
+            for h in hosts:
                 per_host[h] = per_host.get(h, 0) + 1
-            for h, n in per_host.items():
-                self.politeness.acquire(h, n)  # sleeps to the first slot
-            # intra-batch pacing: request k of a host goes out >= k
-            # intervals after its first booked slot (the acquire booked
-            # all n slots; issuing on each slot keeps the per-host rate
-            # exactly at budget with no end-of-batch dead time)
-            now = time.monotonic()
-            pace = {h: now for h in per_host}
+            delays = self.politeness.book(per_host)
+            t0 = time.monotonic()
+            interval = 1.0 / self.cfg.rps_per_host
+            k: dict[str, int] = {}
+            due = []
+            for h in hosts:
+                due.append(t0 + delays[h] + k.get(h, 0) * interval)
+                k[h] = k.get(h, 0) + 1
+            order = sorted(order, key=due.__getitem__)
 
         out: dict[str, list] = {name: [] for name in COMBINED_SCHEMA.names}
         # batched offer-page payloads, coerced vectorized after the loop
@@ -580,16 +588,13 @@ class FetchParse:
                 out[name].append(kv.get(name))
             out["rec_kind"][-1] = rec_kind
 
-        for r in rows:
+        for i in order:
+            r = rows[i]
             url, kind = r["url"], r["kind"]
-            if pace is not None:
-                h = host_of(url)
-                due = pace[h]
-                wait = due - time.monotonic()
+            if due is not None:
+                wait = due[i] - time.monotonic()
                 if wait > 0:
                     time.sleep(wait)
-                pace[h] = max(due, time.monotonic()) + \
-                    1.0 / self.cfg.rps_per_host
             spans = self._fetch(url)
             if spans is None:
                 emit("pagemeta", url=url, source=r["source"], region=r["region"],

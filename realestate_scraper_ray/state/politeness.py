@@ -88,6 +88,23 @@ class PolitenessService:
             time.sleep(delay)
         return delay
 
+    def book(self, counts: dict[str, int]) -> dict[str, float]:
+        """Book ``counts[h]`` slots for every host in ONE round of shard
+        RPCs and return each host's delay until its FIRST booked slot —
+        no sleeping here. Callers turn the bookings into per-request due
+        times and process requests in due order, so a batch holding
+        several hosts paces them CONCURRENTLY on one task (span = max
+        over hosts, not sum over hosts) while every request still lands
+        on or after its booked slot."""
+        if self.rps >= 1e8 or not counts:
+            return dict.fromkeys(counts, 0.0)
+        import zlib
+
+        hosts = list(counts)
+        futs = [self.shards[zlib.crc32(h.encode()) % self.n]
+                .acquire.remote(h, counts[h]) for h in hosts]
+        return dict(zip(hosts, ray.get(futs)))
+
     def dump_headroom(self) -> dict[str, float]:
         """One host→remaining-delay map for the crawl checkpoint (the
         north_star's 'per-host budgets' state). Shard-count independent:
