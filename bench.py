@@ -295,6 +295,41 @@ def main_politeness() -> None:
     ray.shutdown()
 
 
+def main_windowed() -> None:
+    """Frontier-windowing overhead: the headline crawl with every
+    generation bounded to ``max_wave_rows``-row sub-executions vs the
+    unwindowed run. At 10^10 frontier URLs a generation never fits one
+    streamed execution (driver + object-store footprint), so windowing
+    is the at-scale execution shape — this leg evidences its cost at
+    bench scale."""
+    from dataclasses import replace
+
+    from realestate_scraper_ray.pipelines.crawl import run_crawl
+    ncpu = _num_cpus()
+    _init_ray(ncpu)
+    pcfg, base = _bench_configs()
+    _warm_workers(pcfg, ncpu)
+    runs = []
+    for label, mwr in (("unwindowed", None), ("windowed", 4096)):
+        ccfg = replace(base, max_wave_rows=mwr)
+        with tempfile.TemporaryDirectory(prefix="bench_win_") as wd:
+            t0 = time.time()
+            res = run_crawl(pcfg, ccfg, wd)
+            dt = time.time() - t0
+        pages = res.pages_fetched + res.pages_failed
+        runs.append({"label": label, "max_wave_rows": mwr, "pages": pages,
+                     "generations": res.generations, "sec": round(dt, 2),
+                     "pages_per_sec": round(pages / dt, 2)})
+    overhead = runs[1]["sec"] / runs[0]["sec"] - 1.0
+    print(json.dumps({
+        "metric": "frontier-windowing overhead (windowed vs unwindowed wall)",
+        "value": round(overhead, 4),
+        "unit": "fractional overhead (<=0.10 target)",
+        "runs": runs}))
+    import ray
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
@@ -303,5 +338,7 @@ if __name__ == "__main__":
         main_crawl_only()
     elif "--politeness" in sys.argv:
         main_politeness()
+    elif "--windowed" in sys.argv:
+        main_windowed()
     else:
         main_default()

@@ -41,6 +41,7 @@ import itertools
 import json
 import os
 import shutil
+import threading
 import uuid
 from dataclasses import asdict, dataclass, field
 
@@ -243,6 +244,7 @@ _FRAG_COUNTER = itertools.count()
 # of a `ray job submit` cluster sharing one --workdir, so a pid+counter
 # fragment name could silently overwrite another node's fragment
 _FRAG_TOKEN = uuid.uuid4().hex[:8]
+_READ_LOCK = threading.Lock()
 
 
 def _host_buckets(urls: pa.Array | pa.ChunkedArray, cfg: CrawlConfig) -> np.ndarray:
@@ -561,10 +563,8 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
             rows_in_win = 0
     wave_fn = make_wave_fn(portal.cfg, cfg, politeness, urlseen, workdir, gen,
                            run_token)
-    summary: list[dict] = []
-    for paths in windows:
-        if not paths:
-            continue
+
+    def run_window(paths: list[str]) -> list[dict]:
         n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
         # fan out to ~one block per fetch batch (row-group-granular
         # splits) so parallelism tracks window size, not the previous
@@ -580,12 +580,36 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
         ncpu = int(ray.cluster_resources().get("CPU", 1))
         if nblocks < ncpu:
             nblocks = min(ncpu, max(1, -(-n_rows // 8)))
-        ds = rd.read_parquet(paths, override_num_blocks=nblocks)
-        summary.extend(ds.map_batches(
+        # datasource creation is serialized: ray's path resolution
+        # probes `fsspec.implementations.http`, whose (always-failing,
+        # aiohttp-less) import races under concurrent windows into a
+        # bare ImportError that ray does not catch; the lock covers
+        # only the cheap metadata step, execution stays concurrent
+        with _READ_LOCK:
+            ds = rd.read_parquet(paths, override_num_blocks=nblocks)
+        return ds.map_batches(
             wave_fn, batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
             concurrency=cfg.fetch_concurrency,
-            num_cpus=cfg.fetch_num_cpus).take_all())
+            num_cpus=cfg.fetch_num_cpus).take_all()
+
+    windows = [w for w in windows if w]
+    summary: list[dict] = []
+    if len(windows) <= 1:
+        if windows:
+            summary = run_window(windows[0])
+    else:
+        # double-buffered windows: at most TWO window executions in
+        # flight, so the in-flight frontier stays bounded at
+        # ~2·max_wave_rows while the inter-window barrier (one window's
+        # straggler tail) hides behind the next window's ramp-up.
+        # Summaries are folded in window order (ex.map preserves it) —
+        # the fold is order-independent anyway (counts are commutative,
+        # pag_link/pag_meta keys are unique per wave).
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for part in ex.map(run_window, windows):
+                summary.extend(part)
 
     newc: dict[tuple[str, str, int], int] = {}
     pag_meta, pag_links, inv_next = [], {}, []
