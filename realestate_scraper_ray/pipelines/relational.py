@@ -2064,6 +2064,31 @@ def crawl_offers_wide(sf_dir: str) -> pd.DataFrame:
         ["source", "region", "page_idx", "pos"]).reset_index(drop=True)
 
 
+@query("crawl_html_mode")  # non-SQL: oracle-equality-tested in pytest
+def crawl_html_mode(sf_dir: str) -> pd.DataFrame:
+    """M6–M17/M26/M31 html extractor chain end-to-end: the SAME crawl
+    as crawl_offers but with pages served as per-portal HTML dialects
+    (otodom LD + __NEXT_DATA__ ad, trojmiasto __NEXT_DATA__ advert
+    characteristics walk, gratka propertyNumber div + article cards +
+    city filter, morizon mzn hrefs + hydrated map bounds — plus
+    HTML-only decoy cards) parsed back through stages/portals.py and
+    html_to_spans. Row-for-row equal to the span-mode crawl_offers
+    result (asserted in pytest test_html_mode); the driver sees
+    rows+schema."""
+    from ..config import CrawlConfig, PortalConfig
+    from .crawl import run_crawl
+    if "html" not in _CRAWL_CACHE:
+        pcfg = PortalConfig(regions=("pomorskie", "mazowieckie"),
+                            base_pages=2, page_size_scale=0.12,
+                            spatial_dup_per_mille=80, html_bytes=30000)
+        _CRAWL_CACHE["html"] = run_crawl(
+            pcfg, CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                              fetch_batch_size=64),
+            _fresh_workdir("/tmp/rsr_entry_crawl_html"))
+    t = _CRAWL_CACHE["html"].table("offers").to_pandas()
+    return t.sort_values(["source", "region", "page_idx", "pos"]).reset_index(drop=True)
+
+
 @query("crawl_last_days")  # non-SQL: oracle-equality-tested in pytest
 def crawl_last_days(sf_dir: str) -> pd.DataFrame:
     """M30: last-days recency pushdown — a separate crawl with
@@ -3257,9 +3282,13 @@ CANONICAL_FIRST: list[str] = [
     "media_frame_sample", "media_decode_meta",
     # end-to-end pipelines
     "curated_corpus_docs", "assembled_training_set",
-    # headline crawl pipelines (rows-only; oracle-equality-tested in pytest)
-    "crawl_offers_wide", "crawl_media", "crawl_last_days",
-    "crawl_quarantine", "crawl_coverage_ratio", "crawl_geocode",
+    # headline crawl pipelines (rows-only; oracle-equality-tested in
+    # pytest). crawl_html_mode displaced crawl_coverage_ratio (still
+    # registered after the canonical 50): the coverage family already
+    # has the hash-green order_lineitem_coverage row, while the html
+    # extractor chain had no driver-visible row at all.
+    "crawl_offers_wide", "crawl_html_mode", "crawl_media",
+    "crawl_last_days", "crawl_quarantine", "crawl_geocode",
 ]
 
 

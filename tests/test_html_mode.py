@@ -88,3 +88,15 @@ def test_table_backed_fetch_equals_procedural(tmp_path, ray_session):
         tb = tb.sort_values(list(tb.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(ta, tb, obj=name)
     assert a.state == b.state
+
+
+def test_crawl_html_mode_query_equals_span_mode(ray_session):
+    """The driver-visible crawl_html_mode query (html extractor chain
+    end-to-end) is row-for-row identical to the span-mode crawl_offers
+    result — the parity gate behind its rows-only driver row."""
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+    html = QUERIES["crawl_html_mode"]("unused")
+    span = QUERIES["crawl_offers"]("unused")
+    cols = sorted(set(html.columns) & set(span.columns))
+    pd.testing.assert_frame_equal(html[cols], span[cols], check_dtype=False)
+    assert len(html) > 100

@@ -33,8 +33,8 @@ def test_prefix_rows_only_is_exactly_the_crawl_pipelines():
     # in pytest).
     no_oracle = [n for n in CANONICAL_FIRST if n not in ORACLE]
     assert no_oracle == [
-        "crawl_offers_wide", "crawl_media", "crawl_last_days",
-        "crawl_quarantine", "crawl_coverage_ratio", "crawl_geocode",
+        "crawl_offers_wide", "crawl_html_mode", "crawl_media",
+        "crawl_last_days", "crawl_quarantine", "crawl_geocode",
     ]
 
 
