@@ -92,3 +92,29 @@ def shingle_strings(ids, texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     for j in range(1, k):
         sh = sh + " " + words.iloc[starts + j].reset_index(drop=True)
     return doc[starts].astype(np.int64), sh.to_numpy()
+
+
+def unigram_partials(ids, texts) -> pa.Table:
+    """Per-batch unigram-count partials (tok, c) — the combiner half of
+    the corpus unigram model build: the global groupby then sums a
+    vocabulary-sized table, not the corpus."""
+    g = _explode_words(ids, texts).group_by("word").len(name="c")
+    return pa.table({"tok": pa.array(g["word"].to_list(), pa.string()),
+                     "c": pa.array(g["c"].to_numpy(), pa.int64())})
+
+
+def logprob_scores(ids, texts, vocab: pa.Table) -> pa.Table:
+    """Per-doc unigram log-prob score against a broadcast vocab table
+    ``(tok, lp)`` with lp in fixed-point micro-nats: polars explode +
+    Rust hash join + per-doc integer sum — shuffle-free and
+    integer-exact (no float summation order to disagree about)."""
+    w = _explode_words(ids, texts)
+    v = pl.from_arrow(vocab)
+    j = w.join(v, left_on="word", right_on="tok", how="inner")
+    g = (j.group_by("id")
+          .agg(pl.len().alias("tok_n"), pl.col("lp").sum().alias("lp_micro_sum"))
+          .sort("id"))
+    return pa.table({
+        "doc_id": pa.array(g["id"].to_numpy(), pa.int64()),
+        "tok_n": pa.array(g["tok_n"].to_numpy(), pa.int64()),
+        "lp_micro_sum": pa.array(g["lp_micro_sum"].to_numpy(), pa.int64())})

@@ -1666,6 +1666,106 @@ def corpus_top_terms(sf_dir: str) -> pd.DataFrame:
             .head(50).reset_index(drop=True))
 
 
+_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS s FROM counts),
+vocab AS (SELECT tok,
+                 CAST(ROUND(LN(CAST(c AS DOUBLE) / t.s) * 1000000) AS BIGINT)
+                 AS lp
+          FROM counts, tot t)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tok_n,
+       CAST(SUM(v.lp) AS BIGINT) AS lp_micro_sum
+FROM toks JOIN vocab v USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("lm_logprob_score", _LM_SQL)
+def lm_logprob_score(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. '20 filter corpora
+    by LM perplexity) with a corpus-trained unigram model: pass 1 builds
+    the unigram table with per-batch combiners (one vocabulary-sized
+    shuffle), the model is broadcast ONCE via ray.put, pass 2 scores
+    every document shuffle-free (polars explode + Rust hash join per
+    batch). Log-probs are fixed-point micro-nats (BIGINT), so per-doc
+    sums are integer-exact — no float summation order to disagree with
+    the oracle about. 100 TB shape: cap the broadcast at top-V tokens +
+    an OOV floor prob (same plumbing, smaller table); the vocabulary
+    for natural language is bounded, the corpus is not."""
+    import math
+
+    from ..functions.corpus import logprob_scores, unigram_partials
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    counts = (ds.map_batches(
+        lambda t: unigram_partials(t["doc_id"].to_numpy(),
+                                   t["text"].to_pylist()),
+        batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("c", alias_name="c"))
+        .to_pandas())  # vocabulary-sized (top-V at 100 TB), driver-safe
+    total = float(counts["c"].sum())
+    lp = [int(round(math.log(c / total) * 1e6)) for c in counts["c"]]
+    vocab_ref = ray.put(pa.table({
+        "tok": pa.array(counts["tok"], pa.string()),
+        "lp": pa.array(lp, pa.int64())}))
+
+    def score(t: pa.Table) -> pa.Table:
+        return logprob_scores(t["doc_id"].to_numpy(), t["text"].to_pylist(),
+                              ray.get(vocab_ref))
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MIXTURE_SQL = """
+SELECT doc_id, source,
+       CAST(200 + (LENGTH(source) * 137) % 600 AS BIGINT) AS w_mille,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT) % 1000 AS BIGINT) AS bucket
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      % 1000 < 200 + (LENGTH(source) * 137) % 600
+ORDER BY doc_id
+"""
+
+
+@query("corpus_mixture_sample", _MIXTURE_SQL)
+def corpus_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Static domain-mixture sampling (the Pile / DoReMi-style fixed
+    per-domain weights): keep each document with its domain's
+    probability via a DETERMINISTIC md5 bucket of the doc id — no RNG
+    state, so the sample is reproducible, resumable and shuffle-free (a
+    pure filter `map_batches`); the per-domain weight map is a
+    broadcast-sized side input (derived here from the domain name so
+    the oracle can recompute it). md5-per-row is the same inherent
+    per-row hash as fingerprint_md5."""
+    import hashlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        keep_id, keep_src, keep_w, keep_b = [], [], [], []
+        for i, s in zip(ids, srcs):
+            w = 200 + (len(s) * 137) % 600
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+            if b < w:
+                keep_id.append(i)
+                keep_src.append(s)
+                keep_w.append(w)
+                keep_b.append(b)
+        return pa.table({
+            "doc_id": pa.array(keep_id, pa.int64()),
+            "source": pa.array(keep_src, pa.string()),
+            "w_mille": pa.array(keep_w, pa.int64()),
+            "bucket": pa.array(keep_b, pa.int64())})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 _REPETITION_SQL = """
 WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
 c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
