@@ -93,15 +93,9 @@ PRIORITY = {"pagination": 0, "investment": 1, "investment_next": 1, "detail": 2}
 #   gallery        <img src> / srcset argmax (M25/M26, morizon.py:744-759)
 # Field merge is first-wins in that order (M31, otodom.py:628-665).
 # Patterns compiled once per worker; each pass scans the document.
-_CARD_RE = re.compile(r'<a[^>]*data-cy="listing-item-link"[^>]*href="([^"]+)"')
-_NEXT_RE = re.compile(r'<a class="pagination-next" href="([^"]+)"')
 _FIELD_RE = re.compile(r'<div class="param" data-field="([^"]+)">([^<]*)</div>')
 _IMG_RE = re.compile(r'<img class="gallery" src="([^"]+)"')
 _IMG_SRCSET_RE = re.compile(r'<img class="gallery"[^>]*srcset="([^"]+)"')
-_NEXT_DATA_RE = re.compile(
-    r'<script id="__NEXT_DATA__" type="application/json">(.*?)</script>', re.S)
-
-
 def _find_script_block(html: str, open_tag: str) -> str | None:
     """Literal-tag script extraction via str.find (memchr) — same
     semantics as the `open_tag(.*?)</script>` DOTALL regex it replaces,
