@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import csv
 import os
+import re
 import uuid
 
 import pyarrow as pa
@@ -161,3 +162,152 @@ def read_urls_csv(path: str) -> rd.Dataset:
         return out.filter(mask)
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# M33 — log-line recovery parser (cli.py:181-276 _parse_live_all_log)
+# ---------------------------------------------------------------------------
+
+_LIVE_ALL_START_RE = re.compile(
+    r"\[LIVE-ALL\] start region=(?P<region>\S+)")
+_LIVE_ALL_DONE_RE = re.compile(
+    r"\[LIVE-ALL\] done region=(?P<region>\S+)")
+_PAGE_IN_URL_RE = re.compile(r"[?&](?:page|strona)=(\d+)")
+
+
+def recover_state_from_log(lines, strict_errors: bool = False) -> dict:
+    """The reference's log-line recovery (cli.py:181-276): rebuild
+    per-region ``{done, last_page_done, stop_reason}`` from a live-all
+    log — "[LIVE-ALL] start/done region=…" markers, JSON log lines
+    (``discover_page_done`` max page, ``discover_fetch_fail`` with the
+    failed page recovered from the URL minus one), non-JSON fallbacks,
+    and the strict mode where any ERROR-level line un-dones the region.
+
+    The engine's own resume path is the checkpoint table (crawl.py) —
+    this parser exists so state recorded by the REFERENCE's logs can
+    seed a migration run."""
+    import json as _json
+    regions: dict[str, dict] = {}
+    current: str | None = None
+
+    def ensure(r: str) -> dict:
+        return regions.setdefault(r, {
+            "saw_done": False, "had_fetch_fail": False, "had_error": False,
+            "last_page_done": 0, "stop_reason": None})
+
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        m = _LIVE_ALL_START_RE.search(line)
+        if m:
+            current = m.group("region").lower()
+            ensure(current)
+            continue
+        m = _LIVE_ALL_DONE_RE.search(line)
+        if m:
+            ensure(m.group("region").lower())["saw_done"] = True
+            current = None
+            continue
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                obj = _json.loads(line)
+            except ValueError:
+                obj = None
+            if isinstance(obj, dict) and current:
+                st = ensure(current)
+                msg = obj.get("msg")
+                level = str(obj.get("level") or "").upper()
+                extra = obj.get("extra") or {}
+                if strict_errors and level == "ERROR":
+                    st["had_error"] = True
+                if msg == "discover_page_done":
+                    try:
+                        st["last_page_done"] = max(
+                            int(st["last_page_done"]),
+                            int(extra.get("page") or 0))
+                    except (TypeError, ValueError):
+                        pass
+                if msg == "discover_fetch_fail":
+                    st["had_fetch_fail"] = True
+                    st["stop_reason"] = "fetch_fail"
+                    pm = _PAGE_IN_URL_RE.search(str(extra.get("url") or ""))
+                    if pm and int(pm.group(1)) > 1:
+                        st["last_page_done"] = max(
+                            int(st["last_page_done"]), int(pm.group(1)) - 1)
+            continue
+        if current and "discover_fetch_fail" in line:
+            st = ensure(current)
+            st["had_fetch_fail"] = True
+            st["stop_reason"] = "fetch_fail"
+            continue
+        if current and strict_errors and (
+                '"level": "ERROR"' in line or line.startswith("ERROR")):
+            ensure(current)["had_error"] = True
+
+    out: dict[str, dict] = {}
+    for r, st in regions.items():
+        done = bool(st["saw_done"]) and not bool(st["had_fetch_fail"])
+        if strict_errors and st["had_error"]:
+            done = False
+        out[r] = {"done": done,
+                  "last_page_done": int(st["last_page_done"]),
+                  "stop_reason": st["stop_reason"]}
+    return out
+
+
+def export_live_all_log(result, path: str) -> int:
+    """Render a CrawlResult's terminal state as a reference-format
+    live-all log (the inverse of :func:`recover_state_from_log`): a
+    start marker, one ``discover_page_done`` JSON line per completed
+    page, a ``discover_fetch_fail`` line for fetch-failed regions, and
+    a done marker for cleanly-stopped regions. Lets reference tooling
+    that tails live-all logs consume this engine's runs."""
+    import json as _json
+    lines: list[str] = []
+    for key, st in result.state.items():
+        source, region = key.split("|", 1)
+        rname = f"{source}:{region}"
+        lines.append(f"[LIVE-ALL] start region={rname}")
+        for p in range(1, int(st["last_page_done"]) + 1):
+            lines.append(_json.dumps(
+                {"msg": "discover_page_done", "level": "INFO",
+                 "extra": {"page": p, "source": source, "region": region}}))
+        if st["stop_reason"] == "fetch_fail":
+            failed_page = int(st["last_page_done"]) + 1
+            lines.append(_json.dumps(
+                {"msg": "discover_fetch_fail", "level": "ERROR",
+                 "extra": {"url": f"https://{region}.{source}.pl/"
+                                  f"mieszkania?page={failed_page}"}}))
+        else:
+            lines.append(f"[LIVE-ALL] done region={rname}")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return len(lines)
+
+
+# ---------------------------------------------------------------------------
+# S15 — completion-notification stream (backend.py:188-230 semantics)
+# ---------------------------------------------------------------------------
+
+
+def export_offer_notifications(result, path: str) -> int:
+    """The reference notifies a durable queue with one
+    ``{"apartment_id": id}`` message per stored offer
+    (backend.py:188-230, queue ``scraper_new_offers``). The engine's
+    stand-in for a broker in this environment is a durable append-only
+    JSONL stream in crawl order — a consumer drains it exactly like the
+    queue; swapping in a real ``basic_publish`` is one line in the
+    writer loop. Atomic tmp+rename keeps re-exports idempotent."""
+    import json as _json
+    offers = result.table("offers").to_pandas().sort_values(
+        ["source", "region", "page_idx", "pos"], kind="stable")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        for oid in offers["offer_id"]:
+            f.write(_json.dumps({"apartment_id": str(oid),
+                                 "queue": "scraper_new_offers"}) + "\n")
+    os.replace(tmp, path)
+    return len(offers)

@@ -145,3 +145,71 @@ def test_export_debug_html(tmp_path, ray_session):
     body = open(os.path.join(out, "err_0.html")).read()
     assert body.startswith("<!doctype") or "<html" in body
     assert len(body) > 10_000  # real page body, not a stub
+
+
+def test_log_line_recovery_parser(ray_session):
+    """M33 (cli.py:181-276): per-region done/last_page/stop_reason from
+    live-all log lines — start/done markers, discover_page_done max,
+    fetch-fail page recovered from the URL minus one, strict ERROR."""
+    import json
+
+    from realestate_scraper_ray.pipelines.io_compat import (
+        recover_state_from_log)
+    lines = [
+        "[LIVE-ALL] start region=otodom:pomorskie",
+        json.dumps({"msg": "discover_page_done", "level": "INFO",
+                    "extra": {"page": 1}}),
+        json.dumps({"msg": "discover_page_done", "level": "INFO",
+                    "extra": {"page": 3}}),
+        "[LIVE-ALL] done region=otodom:pomorskie",
+        "[LIVE-ALL] start region=gratka:pomorskie",
+        json.dumps({"msg": "discover_fetch_fail", "level": "ERROR",
+                    "extra": {"url": "https://x.gratka.pl/mieszkania?page=7"}}),
+        "[LIVE-ALL] start region=morizon:pomorskie",
+        json.dumps({"msg": "discover_page_done", "level": "INFO",
+                    "extra": {"page": 2}}),
+        json.dumps({"msg": "something_else", "level": "ERROR", "extra": {}}),
+        "[LIVE-ALL] done region=morizon:pomorskie",
+    ]
+    got = recover_state_from_log(lines)
+    assert got["otodom:pomorskie"] == {
+        "done": True, "last_page_done": 3, "stop_reason": None}
+    assert got["gratka:pomorskie"] == {
+        "done": False, "last_page_done": 6, "stop_reason": "fetch_fail"}
+    assert got["morizon:pomorskie"]["done"] is True
+    # strict mode: the ERROR line un-dones morizon
+    strict = recover_state_from_log(lines, strict_errors=True)
+    assert strict["morizon:pomorskie"]["done"] is False
+    assert strict["otodom:pomorskie"]["done"] is True
+
+
+def test_live_all_log_roundtrip_and_notifications(tmp_path, ray_session):
+    """export_live_all_log → recover_state_from_log reproduces the
+    crawl's terminal state; the S15 notification stream carries one
+    apartment_id per offer in crawl order (backend.py:188-230)."""
+    import json
+
+    from realestate_scraper_ray.config import CrawlConfig, PortalConfig
+    from realestate_scraper_ray.pipelines.crawl import run_crawl
+    from realestate_scraper_ray.pipelines.io_compat import (
+        export_live_all_log, export_offer_notifications,
+        recover_state_from_log)
+    pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                        page_size_scale=0.15)
+    res = run_crawl(pcfg, CrawlConfig(urlseen_shards=2,
+                                      urlseen_capacity=1 << 14),
+                    str(tmp_path / "wd"))
+    log_path = str(tmp_path / "live_all.log")
+    export_live_all_log(res, log_path)
+    got = recover_state_from_log(open(log_path).read().splitlines())
+    for key, st in res.state.items():
+        r = got[key.replace("|", ":")]
+        assert r["last_page_done"] == st["last_page_done"]
+        assert r["done"] == (st["stop_reason"] != "fetch_fail")
+    npath = str(tmp_path / "notify.jsonl")
+    n = export_offer_notifications(res, npath)
+    rows = [json.loads(x) for x in open(npath)]
+    assert n == len(rows) == res.offers > 0
+    offers = res.table("offers").to_pandas().sort_values(
+        ["source", "region", "page_idx", "pos"], kind="stable")
+    assert [r["apartment_id"] for r in rows] == list(offers["offer_id"])
