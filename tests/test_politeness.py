@@ -108,3 +108,23 @@ def test_headroom_restores_across_different_shard_count(ray_session):
     for h in hosts:
         shard = legacy.shards[zlib.crc32(h.encode()) % 3]
         assert ray.get(shard.acquire.remote(h, 1)) > 1.0
+
+
+def test_politeness_burst_carries_bounded_credit(ray_session):
+    """politeness_burst: a host idle across a wave barrier accrues at
+    most `burst` slots of credit — an 8-slot booking after a long idle
+    starts 8-burst intervals of headroom deep, never less (long-run
+    rate stays <= rps)."""
+    import time
+
+    import ray
+
+    from realestate_scraper_ray.state.politeness import PolitenessShard
+    sh = PolitenessShard.remote(rps_per_host=10.0, burst=3)  # 0.1s slots
+    ray.get(sh.acquire.remote("h", 1))
+    time.sleep(1.0)  # ~10 slots idle; credit must cap at burst=3
+    d = ray.get(sh.acquire.remote("h", 8))
+    assert d == 0.0  # first slot opens immediately (credit available)
+    head = ray.get(sh.snapshot_headroom.remote()).get("h", 0.0)
+    # free_at advanced (8 - 3) slots past now = 0.5 s (minus RPC time)
+    assert 0.30 < head <= 0.52
