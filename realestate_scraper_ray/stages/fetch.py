@@ -389,7 +389,10 @@ def html_to_spans(html: str, url: str | None = None) -> list[dict]:
     # and a memchr beats a 200 KB regex scan ~20×
     block = _find_next_block(html) if "__NEXT_DATA__" in html else None
     if block is not None:
-        adv = _next_data_advert(block)
+        # the advert probe scans the whole state block; only trojmiasto
+        # serves the advert shape, so known other hosts skip it
+        adv = (_next_data_advert(block)
+               if source in ("trojmiasto", "") else None)
         if adv is not None:
             afields, aimages = advert_to_fields(adv)
             for k, v in afields.items():

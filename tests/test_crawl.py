@@ -261,3 +261,29 @@ def test_new_source_plugs_in(tmp_path, ray_session):
     # its no_new_stop policy (2) drove a real stop decision
     st = engine.state.get("domiporta|pomorskie")
     assert st and st["stop_reason"] in ("no_new", "no_links", "max_pages")
+
+
+def test_new_source_plugs_in_html_mode(tmp_path, ray_session):
+    """§2.10 × html mode: an extension source is served the GENERIC
+    markup dialect and the dialect dispatch falls through to the
+    generic extractor for unknown hosts — full oracle equality with
+    pages arriving as HTML."""
+    from realestate_scraper_ray.config import PortalConfig
+    from realestate_scraper_ray.sources.synth_portal import Portal
+
+    base = dict(sources=("otodom", "domiporta"), regions=("pomorskie",),
+                base_pages=3, page_size_scale=0.2,
+                extra_sources=(("domiporta", 24, 1.2, 2),))
+    engine = run_crawl(PortalConfig(**base, html_bytes=8000), CRAWL,
+                       str(tmp_path / "wd"))
+    oracle = crawl_oracle(Portal(PortalConfig(**base)), CRAWL)
+    got_urls = sorted(engine.table("urls")["offer_url"].to_pylist())
+    assert got_urls == sorted(r["offer_url"] for r in oracle.urls)
+    eo = engine.table("offers")
+    got = sorted(zip(eo["offer_id"].to_pylist(),
+                     eo["price_amount"].to_pylist(),
+                     eo["city"].to_pylist()))
+    exp = sorted((r["offer_id"], r["price_amount"], r["city"])
+                 for r in oracle.offers)
+    assert got == exp
+    assert "domiporta" in set(eo["source"].to_pylist())
