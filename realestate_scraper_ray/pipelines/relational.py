@@ -46,8 +46,14 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
-def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None,
+        filter=None) -> rd.Dataset:
+    """Column-pruned (and optionally row-filter-pushed) parquet read:
+    ``filter`` is a pyarrow expression evaluated at the fragment scan —
+    row groups whose statistics exclude it never leave storage, and the
+    filter column need not be in ``columns``."""
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns, filter=filter)
 
 def _as_arrow(ds: rd.Dataset) -> rd.Dataset:
     """Convert a Dataset's blocks to Arrow format. Dataset-returning
@@ -80,12 +86,14 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: filtered grouped aggregation. Pre-aggregates per
     batch (6 groups) so the shuffle moves a handful of rows per block."""
-    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
-                                  "l_extendedprice", "l_discount", "l_shipdate"])
+    # shipdate predicate pushed into the fragment scan: pruned row
+    # groups never leave storage, and l_shipdate itself is never read
     cutoff = pa.scalar(np.datetime64("1998-09-01T00:00:00", "us"))
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount"],
+             filter=(pc.field("l_shipdate") <= cutoff))
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
         qty = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
         base = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
         disc_price = pc.cast(pc.round(pc.multiply(
@@ -134,9 +142,8 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     materialization at any scale. Only per-block top-10 candidates reach
     the driver."""
     from ..stages.joins import semi_join
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
-        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
-        .select(["c_custkey"]), batch_format="pyarrow")
+    cust = _pq(sf_dir, "customer", ["c_custkey"],
+               filter=(pc.field("c_mktsegment") == "BUILDING"))
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     okeys = semi_join(orders, cust, "o_custkey", "c_custkey"
                       ).select_columns(["o_orderkey"])
@@ -447,10 +454,11 @@ def orders_with_returns_semi(sf_dir: str) -> pd.DataFrame:
     """Semi join (TPC-H Q4 shape): distinct matching keys are reduced
     FIRST (groupby on the join key — shuffle carries one row per key,
     not per lineitem), then an inner join acts as the semi filter."""
-    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    li = _pq(sf_dir, "lineitem", ["l_orderkey"],
+             filter=(pc.field("l_returnflag") == "R"))
     keys = (li.map_batches(
-        lambda t: t.filter(pc.equal(t["l_returnflag"], "R"))
-        .group_by("l_orderkey").aggregate([]), batch_format="pyarrow")
+        lambda t: t.group_by("l_orderkey").aggregate([]),
+        batch_format="pyarrow")
         .groupby("l_orderkey").aggregate(Count(alias_name="_n"))
         .select_columns(["l_orderkey"]))
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
@@ -719,16 +727,13 @@ WHERE value >= 49.0 AND value <= 54.9 AND event_type IN ('click','view')
 @query("events_range_filter", _BBOX_SQL)
 def events_range_filter(sf_dir: str) -> rd.Dataset:
     """Conjunctive range predicate — the Poland-bbox gate shape (M18,
-    morizon.py:23) as a vectorized Arrow filter."""
-    ds = _pq(sf_dir, "events", ["event_id", "value", "event_type"])
-
-    def f(t: pa.Table) -> pa.Table:
-        m = pc.and_(pc.and_(pc.greater_equal(t["value"], 49.0),
-                            pc.less_equal(t["value"], 54.9)),
-                    pc.is_in(t["event_type"], value_set=pa.array(["click", "view"])))
-        return t.filter(m).select(["event_id", "value"])
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    morizon.py:23) — pushed INTO the fragment scan: row groups whose
+    min/max statistics exclude the range never leave storage, and the
+    event_type column is never projected."""
+    return _pq(sf_dir, "events", ["event_id", "value"],
+               filter=((pc.field("value") >= 49.0)
+                       & (pc.field("value") <= 54.9)
+                       & pc.field("event_type").isin(["click", "view"])))
 
 
 @query("lineitem_unit_price",
@@ -738,10 +743,10 @@ def lineitem_unit_price(sf_dir: str) -> rd.Dataset:
     """Derived-price arithmetic (M19, morizon.py:573-579 shape). Raw IEEE
     division — bit-identical across engines."""
     ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
-                                  "l_extendedprice"])
+                                  "l_extendedprice"],
+             filter=(pc.field("l_quantity") > 0.0))
 
     def f(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["l_quantity"], 0.0))
         return pa.table({
             "l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"],
             "unit_price": pc.divide(t["l_extendedprice"], t["l_quantity"])})
