@@ -44,6 +44,16 @@ def main() -> int:
     ap.add_argument("--checkpoint-full-every", type=int, default=4)
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local mode only; on a cluster omit (uses all nodes)")
+    # reference-compat exports (migration surfaces): write the
+    # reference's CSV artifacts, live-all log, and the per-offer
+    # notification stream next to the crawl output
+    ap.add_argument("--export-csv", metavar="DIR", default=None,
+                    help="write reference-format urls/offers/photos CSVs")
+    ap.add_argument("--export-log", metavar="PATH", default=None,
+                    help="write a reference-format live-all log")
+    ap.add_argument("--notify", metavar="PATH", default=None,
+                    help="write the scraper_new_offers notification "
+                         "stream (one apartment_id JSONL row per offer)")
     args = ap.parse_args()
 
     import ray
@@ -75,8 +85,22 @@ def main() -> int:
     res = run_crawl(pcfg, ccfg, args.workdir, resume=args.resume,
                     retry_rounds=args.retry_rounds)
     dt = time.time() - t0
+    exports = {}
+    if args.export_csv:
+        from realestate_scraper_ray.pipelines.io_compat import (
+            export_reference_csv)
+        exports["csv"] = export_reference_csv(res, args.export_csv)
+    if args.export_log:
+        from realestate_scraper_ray.pipelines.io_compat import (
+            export_live_all_log)
+        exports["log_lines"] = export_live_all_log(res, args.export_log)
+    if args.notify:
+        from realestate_scraper_ray.pipelines.io_compat import (
+            export_offer_notifications)
+        exports["notified"] = export_offer_notifications(res, args.notify)
     pages = res.pages_fetched + res.pages_failed
     print(json.dumps({
+        **({"exports": exports} if exports else {}),
         "workdir": res.workdir, "generations": res.generations,
         "pages": pages, "offers": res.offers, "failed": res.pages_failed,
         "sec": round(dt, 2), "pages_per_sec": round(pages / max(dt, 1e-9), 2),
