@@ -74,7 +74,10 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
     # exact global quantile from the value-count histogram (token counts
     # are small ints, so the distinct-value set is tiny at any scale);
     # quantile_disc picks the sorted element at index floor((N-1)*q)
-    hist = (scored.groupby("n_tokens").aggregate(Count(alias_name="n"))
+    # project to the key column before the shuffle — the groupby
+    # exchanges every input column and the text must not ride it
+    hist = (scored.select_columns(["n_tokens"])
+            .groupby("n_tokens").aggregate(Count(alias_name="n"))
             .to_pandas().sort_values("n_tokens").reset_index(drop=True))
     total = int(hist["n"].sum())
     idx = int(np.floor((total - 1) * quantile))
@@ -84,7 +87,8 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
     n_gated = gated.count()
 
     # per-source τ=2 temperature thresholds (tiny table, task closure)
-    counts = (gated.groupby("source").aggregate(Count(alias_name="n_g"))
+    counts = (gated.select_columns(["source"])
+              .groupby("source").aggregate(Count(alias_name="n_g"))
               .to_pandas())
     n_total = float(counts["n_g"].sum())
     thr = {

@@ -63,7 +63,12 @@ def curate_corpus(sf_dir: str, out_dir: str, n_buckets: int = 16,
     gated = ds.map_batches(gate, batch_format="pyarrow").materialize()
     n_gated = gated.count()
 
-    canon = gated.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
+    # project to (fp, doc_id) BEFORE the content-hash shuffle — the
+    # groupby exchanges every column of its input, and shipping the
+    # text corpus to pick a min-id per hash is the classic all-to-all
+    # waste (16 bytes/row moves instead of the whole document)
+    canon = (gated.select_columns(["fp", "doc_id"])
+             .groupby("fp").aggregate(Min("doc_id", alias_name="doc_id")))
     exact = semi_join(gated, canon.select_columns(["doc_id"]),
                       "doc_id", "doc_id").materialize()
     n_exact = exact.count()

@@ -1212,7 +1212,8 @@ def documents_clean_corpus(sf_dir: str) -> rd.Dataset:
 
     from ..stages.joins import semi_join
     gated = ds.map_batches(gate, batch_format="pyarrow")
-    canon = gated.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
+    canon = (gated.select_columns(["fp", "doc_id"])
+             .groupby("fp").aggregate(Min("doc_id", alias_name="doc_id")))
     kept = semi_join(gated, canon.select_columns(["doc_id"]), "doc_id", "doc_id")
     # corpus-scale result: hand the Dataset back as Arrow blocks (the
     # harness materializes it on the columnar fast path) instead of
@@ -1970,7 +1971,8 @@ def quality_quantile_filter(sf_dir: str) -> rd.Dataset:
                          "n_words": pc.cast(tc["n_tokens_ws"], pa.int64())})
 
     scores = ds.map_batches(tok, batch_format="pyarrow").materialize()
-    hist = (scores.groupby("n_words").aggregate(Count(alias_name="n"))
+    hist = (scores.select_columns(["n_words"])
+            .groupby("n_words").aggregate(Count(alias_name="n"))
             .to_pandas().sort_values("n_words").reset_index(drop=True))
     # quantile_disc picks the sorted element at index floor((N-1)*q).
     total = int(hist["n"].sum())
@@ -2005,7 +2007,9 @@ WHERE CAST('0x' || substr(md5(d.text), 1, 6) AS BIGINT) < t.thr
 def source_temperature_sample(sf_dir: str) -> rd.Dataset:
     from ..functions.textstats import md5_fingerprints
     ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
-    counts = (ds.groupby("source").aggregate(Count(alias_name="n_g"))
+    # count per source WITHOUT shipping the text through the shuffle
+    counts = (ds.select_columns(["source"])
+              .groupby("source").aggregate(Count(alias_name="n_g"))
               .to_pandas())
     n_total = float(counts["n_g"].sum())
     thr = {
@@ -2065,7 +2069,8 @@ def sequence_packing(sf_dir: str) -> rd.Dataset:
         return pa.table({"doc_id": t["doc_id"], "n_tokens": n, "bucket": b})
 
     toks = ds.map_batches(tok, batch_format="pyarrow").materialize()
-    sub = (toks.groupby("bucket").aggregate(Sum("n_tokens", alias_name="tot"))
+    sub = (toks.select_columns(["bucket", "n_tokens"])
+           .groupby("bucket").aggregate(Sum("n_tokens", alias_name="tot"))
            .to_pandas().sort_values("bucket").reset_index(drop=True))
     starts = np.concatenate(([0], sub["tot"].cumsum().to_numpy()[:-1]))
     offsets = ray.put(dict(zip(sub["bucket"].astype(int), starts.astype(int))))

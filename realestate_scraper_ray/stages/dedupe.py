@@ -62,7 +62,11 @@ def exact_dedup_first(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
         h = np.asarray(rolling_hash64(t[text_col].combine_chunks())).view(np.int64)
         return t.append_column("content_hash", pa.array(h))
 
+    # project to (hash, id) before the shuffle — the groupby exchanges
+    # every input column, and the text itself must never ride the
+    # all-to-all (the projection fuses into the hashing map stage)
     return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .select_columns(["content_hash", id_col])
             .groupby("content_hash")
             .aggregate(Min(id_col, alias_name=id_col),
                        Count(alias_name="dupes")))
