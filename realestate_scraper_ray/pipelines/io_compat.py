@@ -311,3 +311,12 @@ def export_offer_notifications(result, path: str) -> int:
                                  "queue": "scraper_new_offers"}) + "\n")
     os.replace(tmp, path)
     return len(offers)
+
+
+def delete_cheap_offers(ds: "rd.Dataset",
+                        threshold: float = 50_000.0) -> "rd.Dataset":
+    """The reference's post-hoc database correction
+    (database_corrections/delete_cheap_offers.py: walk stored
+    apartments by id, delete price < 50 000): here one streaming
+    vectorized filter over the offers table — no per-row API walk."""
+    return ds.filter(expr=f"price_amount >= {threshold}")

@@ -213,3 +213,17 @@ def test_live_all_log_roundtrip_and_notifications(tmp_path, ray_session):
     offers = res.table("offers").to_pandas().sort_values(
         ["source", "region", "page_idx", "pos"], kind="stable")
     assert [r["apartment_id"] for r in rows] == list(offers["offer_id"])
+
+
+def test_delete_cheap_offers_correction(ray_session):
+    """database_corrections/delete_cheap_offers.py semantics: stored
+    offers below the 50k floor are removed, everything else intact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from realestate_scraper_ray.pipelines.io_compat import (
+        delete_cheap_offers)
+    t = pa.table({"offer_id": ["a", "b", "c"],
+                  "price_amount": [49_999.0, 50_000.0, 750_000.0]})
+    out = delete_cheap_offers(rd.from_arrow(t)).to_pandas()
+    assert sorted(out["offer_id"]) == ["b", "c"]
