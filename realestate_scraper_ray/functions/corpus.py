@@ -103,14 +103,43 @@ def unigram_partials(ids, texts) -> pa.Table:
                      "c": pa.array(g["c"].to_numpy(), pa.int64())})
 
 
-def logprob_scores(ids, texts, vocab: pa.Table) -> pa.Table:
+def build_unigram_model(counts, top_v: int | None = None):
+    """(token, count) table → broadcastable unigram model: a
+    ``(tok, lp)`` Arrow table with lp = round(ln(c/total)·1e6) in
+    fixed-point micro-nats, plus the OOV floor log-prob. ``top_v``
+    caps the table at the V most frequent tokens (ties broken by token
+    — deterministic) with the floor prob 1/total for everything else —
+    the 100 TB shape: the broadcast stays vocabulary-bounded no matter
+    how large the corpus grows. ``top_v=None`` keeps the full
+    vocabulary (no OOV possible when scoring the training corpus
+    itself)."""
+    import math
+    total = float(counts["c"].sum())
+    if top_v is not None and len(counts) > top_v:
+        counts = (counts.sort_values(["c", "tok"],
+                                     ascending=[False, True]).head(top_v))
+    lp = [int(round(math.log(c / total) * 1e6)) for c in counts["c"]]
+    vocab = pa.table({"tok": pa.array(counts["tok"], pa.string()),
+                      "lp": pa.array(lp, pa.int64())})
+    oov_lp = int(round(math.log(1.0 / total) * 1e6))
+    return vocab, oov_lp
+
+
+def logprob_scores(ids, texts, vocab: pa.Table,
+                   oov_lp: int | None = None) -> pa.Table:
     """Per-doc unigram log-prob score against a broadcast vocab table
     ``(tok, lp)`` with lp in fixed-point micro-nats: polars explode +
     Rust hash join + per-doc integer sum — shuffle-free and
-    integer-exact (no float summation order to disagree about)."""
+    integer-exact (no float summation order to disagree about). With
+    ``oov_lp`` set (the top-V model), out-of-vocabulary tokens score
+    the floor instead of being dropped."""
     w = _explode_words(ids, texts)
     v = pl.from_arrow(vocab)
-    j = w.join(v, left_on="word", right_on="tok", how="inner")
+    if oov_lp is None:
+        j = w.join(v, left_on="word", right_on="tok", how="inner")
+    else:
+        j = (w.join(v, left_on="word", right_on="tok", how="left")
+              .with_columns(pl.col("lp").fill_null(int(oov_lp))))
     g = (j.group_by("id")
           .agg(pl.len().alias("tok_n"), pl.col("lp").sum().alias("lp_micro_sum"))
           .sort("id"))

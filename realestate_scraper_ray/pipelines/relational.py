@@ -1700,9 +1700,8 @@ def lm_logprob_score(sf_dir: str) -> pd.DataFrame:
     the oracle about. 100 TB shape: cap the broadcast at top-V tokens +
     an OOV floor prob (same plumbing, smaller table); the vocabulary
     for natural language is bounded, the corpus is not."""
-    import math
-
-    from ..functions.corpus import logprob_scores, unigram_partials
+    from ..functions.corpus import (build_unigram_model, logprob_scores,
+                                    unigram_partials)
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     counts = (ds.map_batches(
         lambda t: unigram_partials(t["doc_id"].to_numpy(),
@@ -1710,11 +1709,8 @@ def lm_logprob_score(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow")
         .groupby("tok").aggregate(Sum("c", alias_name="c"))
         .to_pandas())  # vocabulary-sized (top-V at 100 TB), driver-safe
-    total = float(counts["c"].sum())
-    lp = [int(round(math.log(c / total) * 1e6)) for c in counts["c"]]
-    vocab_ref = ray.put(pa.table({
-        "tok": pa.array(counts["tok"], pa.string()),
-        "lp": pa.array(lp, pa.int64())}))
+    vocab, _ = build_unigram_model(counts)  # full vocab; top_v at scale
+    vocab_ref = ray.put(vocab)
 
     def score(t: pa.Table) -> pa.Table:
         return logprob_scores(t["doc_id"].to_numpy(), t["text"].to_pylist(),

@@ -125,3 +125,33 @@ def test_cc_random_graph():
     edges = [tuple(sorted(map(int, rng.integers(0, n, 2)))) for _ in range(45)]
     edges = [(a, b) for a, b in edges if a != b]
     assert _run_cc(n, edges) == _uf_components(n, edges)
+
+
+def test_unigram_topv_model_oov_floor(ray_session):
+    """The LM scale path: a top-V model scores in-vocab tokens exactly
+    like the full model and gives every OOV token the 1/total floor."""
+    import math
+
+    import pandas as pd
+
+    from realestate_scraper_ray.functions.corpus import (
+        build_unigram_model, logprob_scores, unigram_partials)
+    ids = [1, 2]
+    texts = ["aa aa aa bb", "aa bb cc"]  # counts: aa=4 bb=2 cc=1, total 7
+    counts = unigram_partials(ids, texts).to_pandas()
+    counts = counts.groupby("tok", as_index=False)["c"].sum()
+    full, _ = build_unigram_model(counts)
+    top, oov = build_unigram_model(counts, top_v=2)  # keeps aa, bb
+    assert sorted(top["tok"].to_pylist()) == ["aa", "bb"]
+    assert oov == int(round(math.log(1 / 7) * 1e6))
+    f = logprob_scores(ids, texts, full).to_pandas().set_index("doc_id")
+    t = logprob_scores(ids, texts, top, oov_lp=oov
+                       ).to_pandas().set_index("doc_id")
+    # doc 1 has no OOV tokens: identical under both models
+    assert t.loc[1, "lp_micro_sum"] == f.loc[1, "lp_micro_sum"]
+    assert t.loc[1, "tok_n"] == f.loc[1, "tok_n"] == 4
+    # doc 2: 'cc' is OOV in the top-2 model → floored, still counted
+    lp = {tok: int(round(math.log(c / 7) * 1e6))
+          for tok, c in zip(counts["tok"], counts["c"])}
+    assert t.loc[2, "tok_n"] == 3
+    assert t.loc[2, "lp_micro_sum"] == lp["aa"] + lp["bb"] + oov
