@@ -2907,13 +2907,18 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
           .groupby("token").aggregate(Sum("df", alias_name="df")))
     joined = lookup_join(tf, df, "term", "token", ["df"])
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["tf", "df", "term"],
-                          ascending=[False, True, True]).head(3)
-        return g[["doc_id", "term", "tf", "df"]]
+    # per-doc top-3 WITHOUT a doc_id shuffle: a document's tf rows are
+    # emitted together by tf_batch and the broadcast lookup_join probe
+    # runs per block (batch_size=None), so every doc's rows stay inside
+    # one block — the top-k is block-local (polars sort + group head)
+    def top3_block(t: pa.Table) -> pa.Table:
+        g = (pl.from_arrow(t)
+             .sort(["tf", "df", "term"], descending=[True, False, False])
+             .group_by("doc_id", maintain_order=True).head(3))
+        return g.select(["doc_id", "term", "tf", "df"]).to_arrow()
 
-    out = (joined.groupby("doc_id")
-           .map_groups(top3, batch_format="pandas").to_pandas())
+    out = joined.map_batches(top3_block, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
     return (out.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
             .sort_values(["doc_id", "term"]).reset_index(drop=True))
 

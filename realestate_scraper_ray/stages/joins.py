@@ -61,7 +61,10 @@ def semi_join(fact: rd.Dataset, keys: rd.Dataset, fact_key: str,
         def probe(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t[fact_key], value_set=ray.get(vals)))
 
-        return fact.map_batches(probe, batch_format="pyarrow")
+        # batch_size=None: one vectorized probe per BLOCK (no 1024-row
+        # slicing), which also preserves the input's block boundaries
+        return fact.map_batches(probe, batch_format="pyarrow",
+                                batch_size=None)
     joined = fact.join(k, join_type="inner", num_partitions=num_partitions,
                        on=(fact_key,), right_on=(key_col,))
     return joined.select_columns(fact.schema().names)
@@ -90,7 +93,8 @@ def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
                 out = out.append_column(c, side[c].take(hit))
             return out
 
-        return fact.map_batches(probe, batch_format="pyarrow")
+        return fact.map_batches(probe, batch_format="pyarrow",
+                                batch_size=None)
     joined = fact.join(d, join_type="inner", num_partitions=num_partitions,
                        on=(fact_key,), right_on=(dim_key,))
     # Project to the broadcast path's schema (fact columns + payload
