@@ -2882,13 +2882,12 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     """Per-document top-3 characteristic terms (tf-idf ranking): term
     frequency is SHUFFLE-FREE (a document lives in one row, so per-batch
     counts are final); document frequency reuses the df_partials
-    combiner; the vocabulary table joins back through the adaptive
-    lookup join (broadcast under the 64 MiB cap, hash-shuffled above
-    it); top-3 per doc leaves 3 rows per group. Ranking is the
-    integer-exact (tf DESC, df ASC, term) order — the idf monotone —
-    so no float log enters any comparison."""
+    combiner and broadcasts as a vocabulary-bounded table; the per-doc
+    top-3 is then block-local — the only shuffle in the whole query is
+    the vocabulary-sized df groupby. Ranking is the integer-exact
+    (tf DESC, df ASC, term) order — the idf monotone — so no float log
+    enters any comparison."""
     from ..functions.corpus import _explode_words, df_partials
-    from ..stages.joins import lookup_join
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
 
     def tf_batch(t: pa.Table) -> pa.Table:
@@ -2899,26 +2898,31 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
             "term": pa.array(g["word"].to_list(), pa.string()),
             "tf": pa.array(g["tf"].to_numpy(), pa.int64())})
 
-    tf = ds.map_batches(tf_batch, batch_format="pyarrow")
+    # document frequencies: combiner partials → one vocabulary-sized
+    # groupby → an EXPLICIT broadcast (ray.put). Like the LM model, the
+    # broadcast is vocabulary-bounded at any corpus size (top-V caps it
+    # if natural-language vocab ever outgrows the heap) — deliberately
+    # NOT an adaptive join, so the next stage's block-locality can
+    # never silently degrade into a term-hash shuffle.
     df = (ds.map_batches(
             lambda t: df_partials(t["doc_id"].to_numpy(),
                                   t["text"].to_pylist()),
             batch_format="pyarrow")
           .groupby("token").aggregate(Sum("df", alias_name="df")))
-    joined = lookup_join(tf, df, "term", "token", ["df"])
+    df_ref = ray.put(pa.Table.from_pylist(df.take_all()))
 
-    # per-doc top-3 WITHOUT a doc_id shuffle: a document's tf rows are
-    # emitted together by tf_batch and the broadcast lookup_join probe
-    # runs per block (batch_size=None), so every doc's rows stay inside
-    # one block — the top-k is block-local (polars sort + group head)
-    def top3_block(t: pa.Table) -> pa.Table:
-        g = (pl.from_arrow(t)
+    # per-doc top-3 WITHOUT a doc_id shuffle: tf rows of a document are
+    # computed inside one batch, the df side is broadcast, so the
+    # top-k is block-local by construction (polars join + sort + head)
+    def tf_top3(t: pa.Table) -> pa.Table:
+        tft = pl.from_arrow(tf_batch(t))
+        side = pl.from_arrow(ray.get(df_ref))
+        g = (tft.join(side, left_on="term", right_on="token", how="inner")
              .sort(["tf", "df", "term"], descending=[True, False, False])
              .group_by("doc_id", maintain_order=True).head(3))
         return g.select(["doc_id", "term", "tf", "df"]).to_arrow()
 
-    out = joined.map_batches(top3_block, batch_format="pyarrow",
-                             batch_size=None).to_pandas()
+    out = ds.map_batches(tf_top3, batch_format="pyarrow").to_pandas()
     return (out.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
             .sort_values(["doc_id", "term"]).reset_index(drop=True))
 
