@@ -2909,7 +2909,7 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
                                   t["text"].to_pylist()),
             batch_format="pyarrow")
           .groupby("token").aggregate(Sum("df", alias_name="df")))
-    df_ref = ray.put(pa.Table.from_pylist(df.take_all()))
+    df_ref = ray.put(pa.Table.from_pylist(_as_arrow(df).take_all()))
 
     # per-doc top-3 WITHOUT a doc_id shuffle: tf rows of a document are
     # computed inside one batch, the df side is broadcast, so the
