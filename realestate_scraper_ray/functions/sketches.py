@@ -195,7 +195,8 @@ def misra_gries_error_bound(n_tokens: int, k: int) -> int:
 
 def grouped_percentile_disc(ds, group_col: str, value_col: str,
                             qs: dict[str, float], nbins: int = 8192,
-                            driver_cap_bytes: int = 64 << 20):
+                            driver_cap_bytes: int = 64 << 20,
+                            bounds: tuple[float, float] | None = None):
     """EXACT grouped PERCENTILE_DISC without ever sorting a whole group
     in one task — the scale-safe replacement for the classic
     ``groupby(low_cardinality_key).map_groups(sort)`` pattern, where one
@@ -229,8 +230,11 @@ def grouped_percentile_disc(ds, group_col: str, value_col: str,
     import ray.data as rd  # noqa: F401  (ds is a ray.data.Dataset)
     from ray.data.aggregate import Max, Min
 
-    mm = ds.aggregate(Min(value_col), Max(value_col))
-    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    if bounds is None:
+        mm = ds.aggregate(Min(value_col), Max(value_col))
+        bounds = (float(mm[f"min({value_col})"]),
+                  float(mm[f"max({value_col})"]))
+    lo, hi = bounds  # callers that already hold min/max skip a pass
     width = (hi - lo) or 1.0
 
     def partial(t: pa.Table) -> pa.Table:

@@ -2594,13 +2594,16 @@ def orders_full_outer(sf_dir: str) -> pd.DataFrame:
     from ..stages.joins import adaptive_partitions
     ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice",
                                 "o_orderpriority"])
+    # partition sizing from parquet metadata (count() on an untransformed
+    # read is a metadata sum, no execution); the per-customer aggregates
+    # are bounded above by the orders row count, so this never
+    # under-partitions — and both groupby sides now run lazily inside
+    # the join's single execution instead of two materialize round trips
+    npart = adaptive_partitions(ds.count())
     big = (ds.filter(expr="o_totalprice > 400000")
-           .groupby("o_custkey").aggregate(Count(alias_name="n_big"))
-           .materialize())
+           .groupby("o_custkey").aggregate(Count(alias_name="n_big")))
     urg = (ds.filter(expr="o_orderpriority == '1-URGENT'")
-           .groupby("o_custkey").aggregate(Count(alias_name="n_urgent"))
-           .materialize())
-    npart = adaptive_partitions(max(big.count(), urg.count()))
+           .groupby("o_custkey").aggregate(Count(alias_name="n_urgent")))
     joined = big.join(urg, join_type="full_outer", num_partitions=npart,
                       on=("o_custkey",), left_suffix="_l", right_suffix="_r")
 
@@ -3017,8 +3020,12 @@ def approx_percentiles_hist(sf_dir: str) -> pd.DataFrame:
         total = np.zeros(nbins, dtype=np.int64)
         for b in g["counts"]:
             total += np.frombuffer(b.as_py(), dtype=np.int64)
+        # the merged histogram is a lossless partition of the group's
+        # values (lo/hi are the global min/max), so its bin sum IS the
+        # exact group count — no separate count groupby execution
         return pa.table({
             "event_type": g["event_type"][:1],
+            "n": pa.array([int(total.sum())], pa.int64()),
             "p50_a": pa.array([hist_quantile(total, lo, hi, 0.5)]),
             "p95_a": pa.array([hist_quantile(total, lo, hi, 0.95)])})
 
@@ -3028,11 +3035,8 @@ def approx_percentiles_hist(sf_dir: str) -> pd.DataFrame:
 
     from ..functions.sketches import grouped_percentile_disc
     ex = grouped_percentile_disc(ds, "event_type", "value",
-                                 {"p50": 0.5, "p95": 0.95})
-    ns = pa.Table.from_pylist(
-        ds.groupby("event_type").aggregate(Count(alias_name="n"))
-        .take_all()).to_pandas()
-    ex = ex.merge(ns, on="event_type")
+                                 {"p50": 0.5, "p95": 0.95},
+                                 bounds=(lo, hi))
     out = ex.merge(approx, on="event_type")
     out["p50_sketch_ok"] = (out["p50_a"] - out["p50"]).abs() <= binw + 1e-9
     out["p95_sketch_ok"] = (out["p95_a"] - out["p95"]).abs() <= binw + 1e-9
@@ -3075,20 +3079,28 @@ def _ranked_by_value(ds: rd.Dataset) -> pd.DataFrame:
     for r in parts:
         counts += np.frombuffer(r["c"], dtype=np.int64)
     n, cum = counts.sum(), np.cumsum(counts)
-    width = (hi - lo) / nbins or 1.0
-    cuts = np.unique([lo + (int(np.searchsorted(cum, k * n / n_buckets)) + 1)
-                      * width for k in range(1, n_buckets)])
+    # bucket on INTEGER bin indices (the exact binning hist_partial
+    # used), not float cut values: bucket membership is then a pure
+    # function of the bin, so per-bucket sizes — and the exclusive rank
+    # offsets — fall out of the already-merged histogram with no extra
+    # groupby-count shuffle (one value-range exchange total)
+    cut_bins = np.unique([int(np.searchsorted(cum, k * n / n_buckets)) + 1
+                          for k in range(1, n_buckets)])
+    cut_bins = cut_bins[cut_bins < nbins]  # a cut at nbins cuts nothing
+    edges = np.concatenate([[0], cut_bins, [nbins]])
+    bucket_sizes = np.add.reduceat(counts, edges[:-1])
+    offsets = dict(enumerate(
+        np.concatenate([[0], np.cumsum(bucket_sizes)[:-1]])))
+    width = (hi - lo) or 1.0
 
     def assign(t: pa.Table) -> pa.Table:
-        bk = np.searchsorted(cuts, t["value"].to_numpy(), side="right")
+        v = t["value"].to_numpy()
+        bins = np.clip(((np.asarray(v, dtype=np.float64) - lo)
+                        / width * nbins).astype(np.int64), 0, nbins - 1)
+        bk = np.searchsorted(cut_bins, bins, side="right")
         return t.append_column("bucket", pa.array(bk.astype(np.int64)))
 
     bucketed = ds.map_batches(assign, batch_format="pyarrow")
-    sizes = (bucketed.groupby("bucket").aggregate(Count(alias_name="n_rows"))
-             .to_pandas().sort_values("bucket"))
-    offsets = dict(zip(
-        sizes["bucket"].astype(int),
-        np.concatenate([[0], np.cumsum(sizes["n_rows"].to_numpy())[:-1]])))
 
     def rank(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["value", "event_id"]).reset_index(drop=True)

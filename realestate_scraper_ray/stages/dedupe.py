@@ -308,12 +308,18 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
     from ..functions.textstats import _hash_tokens_matrix
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # shingle once per doc HERE and ship the distinct-hash blob —
+        # not the text — through the (block, si, sj) replication: the
+        # 2·n_shards replicas then cost bytes-of-hashes each, and the
+        # verify cells never re-tokenize (the old path re-hashed every
+        # doc once per replica)
         texts = t[text_col].to_pylist()
-        n_sh = np.array([max(1, len(np.unique(h)))
-                         for h in _hash_tokens_matrix(texts, shingle_k)],
-                        dtype=np.float64)
+        hms = [np.unique(h) for h in _hash_tokens_matrix(texts, shingle_k)]
+        n_sh = np.array([max(1, len(h)) for h in hms], dtype=np.float64)
         b = np.floor(np.log(n_sh) / log_r).astype(np.int32)
-        base = t.select([id_col, text_col])
+        base = pa.table({
+            id_col: t[id_col],
+            "hblob": pa.array([h.tobytes() for h in hms], pa.binary())})
         shard = (np.asarray(t[id_col]).astype(np.int64) % n_shards).astype(np.int32)
         reps = []
         for blk in (b, b + 1):
@@ -336,8 +342,7 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
         g = g.drop_duplicates([id_col, "s"]).sort_values(id_col)
         ids = g[id_col].to_numpy()
         sides = g["s"].to_numpy()
-        hm = [np.unique(h)
-              for h in _hash_tokens_matrix(g[text_col].tolist(), shingle_k)]
+        hm = [np.frombuffer(b, dtype=np.uint64) for b in g["hblob"]]
         sizes = np.array([len(h) for h in hm], dtype=np.int64)
         n = len(ids)
         if n < 2:
