@@ -238,12 +238,13 @@ def grouped_percentile_disc(ds, group_col: str, value_col: str,
     width = (hi - lo) or 1.0
 
     def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         groups, blobs = [], []
-        g = t.group_by(group_col).aggregate([(value_col, "list")])
-        for i in range(g.num_rows):
-            groups.append(g[group_col][i].as_py())
-            vals = np.asarray(g[f"{value_col}_list"][i].as_py(),
-                              dtype=np.float64)
+        val = t[value_col].combine_chunks()
+        grp = t[group_col].combine_chunks()
+        for gv in pc.unique(grp).to_pylist():
+            vals = val.filter(pc.equal(grp, gv)).to_numpy()
+            groups.append(gv)
             blobs.append(hist_partial(vals, lo, hi, nbins).tobytes())
         return pa.table({group_col: pa.array(groups),
                          "counts": pa.array(blobs, pa.binary())})

@@ -1839,9 +1839,10 @@ def decontaminate(sf_dir: str) -> pd.DataFrame:
         keep = keep[keep % 50 != 0]
         return pa.table({"doc_id": pa.array(keep, pa.int64())})
 
-    out = (ds.map_batches(probe, batch_format="pyarrow")
-           .groupby("doc_id").aggregate(Count(alias_name="_n"))
-           .to_pandas())
+    # each input row is one whole document and probe dedups within its
+    # batch, so emitted doc_ids are already globally unique — no
+    # distinct shuffle needed on the way out
+    out = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
     return (out[["doc_id"]].astype("int64")
             .sort_values("doc_id").reset_index(drop=True))
 
@@ -2420,12 +2421,15 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "events", ["event_type", "user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # group extraction stays columnar: one filter per (few) distinct
+        # types, values straight to numpy — no per-row as_py conversion
         types, regs = [], []
-        tt = t.group_by("event_type").aggregate([("user_id", "list")])
-        for i in range(tt.num_rows):
-            types.append(tt["event_type"][i].as_py())
-            vals = np.asarray(tt["user_id_list"][i].as_py(), dtype=np.int64)
-            regs.append(hll_partial(vals).tobytes())
+        uid = t["user_id"].combine_chunks()
+        et = t["event_type"].combine_chunks()
+        for ty in pc.unique(et).to_pylist():
+            vals = uid.filter(pc.equal(et, ty)).to_numpy()
+            types.append(ty)
+            regs.append(hll_partial(vals.astype(np.int64)).tobytes())
         return pa.table({"event_type": pa.array(types),
                          "regs": pa.array(regs, pa.binary())})
 
@@ -2439,7 +2443,12 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     approx = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("event_type").map_groups(merge, batch_format="pyarrow")
               .to_pandas())
-    exact = (ds.groupby(["event_type", "user_id"])
+    # per-batch distinct (event_type, user_id) partial shrinks the
+    # two-level exact distinct's exchange to unique pairs per block
+    exact = (ds.map_batches(
+                lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+                batch_format="pyarrow")
+             .groupby(["event_type", "user_id"])
              .aggregate(Count(alias_name="_n"))
              .groupby("event_type").aggregate(Count(alias_name="n_exact"))
              .to_pandas()[["event_type", "n_exact"]])
@@ -3008,10 +3017,11 @@ def approx_percentiles_hist(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         types, blobs = [], []
-        g = t.group_by("event_type").aggregate([("value", "list")])
-        for i in range(g.num_rows):
-            types.append(g["event_type"][i].as_py())
-            vals = np.asarray(g["value_list"][i].as_py(), dtype=np.float64)
+        val = t["value"].combine_chunks()
+        et = t["event_type"].combine_chunks()
+        for ty in pc.unique(et).to_pylist():
+            vals = val.filter(pc.equal(et, ty)).to_numpy()
+            types.append(ty)
             blobs.append(hist_partial(vals, lo, hi, nbins).tobytes())
         return pa.table({"event_type": pa.array(types),
                          "counts": pa.array(blobs, pa.binary())})
