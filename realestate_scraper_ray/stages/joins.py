@@ -49,14 +49,19 @@ def semi_join(fact: rd.Dataset, keys: rd.Dataset, fact_key: str,
     """fact rows whose ``fact_key`` appears in ``keys[key_col]``
     (semi-join: output schema = fact schema, no duplication)."""
     from ray.data.aggregate import Count
-    keys = (keys.groupby(key_col).aggregate(Count(alias_name="_n"))
-            .select_columns([key_col]))  # distinct keys only
-    k, size = _materialized_size(keys)
+    # per-batch distinct only (no shuffle): the broadcast path finishes
+    # the cross-block dedup driver-side with one pc.unique over the
+    # pulled (cap-bounded) table; only the above-cap path pays a
+    # distinct exchange, and its input is already block-deduped
+    keys_d = keys.map_batches(
+        lambda t: t.select([key_col]).group_by(key_col).aggregate([]),
+        batch_format="pyarrow")
+    k, size = _materialized_size(keys_d)
     if size <= threshold_bytes:
         tbl = _pull_table(k)
         if tbl is None:
             return fact.filter(lambda row: False)
-        vals = ray.put(tbl[key_col].combine_chunks())
+        vals = ray.put(pc.unique(tbl[key_col].combine_chunks()))
 
         def probe(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t[fact_key], value_set=ray.get(vals)))
@@ -65,6 +70,8 @@ def semi_join(fact: rd.Dataset, keys: rd.Dataset, fact_key: str,
         # slicing), which also preserves the input's block boundaries
         return fact.map_batches(probe, batch_format="pyarrow",
                                 batch_size=None)
+    k = (k.groupby(key_col).aggregate(Count(alias_name="_n"))
+         .select_columns([key_col]))  # global distinct for join semantics
     joined = fact.join(k, join_type="inner", num_partitions=num_partitions,
                        on=(fact_key,), right_on=(key_col,))
     return joined.select_columns(fact.schema().names)
