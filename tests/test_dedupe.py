@@ -203,3 +203,70 @@ def test_embedding_neardup_lsh_recall_and_precision(ray_session):
     truth = {(ids[a], ids[b]) for a, b in zip(ia, ib) if ids[a] < ids[b]}
     assert pairs <= truth                      # verify step is exact
     assert len(pairs & truth) / len(truth) >= 0.9   # recall
+
+def _semdedup_seq_oracle(mat, ids, cents, tau, m_probe):
+    """Sequential reimplementation of the assign+prune steps (centroids
+    shared with the engine): top-m assignment, per-cluster tril rule,
+    best-witness collapse."""
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims_c = norm @ cents.T
+    top = np.argsort(-sims_c, axis=1)[:, :m_probe]
+    order = np.argsort(ids)
+    best: dict[int, tuple[float, int]] = {}
+    for c in range(cents.shape[0]):
+        sel = (top == c).any(axis=1)
+        sidx = order[sel[order]]
+        if sidx.size < 2:
+            continue
+        g, gid = norm[sidx], ids[sidx]
+        s = np.tril(g @ g.T, k=-1)
+        for j in range(1, len(gid)):
+            i = int(np.argmax(s[j]))
+            if s[j, i] >= tau:
+                key, cand = int(gid[j]), (-s[j, i], int(gid[i]))
+                if key not in best or cand < best[key]:
+                    best[key] = cand
+    return {k: v[1] for k, v in best.items()}
+
+
+def test_semdedup_equals_sequential_oracle(ray_session):
+    from realestate_scraper_ray.stages.dedupe import semdedup_prune
+    from realestate_scraper_ray.stages.similarity import ivf_centroids
+    rng = np.random.default_rng(9)
+    n, d = 80, 12
+    mat = rng.standard_normal((n, d))
+    for a, b in ((0, 17), (5, 41), (30, 31), (30, 66)):
+        mat[b] = mat[a] + 0.03 * rng.standard_normal(d)
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"vec_id": ids.tolist(),
+                                 "embedding": [v.tolist() for v in mat]}))
+    for m_probe in (1, 2, 4):
+        got = semdedup_prune(ds, "embedding", "vec_id", tau=0.9,
+                             n_centroids=8, m_probe=m_probe)
+        cents = ivf_centroids(ds, "embedding", "vec_id", 8, 2)
+        exp = _semdedup_seq_oracle(mat, ids, cents, 0.9, m_probe)
+        assert dict(zip(got.removed_id, got.kept_id)) == exp, m_probe
+
+
+def test_semdedup_full_probe_equals_global_rule(ray_session):
+    # m_probe == n_centroids ⇒ every cluster holds every vector, so the
+    # removal set must equal the global no-cluster rule exactly
+    from realestate_scraper_ray.stages.dedupe import semdedup_prune
+    rng = np.random.default_rng(12)
+    n, d = 50, 10
+    mat = rng.standard_normal((n, d))
+    for a, b in ((2, 9), (9, 33), (20, 21)):
+        mat[b] = mat[a] + 0.02 * rng.standard_normal(d)
+    ds = rd.from_arrow(pa.table({"vec_id": list(range(n)),
+                                 "embedding": [v.tolist() for v in mat]}))
+    got = semdedup_prune(ds, "embedding", "vec_id", tau=0.9,
+                         n_centroids=4, m_probe=4)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    exp_removed = {j for j in range(n)
+                   if max((sims[i, j] for i in range(j)), default=-1.0) >= 0.9}
+    assert set(got.removed_id) == exp_removed
+    # precision invariant at any probe count: removal ⊆ global rule
+    got1 = semdedup_prune(ds, "embedding", "vec_id", tau=0.9,
+                          n_centroids=4, m_probe=1)
+    assert set(got1.removed_id) <= exp_removed
