@@ -2532,6 +2532,104 @@ def semdedup_recall(sf_dir: str) -> pd.DataFrame:
         "recall_ok": [recall >= 0.9]})
 
 
+def _cluster_labeled_docs(sf_dir: str, n_centroids: int = 8):
+    """Documents labeled with their embedding's k-means cluster: the
+    clustering stage cluster-balanced sampling / SemDeDup-style curation
+    builds on. Centroids via the distributed-Lloyd quantizer; assignment
+    is one vectorized pass against the broadcast centroid matrix; the
+    doc_id=vec_id attach is the adaptive lookup_join (broadcast under
+    the 64 MiB cap, hash-shuffle join above it)."""
+    from ..stages.joins import lookup_join
+    from ..stages.similarity import ivf_centroids
+    embs = _pq(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cents = ivf_centroids(embs, "embedding", "vec_id", n_centroids, 2)
+    c_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cl = np.argmax(m @ ray.get(c_ref).T, axis=1).astype(np.int32)
+        return pa.table({"vec_id": t["vec_id"], "cluster": cl})
+
+    asg = embs.map_batches(assign, batch_format="pyarrow")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return lookup_join(docs, asg, "doc_id", "vec_id", ["cluster"])
+
+
+@query("corpus_cluster_map")  # k-means path — no SQL oracle (rows-only)
+def corpus_cluster_map(sf_dir: str) -> pd.DataFrame:
+    """Corpus map: cluster docs by embedding, label each cluster with
+    its size and top-5 TF terms — the exploration / mixture-curation
+    view of a corpus. Term counting is combiner-first: per-batch
+    (cluster, token) partials (polars explode, Rust) shrink the
+    exchange to one vocabulary-sized table per block; the top-5 pick
+    runs as one map_groups per cluster over vocabulary-sized groups.
+    The join-cardinality twin ``corpus_cluster_map_gate`` is
+    hash-checked against DuckDB."""
+    import polars as pl
+    labeled = _cluster_labeled_docs(sf_dir)
+
+    def tf_partials(t: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "cluster": pl.Series(np.asarray(t["cluster"]), dtype=pl.Int32),
+            "word": pl.Series([s if s is not None else "" for s in
+                               t["text"].to_pylist()],
+                              dtype=pl.Utf8).str.split(" "),
+        }).explode("word")
+        g = df.group_by(["cluster", "word"]).len(name="c")
+        return pa.table({"cluster": pa.array(g["cluster"].to_numpy(), pa.int32()),
+                         "token": pa.array(g["word"].to_list(), pa.string()),
+                         "c": pa.array(g["c"].to_numpy(), pa.int64()),
+                         # doc-count partial rides the same exchange
+                         "_docs": pa.array(np.zeros(len(g), np.int64))})
+
+    def doc_partials(t: pa.Table) -> pa.Table:
+        cl, n = np.unique(np.asarray(t["cluster"]), return_counts=True)
+        return pa.table({"cluster": pa.array(cl.astype(np.int32)),
+                         "token": pa.array([""] * len(cl), pa.string()),
+                         "c": pa.array(np.zeros(len(cl), np.int64)),
+                         "_docs": pa.array(n.astype(np.int64))})
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        cluster = np.int32(g["cluster"].iloc[0])
+        n_docs = int(g["_docs"].sum())
+        g = g[g["c"] > 0].sort_values(["c", "token"],
+                                      ascending=[False, True]).head(5)
+        return pd.DataFrame({"cluster": [cluster],
+                             "n_docs": [np.int64(n_docs)],
+                             "top_terms": [",".join(g["token"])]})
+
+    out = (labeled.map_batches(tf_partials, batch_format="pyarrow")
+           .union(labeled.map_batches(doc_partials, batch_format="pyarrow"))
+           .groupby(["cluster", "token"])
+           .aggregate(Sum("c", alias_name="c"),
+                      Sum("_docs", alias_name="_docs"))
+           .groupby("cluster").map_groups(top5, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+_CLUSTER_GATE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total, TRUE AS partition_ok
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+@query("corpus_cluster_map_gate", _CLUSTER_GATE_SQL)
+def corpus_cluster_map_gate(sf_dir: str) -> pd.DataFrame:
+    """Cluster-map invariants, hash-checked: the per-cluster sizes must
+    sum to the docs⋈embeddings cardinality (DuckDB recomputes it), and
+    hard assignment must place every matched doc in exactly one cluster
+    (sizes are disjoint counts of distinct doc_ids)."""
+    labeled = _cluster_labeled_docs(sf_dir)
+    sizes = (labeled.groupby("cluster").aggregate(Count(alias_name="n"))
+             .to_pandas())
+    n_matched = labeled.count()
+    total = int(sizes["n"].sum())
+    return pd.DataFrame({"n_docs_total": [np.int64(total)],
+                         "partition_ok": [total == n_matched]})
+
+
 _FRAME_SQL = """
 WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, sha256(text) AS hx
            FROM documents),

@@ -155,3 +155,63 @@ def test_unigram_topv_model_oov_floor(ray_session):
           for tok, c in zip(counts["tok"], counts["c"])}
     assert t.loc[2, "tok_n"] == 3
     assert t.loc[2, "lp_micro_sum"] == lp["aa"] + lp["bb"] + oov
+
+
+def test_corpus_cluster_map_planted_clusters(ray_session, tmp_path):
+    """Two well-separated embedding blobs whose docs carry distinct
+    dominant tokens: the map must recover the blob sizes and surface
+    each blob's token, and must equal a sequential oracle exactly."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from realestate_scraper_ray.pipelines.relational import (
+        corpus_cluster_map, corpus_cluster_map_gate)
+
+    rng = np.random.default_rng(21)
+    d = 8
+    a, b = np.zeros(d), np.zeros(d)
+    a[0], b[1] = 10.0, 10.0
+    vecs, texts, ids = [], [], []
+    for i in range(30):
+        blob = a if i < 18 else b
+        vecs.append((blob + 0.1 * rng.standard_normal(d)).astype(np.float32))
+        tok = "alpha" if i < 18 else "beta"
+        texts.append(f"{tok} {tok} filler{i % 3} {tok}")
+        ids.append(i)
+    pq.write_table(pa.table({"doc_id": ids, "text": texts,
+                             "lang": ["pl"] * 30}),
+                   str(tmp_path / "documents.parquet"))
+    pq.write_table(pa.table({"vec_id": ids,
+                             "embedding": [v.tolist() for v in vecs],
+                             "label": [0] * 30}),
+                   str(tmp_path / "embeddings.parquet"))
+    out = corpus_cluster_map(str(tmp_path))
+    gate = corpus_cluster_map_gate(str(tmp_path))
+    assert int(gate["n_docs_total"].iloc[0]) == 30
+    assert bool(gate["partition_ok"].iloc[0])
+    assert int(out["n_docs"].sum()) == 30
+    # k=8 > 2 blobs, so blobs may fragment — but never mix: every
+    # cluster's dominant term is exactly one blob's token, and both
+    # blobs surface somewhere
+    firsts = {t.split(",")[0] for t in out["top_terms"] if t}
+    assert firsts == {"alpha", "beta"}
+    # sequential oracle: same centroids, pandas tf + same top-5 rule
+    from realestate_scraper_ray.stages.similarity import ivf_centroids
+    import ray.data as rd
+    embs = rd.from_arrow(pa.table({
+        "vec_id": ids, "embedding": [v.tolist() for v in vecs]}))
+    cents = ivf_centroids(embs, "embedding", "vec_id", 8, 2)
+    m = np.array(vecs, dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(m @ cents.T, axis=1)
+    rows = []
+    for c in np.unique(assign):
+        sel = [i for i in ids if assign[i] == c]
+        toks = pd.Series([w for i in sel for w in texts[i].split(" ")])
+        tf = (toks.value_counts().rename_axis("token").reset_index(name="c")
+              .sort_values(["c", "token"], ascending=[False, True]).head(5))
+        rows.append({"cluster": int(c), "n_docs": len(sel),
+                     "top_terms": ",".join(tf["token"])})
+    exp = pd.DataFrame(rows).sort_values("cluster").reset_index(drop=True)
+    got = out.astype({"cluster": "int64", "n_docs": "int64"})
+    assert got.to_dict("records") == exp.to_dict("records")
