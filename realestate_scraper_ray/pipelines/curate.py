@@ -6,7 +6,7 @@ connected components → min-id survivor) → write the surviving corpus
 as hash-partitioned parquet, one directory per bucket, plus a manifest.
 
 Resumability (the property a 100-TB run cannot live without): output
-is partitioned by ``md5(doc_id) % n_buckets``; each bucket commits
+is partitioned by ``xxh3(doc_id) % n_buckets`` (fixed seed); each bucket commits
 atomically (tmp + rename), and a re-run SKIPS buckets whose file
 already exists — a failed run resumes by rewriting only the missing
 buckets. Partitioning is content-keyed, so resuming with a different
@@ -22,11 +22,11 @@ composed; pytest asserts the funnel and the resume-skip behavior.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import uuid
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -89,8 +89,12 @@ def curate_corpus(sf_dir: str, out_dir: str, n_buckets: int = 16,
         "doc_id", "doc_id")
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = [int(hashlib.md5(str(i).encode()).hexdigest(), 16) % n_buckets
-             for i in t["doc_id"].to_pylist()]
+        # content-keyed bucket via one vectorized xxh3 pass (the
+        # urlseen key kernel's pattern — fixed seed, stable across
+        # processes), not a per-row Python md5 loop
+        import polars as pl
+        h = pl.from_arrow(t["doc_id"]).hash(seed=41).to_numpy()
+        b = (h % np.uint64(n_buckets)).astype(np.int32)
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
     bucketed = survivors.map_batches(add_bucket, batch_format="pyarrow")
