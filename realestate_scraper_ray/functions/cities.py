@@ -77,11 +77,16 @@ def canonicalize_cities(ds: rd.Dataset, col: str,
     ref = ray.put(mapping)
 
     def join(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        canon = [m.get(city_key(c)) if c is not None else None
-                 for c in t[col].to_pylist()]
-        out = t.append_column(keep_col, pa.array(canon, pa.string()))
         import pyarrow.compute as pc
+        m = ray.get(ref)
+        # distinct-then-scatter: slugify once per DISTINCT city (city
+        # cardinality, not row count), then one vectorized take
+        vals = t[col].combine_chunks()
+        uniq = pc.unique(vals)
+        lut = pa.array([m.get(city_key(c)) if c is not None else None
+                        for c in uniq.to_pylist()], pa.string())
+        canon = lut.take(pc.index_in(vals, value_set=uniq))
+        out = t.append_column(keep_col, canon)
         return out.filter(pc.is_valid(out[keep_col]))
 
     return ds.map_batches(join, batch_format="pyarrow")

@@ -98,10 +98,17 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
         for s, n in zip(counts["source"], counts["n_g"])}
 
     def temp_gate(t: pa.Table) -> pa.Table:
+        import polars as pl
         fp = md5_fingerprints(t["text"].combine_chunks())
-        u = np.array([int(h[:6], 16) for h in fp.to_pylist()],
-                     dtype=np.float64)
-        lim = np.array([thr[s] for s in t["source"].to_pylist()])
+        # vectorized hex prefix → uniform draw (polars Rust kernel, not
+        # a per-row int(h[:6], 16) loop)
+        u = (pl.from_arrow(fp).str.slice(0, 6).str.to_integer(base=16)
+             .to_numpy().astype(np.float64))
+        # per-source threshold via distinct-then-scatter
+        srcs = t["source"].combine_chunks()
+        uniq = pc.unique(srcs)
+        lut = np.array([thr[s] for s in uniq.to_pylist()], np.float64)
+        lim = lut[pc.index_in(srcs, value_set=uniq).to_numpy()]
         return (t.filter(pa.array(u < lim))
                 .select(["doc_id", "source", "n_tokens"]))
 

@@ -284,20 +284,24 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 @query("customer_nation_broadcast", _BROADCAST_SQL)
 def customer_nation_broadcast(sf_dir: str) -> rd.Dataset:
     """Broadcast hash join (J6 shape): the nation⋈region dim (25 rows)
-    is ray.put once; each customer batch does a dict lookup."""
+    is ray.put once; each customer batch probes it with one vectorized
+    pc.index_in + take."""
     nation = pa.Table.from_pylist(_pq(sf_dir, "nation").take_all()).to_pandas()
     region = pa.Table.from_pylist(_pq(sf_dir, "region").take_all()).to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    lookup = {int(k): (n, r) for k, n, r in zip(dim.n_nationkey, dim.n_name, dim.r_name)}
-    ref = ray.put(lookup)
+    ref = ray.put(pa.table({
+        "key": pa.array(dim.n_nationkey.astype("int64")),
+        "n_name": pa.array(dim.n_name, pa.string()),
+        "r_name": pa.array(dim.r_name, pa.string())}))
 
     def join(t: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        pairs = [lk.get(int(k), (None, None)) for k in t["c_nationkey"].to_pylist()]
+        side = ray.get(ref)
+        idx = pc.index_in(pc.cast(t["c_nationkey"], pa.int64()),
+                          value_set=side["key"].combine_chunks())
         return pa.table({
             "c_custkey": t["c_custkey"],
-            "n_name": pa.array([p[0] for p in pairs], pa.string()),
-            "r_name": pa.array([p[1] for p in pairs], pa.string())})
+            "n_name": side["n_name"].combine_chunks().take(idx),
+            "r_name": side["r_name"].combine_chunks().take(idx)})
 
     return _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         join, batch_format="pyarrow")
