@@ -2574,6 +2574,9 @@ def corpus_cluster_map(sf_dir: str) -> pd.DataFrame:
     labeled = _cluster_labeled_docs(sf_dir)
 
     def tf_partials(t: pa.Table) -> pa.Table:
+        # one pass emits BOTH partials (token counts + per-cluster doc
+        # counts as sentinel rows) so the docs⋈assignment probe runs
+        # once, not once per union branch
         df = pl.DataFrame({
             "cluster": pl.Series(np.asarray(t["cluster"]), dtype=pl.Int32),
             "word": pl.Series([s if s is not None else "" for s in
@@ -2581,18 +2584,19 @@ def corpus_cluster_map(sf_dir: str) -> pd.DataFrame:
                               dtype=pl.Utf8).str.split(" "),
         }).explode("word")
         g = df.group_by(["cluster", "word"]).len(name="c")
-        return pa.table({"cluster": pa.array(g["cluster"].to_numpy(), pa.int32()),
-                         "token": pa.array(g["word"].to_list(), pa.string()),
-                         "c": pa.array(g["c"].to_numpy(), pa.int64()),
-                         # doc-count partial rides the same exchange
-                         "_docs": pa.array(np.zeros(len(g), np.int64))})
-
-    def doc_partials(t: pa.Table) -> pa.Table:
         cl, n = np.unique(np.asarray(t["cluster"]), return_counts=True)
-        return pa.table({"cluster": pa.array(cl.astype(np.int32)),
-                         "token": pa.array([""] * len(cl), pa.string()),
-                         "c": pa.array(np.zeros(len(cl), np.int64)),
-                         "_docs": pa.array(n.astype(np.int64))})
+        return pa.table({
+            "cluster": pa.array(np.concatenate(
+                [g["cluster"].to_numpy(), cl.astype(np.int32)]), pa.int32()),
+            # sentinel " " cannot collide: split-on-space tokens never
+            # contain a space
+            "token": pa.array(g["word"].to_list() + [" "] * len(cl),
+                              pa.string()),
+            "c": pa.array(np.concatenate(
+                [g["c"].to_numpy().astype(np.int64),
+                 np.zeros(len(cl), np.int64)])),
+            "_docs": pa.array(np.concatenate(
+                [np.zeros(len(g), np.int64), n.astype(np.int64)]))})
 
     def top5(g: pd.DataFrame) -> pd.DataFrame:
         cluster = np.int32(g["cluster"].iloc[0])
@@ -2604,7 +2608,6 @@ def corpus_cluster_map(sf_dir: str) -> pd.DataFrame:
                              "top_terms": [",".join(g["token"])]})
 
     out = (labeled.map_batches(tf_partials, batch_format="pyarrow")
-           .union(labeled.map_batches(doc_partials, batch_format="pyarrow"))
            .groupby(["cluster", "token"])
            .aggregate(Sum("c", alias_name="c"),
                       Sum("_docs", alias_name="_docs"))

@@ -56,3 +56,21 @@ def test_lookup_join_paths_agree():
     pd.testing.assert_frame_equal(b, s)
     assert b[b.k == 2]["name"].tolist() == ["b", "b"]
     assert 8 not in set(b["k"])  # inner semantics: unmatched fact dropped
+
+
+def test_semi_join_duplicate_keys_across_blocks():
+    # cross-block duplicate keys: the broadcast path dedups driver-side
+    # (pc.unique over the pulled table), the shuffle path via a global
+    # distinct — neither may duplicate fact rows
+    keys = rd.from_arrow(pa.table({"dk": [2, 2, 5]})).union(
+        rd.from_arrow(pa.table({"dk": [5, 5, 3]})))
+
+    def run():
+        out = J.semi_join(_fact(), keys, "k", "dk",
+                          threshold_bytes=J.BROADCAST_THRESHOLD_BYTES)
+        return out.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+
+    b, s = _run_both(run)
+    pd.testing.assert_frame_equal(b, s)
+    assert len(b) == 6  # 2,2,3,5,5,5 — one output row per fact row
+    assert sorted(b["k"].unique()) == [2, 3, 5]
