@@ -6,7 +6,8 @@ connected components → min-id survivor) → write the surviving corpus
 as hash-partitioned parquet, one directory per bucket, plus a manifest.
 
 Resumability (the property a 100-TB run cannot live without): output
-is partitioned by ``xxh3(doc_id) % n_buckets`` (fixed seed); each bucket commits
+is partitioned by ``splitmix64(doc_id) % n_buckets`` (version-stable
+pure-arithmetic key); each bucket commits
 atomically (tmp + rename), and a re-run SKIPS buckets whose file
 already exists — a failed run resumes by rewriting only the missing
 buckets. Partitioning is content-keyed, so resuming with a different
@@ -89,12 +90,19 @@ def curate_corpus(sf_dir: str, out_dir: str, n_buckets: int = 16,
         "doc_id", "doc_id")
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        # content-keyed bucket via one vectorized xxh3 pass (the
-        # urlseen key kernel's pattern — fixed seed, stable across
-        # processes), not a per-row Python md5 loop
-        import polars as pl
-        h = pl.from_arrow(t["doc_id"]).hash(seed=41).to_numpy()
-        b = (h % np.uint64(n_buckets)).astype(np.int32)
+        # content-keyed bucket via a vectorized splitmix64 finalizer —
+        # pure uint64 numpy arithmetic, so the key is independent of
+        # any library's hash implementation: buckets written by one
+        # environment resume identically in a rebuilt one (the
+        # guarantee a polars/xxh3 hash can't make across versions, and
+        # a per-row Python md5 loop paid dearly for)
+        x = np.asarray(t["doc_id"]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = x + np.uint64(0x9E3779B97F4A7C15)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+        b = (x % np.uint64(n_buckets)).astype(np.int32)
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
     bucketed = survivors.map_batches(add_bucket, batch_format="pyarrow")

@@ -1318,7 +1318,8 @@ def dedup_minhash_recall(sf_dir: str) -> pd.DataFrame:
     found = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
     tset = set(zip(truth.id_a.astype("int64"), truth.id_b.astype("int64")))
     fset = set(zip(found.id_a.astype("int64"), found.id_b.astype("int64")))
-    recall = len(fset & tset) / max(1, len(tset))
+    # vacuously perfect when the truth set is empty (nothing to find)
+    recall = len(fset & tset) / len(tset) if tset else 1.0
     return pd.DataFrame({"n_truth": [np.int64(len(tset))],
                          "recall_ok": [recall >= 0.9]})
 
@@ -2486,7 +2487,8 @@ def embedding_neardup_lsh_recall(sf_dir: str) -> pd.DataFrame:
     found = embedding_neardup_lsh(ds, "embedding", "vec_id", tau=0.45)
     tset = set(zip(truth.id_a.astype("int64"), truth.id_b.astype("int64")))
     fset = set(zip(found.id_a.astype("int64"), found.id_b.astype("int64")))
-    recall = len(fset & tset) / max(1, len(tset))
+    # vacuously perfect when the truth set is empty (nothing to find)
+    recall = len(fset & tset) / len(tset) if tset else 1.0
     return pd.DataFrame({"n_truth": [np.int64(len(tset))],
                          "recall_ok": [recall >= 0.9]})
 
@@ -2529,7 +2531,10 @@ def semdedup_recall(sf_dir: str) -> pd.DataFrame:
                          n_centroids=16, m_probe=4)
     exact_removed = set(exact["id_b"].astype("int64"))
     sem_removed = set(sem["removed_id"].astype("int64"))
-    recall = len(sem_removed) / max(1, len(exact_removed))
+    # vacuously perfect when nothing is removable (precision_ok then
+    # pins sem_removed to the empty set too)
+    recall = (len(sem_removed) / len(exact_removed)
+              if exact_removed else 1.0)
     return pd.DataFrame({
         "n_exact_removed": [np.int64(len(exact_removed))],
         "precision_ok": [sem_removed <= exact_removed],
@@ -2544,18 +2549,10 @@ def _cluster_labeled_docs(sf_dir: str, n_centroids: int = 8):
     doc_id=vec_id attach is the adaptive lookup_join (broadcast under
     the 64 MiB cap, hash-shuffle join above it)."""
     from ..stages.joins import lookup_join
-    from ..stages.similarity import ivf_centroids
+    from ..stages.similarity import assign_clusters, ivf_centroids
     embs = _pq(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     cents = ivf_centroids(embs, "embedding", "vec_id", n_centroids, 2)
-    c_ref = ray.put(cents)
-
-    def assign(t: pa.Table) -> pa.Table:
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        cl = np.argmax(m @ ray.get(c_ref).T, axis=1).astype(np.int32)
-        return pa.table({"vec_id": t["vec_id"], "cluster": cl})
-
-    asg = embs.map_batches(assign, batch_format="pyarrow")
+    asg = assign_clusters(embs, "embedding", "vec_id", cents)
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
     return lookup_join(docs, asg, "doc_id", "vec_id", ["cluster"])
 
@@ -2570,24 +2567,21 @@ def corpus_cluster_map(sf_dir: str) -> pd.DataFrame:
     runs as one map_groups per cluster over vocabulary-sized groups.
     The join-cardinality twin ``corpus_cluster_map_gate`` is
     hash-checked against DuckDB."""
-    import polars as pl
     labeled = _cluster_labeled_docs(sf_dir)
 
     def tf_partials(t: pa.Table) -> pa.Table:
         # one pass emits BOTH partials (token counts + per-cluster doc
         # counts as sentinel rows) so the docs⋈assignment probe runs
-        # once, not once per union branch
-        df = pl.DataFrame({
-            "cluster": pl.Series(np.asarray(t["cluster"]), dtype=pl.Int32),
-            "word": pl.Series([s if s is not None else "" for s in
-                               t["text"].to_pylist()],
-                              dtype=pl.Utf8).str.split(" "),
-        }).explode("word")
-        g = df.group_by(["cluster", "word"]).len(name="c")
+        # once, not once per union branch; tokenization is the shared
+        # _explode_words kernel (string_split-on-space semantics)
+        from ..functions.corpus import _explode_words
+        w = _explode_words(np.asarray(t["cluster"], dtype=np.int64),
+                           t["text"].to_pylist())
+        g = w.group_by(["id", "word"]).len(name="c")
         cl, n = np.unique(np.asarray(t["cluster"]), return_counts=True)
         return pa.table({
             "cluster": pa.array(np.concatenate(
-                [g["cluster"].to_numpy(), cl.astype(np.int32)]), pa.int32()),
+                [g["id"].to_numpy(), cl.astype(np.int64)]), pa.int32()),
             # sentinel " " cannot collide: split-on-space tokens never
             # contain a space
             "token": pa.array(g["word"].to_list() + [" "] * len(cl),
@@ -2627,14 +2621,18 @@ def corpus_cluster_map_gate(sf_dir: str) -> pd.DataFrame:
     """Cluster-map invariants, hash-checked: the per-cluster sizes must
     sum to the docs⋈embeddings cardinality (DuckDB recomputes it), and
     hard assignment must place every matched doc in exactly one cluster
-    (sizes are disjoint counts of distinct doc_ids)."""
-    labeled = _cluster_labeled_docs(sf_dir)
+    — checked as distinct doc_ids == labeled rows, which a duplicate
+    assignment (or a non-unique dim side) would break. The labeled
+    pipeline is materialized once; both checks read the pinned blocks."""
+    labeled = _cluster_labeled_docs(sf_dir).materialize()
     sizes = (labeled.groupby("cluster").aggregate(Count(alias_name="n"))
              .to_pandas())
-    n_matched = labeled.count()
     total = int(sizes["n"].sum())
+    n_distinct = (labeled.select_columns(["doc_id"])
+                  .groupby("doc_id").aggregate(Count(alias_name="_n"))
+                  .count())
     return pd.DataFrame({"n_docs_total": [np.int64(total)],
-                         "partition_ok": [total == n_matched]})
+                         "partition_ok": [total == n_distinct]})
 
 
 _FRAME_SQL = """

@@ -660,28 +660,13 @@ def semdedup_prune(ds: rd.Dataset, vec_col: str, id_col: str,
     ties → smaller kept_id).
     """
     assert tau > 0.0, "tau must be positive (tril masking uses 0 fill)"
-    from .similarity import ivf_centroids
+    from .similarity import assign_clusters, ivf_centroids
     # iterative algorithm over a fixed corpus: pin blocks once for the
     # seed pass, the Lloyd steps and the assignment pass
     ds = ds.materialize()
     cents = ivf_centroids(ds, vec_col, id_col, n_centroids, iters)
-    c_ref = ray.put(cents)
-    m_probe = min(m_probe, n_centroids)
-
-    def assign(t: pa.Table) -> pa.Table:
-        m = np.array(t[vec_col].to_pylist(), dtype=np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims_c = m @ ray.get(c_ref).T
-        if m_probe == 1:
-            cl = np.argmax(sims_c, axis=1).astype(np.int32)[:, None]
-        else:
-            cl = np.argpartition(-sims_c, m_probe - 1,
-                                 axis=1)[:, :m_probe].astype(np.int32)
-        n = len(t)
-        idx = np.repeat(np.arange(n), m_probe)
-        return pa.table({id_col: t[id_col].take(pa.array(idx)),
-                         vec_col: t[vec_col].take(pa.array(idx)),
-                         "cluster": cl.reshape(-1)})
+    asg = assign_clusters(ds, vec_col, id_col, cents, m_probe,
+                          carry_vec=True)
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"removed_id": pd.Series([], dtype="int64"),
@@ -707,8 +692,7 @@ def semdedup_prune(ds: rd.Dataset, vec_col: str, id_col: str,
                              "cluster": np.int32(g["cluster"].iloc[0]),
                              "cos": mx[rm]})
 
-    out = (ds.map_batches(assign, batch_format="pyarrow")
-           .groupby("cluster").map_groups(prune, batch_format="pandas")
+    out = (asg.groupby("cluster").map_groups(prune, batch_format="pandas")
            .to_pandas())
     if out.empty:
         return pd.DataFrame({"removed_id": pd.Series([], dtype="int64"),

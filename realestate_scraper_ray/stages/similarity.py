@@ -102,6 +102,43 @@ def ivf_centroids(ds: rd.Dataset, vec_col: str, id_col: str,
     return cents
 
 
+def assign_clusters(ds: rd.Dataset, vec_col: str, id_col: str,
+                    cents: np.ndarray, m_probe: int = 1,
+                    carry_vec: bool = False) -> rd.Dataset:
+    """(id_col, cluster) rows: each vector's ``m_probe`` nearest
+    centroids by cosine (rows replicated ×m_probe when m_probe > 1 —
+    the soft-assignment recall knob SemDeDup and the cluster map
+    share). One vectorized pass against the broadcast centroid matrix;
+    ``m_probe`` clamps to the actual centroid count (ivf_centroids
+    returns ≤ n_centroids rows on tiny corpora); zero-row blocks pass
+    through. ``carry_vec`` keeps ``vec_col`` on the output rows."""
+    m_probe = max(1, min(m_probe, len(cents)))
+    c_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {id_col: t[id_col]}
+        if carry_vec:
+            cols[vec_col] = t[vec_col]
+        if n == 0:
+            cols["cluster"] = pa.array([], pa.int32())
+            return pa.table(cols)
+        m = _norm_rows(np.array(t[vec_col].to_pylist(), dtype=np.float64))
+        sims_c = m @ ray.get(c_ref).T
+        if m_probe == 1:
+            cols["cluster"] = pa.array(
+                np.argmax(sims_c, axis=1).astype(np.int32))
+            return pa.table(cols)
+        cl = np.argpartition(-sims_c, m_probe - 1,
+                             axis=1)[:, :m_probe].astype(np.int32)
+        idx = pa.array(np.repeat(np.arange(n), m_probe))
+        out = {k: v.take(idx) for k, v in cols.items()}
+        out["cluster"] = pa.array(cl.reshape(-1))
+        return pa.table(out)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def ivf_topk(ds: rd.Dataset, vec_col: str, id_col: str,
              query_ids: np.ndarray, query_mat: np.ndarray, k: int,
              n_centroids: int = 16, n_probe: int = 4,

@@ -270,3 +270,16 @@ def test_semdedup_full_probe_equals_global_rule(ray_session):
     got1 = semdedup_prune(ds, "embedding", "vec_id", tau=0.9,
                           n_centroids=4, m_probe=1)
     assert set(got1.removed_id) <= exp_removed
+
+
+def test_semdedup_tiny_corpus_clamps_probe(ray_session):
+    # 2-row corpus with the catalog defaults (n_centroids=16, m_probe=4):
+    # the probe count must clamp to the ACTUAL centroid count, not the
+    # requested one (ivf_centroids returns <= n rows)
+    from realestate_scraper_ray.stages.dedupe import semdedup_prune
+    ds = rd.from_arrow(pa.table({"vec_id": [0, 1],
+                                 "embedding": [[1.0, 0.0], [1.0, 0.001]]}))
+    out = semdedup_prune(ds, "embedding", "vec_id", tau=0.9,
+                         n_centroids=16, m_probe=4)
+    assert out.removed_id.tolist() == [1]
+    assert out.kept_id.tolist() == [0]
