@@ -45,7 +45,7 @@ HEADLINE_QUERIES = [
     "orders_full_outer", "events_bottomk_sample", "curated_corpus_docs",
     "events_type_rollup", "events_pivot_counts", "tfidf_top_terms",
     "bloom_semi_join", "approx_percentiles_hist", "events_global_rank",
-    "assembled_training_set",
+    "assembled_training_set", "semdedup_removed", "corpus_cluster_map",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a
