@@ -147,3 +147,53 @@ def logprob_scores(ids, texts, vocab: pa.Table,
         "doc_id": pa.array(g["id"].to_numpy(), pa.int64()),
         "tok_n": pa.array(g["tok_n"].to_numpy(), pa.int64()),
         "lp_micro_sum": pa.array(g["lp_micro_sum"].to_numpy(), pa.int64())})
+
+
+_WINDOWS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("idx", pa.int64()),
+    ("wtxt", pa.string()), ("n_tokens", pa.int64())])
+
+
+def token_windows(ids, texts, width: int, stride: int) -> pa.Table:
+    """Token windows of a batch: one row per (doc, window index).
+
+    Tokens are the plain single-space split (oracle-identical to
+    ``string_split(text, ' ')`` — empty tokens kept, "" -> ['']).
+    Window ``i`` covers tokens ``[i*stride, i*stride+width)``; windows
+    are emitted while ``i*stride < n_tokens``, so every doc yields
+    ``ceil(n/stride)`` rows and short tails are kept. ``width ==
+    stride`` gives the non-overlapping blocks of paragraph-level dedup
+    (C4 §2.2-style span dedup); ``stride < width`` gives overlapping
+    RAG chunks.
+
+    Vectorized as a loop over *window index* (bounded by the longest
+    doc in the batch, typically a handful), each iteration one polars
+    ``list.slice`` + ``list.join`` over the whole batch — never a
+    Python loop over rows.
+    """
+    df = pl.DataFrame({
+        "id": pl.Series(ids, dtype=pl.Int64),
+        "t": pl.Series([s if s is not None else "" for s in texts],
+                       dtype=pl.Utf8).str.split(" "),
+    }).with_columns(n=pl.col("t").list.len().cast(pl.Int64))
+    n = df["n"].to_numpy()
+    parts = []
+    max_windows = int(np.ceil(n.max() / stride)) if len(n) else 0
+    for i in range(max_windows):
+        start = i * stride
+        sel = df.filter(pl.col("n") > start)
+        if sel.height == 0:
+            break
+        w = sel.with_columns(
+            wtxt=pl.col("t").list.slice(start, width).list.join(" "),
+            nt=pl.min_horizontal(pl.col("n") - start,
+                                 pl.lit(width, dtype=pl.Int64)))
+        parts.append(pa.table({
+            "doc_id": pa.array(w["id"].to_numpy(), pa.int64()),
+            "idx": pa.array(np.full(w.height, i, np.int64)),
+            "wtxt": w["wtxt"].to_arrow().cast(pa.string()),
+            "n_tokens": pa.array(w["nt"].to_numpy().astype(np.int64)),
+        }))
+    if not parts:
+        return _WINDOWS_SCHEMA.empty_table()
+    return pa.concat_tables(parts)

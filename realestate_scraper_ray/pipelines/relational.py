@@ -3523,6 +3523,73 @@ def curated_corpus_docs(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+# Windows of W tokens at stride S over the single-space split, emitted
+# while i*S < n_tokens — identical semantics to functions/corpus.py
+# token_windows (empty tokens kept, "" -> ['']).
+_CHUNK_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ch AS (
+  SELECT doc_id, UNNEST([{chunk_id: i,
+      chunk_text: array_to_string(list_slice(t, i*48 + 1, least(i*48 + 64, len(t))), ' '),
+      n_tokens: least(i*48 + 64, len(t)) - i*48}
+    FOR i IN range(0, CAST(ceil(len(t) / 48.0) AS BIGINT))],
+    recursive := true)
+  FROM toks)
+SELECT * FROM ch
+"""
+
+
+@query("chunk_documents", _CHUNK_SQL)
+def chunk_documents(sf_dir: str) -> rd.Dataset:
+    """RAG-prep chunking: overlapping 64-token windows at stride 48
+    (16-token overlap), one output row per (doc, chunk). Purely
+    map-side — the corpus streams through one vectorized
+    ``map_batches`` with no shuffle, so at 100 TB this is
+    embarrassingly parallel and bounded by read bandwidth."""
+    from ..functions.corpus import token_windows
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        w = token_windows(t["doc_id"].to_numpy(), t["text"].to_pylist(),
+                          width=64, stride=48)
+        return w.rename_columns(["doc_id", "chunk_id", "chunk_text",
+                                 "n_tokens"])
+
+    return _as_arrow(ds.map_batches(f, batch_format="pyarrow"))
+
+
+# Non-overlapping 32-token blocks; global keep-first on block text
+# (min (doc_id, bi) encoded as doc_id*2^20 + bi); docs reassemble from
+# surviving blocks in bi order, empty docs vanish.
+_PARA_DEDUP_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+blk AS (
+  SELECT doc_id, UNNEST([{bi: i,
+      btxt: array_to_string(list_slice(t, i*32 + 1, least(i*32 + 32, len(t))), ' ')}
+    FOR i IN range(0, CAST(ceil(len(t) / 32.0) AS BIGINT))],
+    recursive := true)
+  FROM toks),
+win AS (SELECT btxt, MIN(doc_id * 1048576 + bi) AS mc FROM blk GROUP BY btxt)
+SELECT b.doc_id,
+       array_to_string(list(b.btxt ORDER BY b.bi), ' ') AS text_dedup,
+       COUNT(*) AS n_blocks_kept
+FROM blk b JOIN win w ON b.btxt = w.btxt AND b.doc_id * 1048576 + b.bi = w.mc
+GROUP BY b.doc_id
+"""
+
+
+@query("paragraph_dedup", _PARA_DEDUP_SQL)
+def paragraph_dedup_q(sf_dir: str) -> rd.Dataset:
+    """C4-style span-level dedup with document REWRITE (not just
+    flagging): drop every repeated 32-token block corpus-wide
+    (keep-first) and reassemble the documents from what survives.
+    Only (hash, code) int pairs ride the keep-first exchange; see
+    stages/dedupe.py paragraph_dedup for the two scale paths."""
+    from ..stages.dedupe import paragraph_dedup
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return _as_arrow(paragraph_dedup(ds, "text", "doc_id", block=32))
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

@@ -706,3 +706,95 @@ def semdedup_prune(ds: rd.Dataset, vec_col: str, id_col: str,
                            ascending=[True, False, True])
            .drop_duplicates("removed_id"))
     return out.sort_values("removed_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (block keep-first + document rewrite)
+# ---------------------------------------------------------------------------
+
+_PARA_CODE_SHIFT = 1 << 20  # bi < 2^20 -> docs up to ~33M tokens at block=32
+
+
+def paragraph_dedup(ds: rd.Dataset, text_col: str, id_col: str,
+                    block: int = 32, *,
+                    threshold_bytes: int | None = None) -> rd.Dataset:
+    """C4-style span-level exact dedup (Raffel et al. '20 §2.2, there on
+    three-sentence spans): split every document into non-overlapping
+    ``block``-token windows, keep only the globally FIRST occurrence of
+    each distinct window (min ``(doc_id, bi)``), and rewrite each
+    document from its surviving windows (bi order). Documents whose
+    every window appeared earlier vanish entirely.
+
+    Returns (doc_id, text_dedup, n_blocks_kept).
+
+    Scale shape: the winner table is built from an explode that emits
+    ONLY ``(hash, code)`` ints — window text never rides the keep-first
+    exchange. Under the broadcast cap the rewrite is then fully
+    block-local (windows of a doc are exploded inside the batch that
+    holds the doc, marked against the broadcast winner map, and
+    reassembled in place — zero text exchange end-to-end). Above the
+    cap, winners hash-join back to the exploded windows and docs
+    reassemble under one ``groupby(doc_id)`` — text rides exactly one
+    exchange, which any corpus rewrite at that scale must pay.
+    """
+    from ..functions.corpus import token_windows
+    from .joins import BROADCAST_THRESHOLD_BYTES, _materialized_size, _pull_table
+    if threshold_bytes is None:
+        threshold_bytes = BROADCAST_THRESHOLD_BYTES
+
+    def explode(t: pa.Table, *, with_text: bool) -> pa.Table:
+        w = token_windows(t[id_col].to_numpy(), t[text_col].to_pylist(),
+                          block, block)
+        h = np.asarray(rolling_hash64(w["wtxt"].combine_chunks())).view(np.int64)
+        code = w["doc_id"].to_numpy() * _PARA_CODE_SHIFT + w["idx"].to_numpy()
+        out = pa.table({"doc_id": w["doc_id"], "bi": w["idx"],
+                        "h": pa.array(h), "code": pa.array(code)})
+        if with_text:
+            out = out.append_column("wtxt", w["wtxt"])
+        return out
+
+    # keep-first winners: the shuffle carries two int64s per window
+    winners = (ds.map_batches(lambda t: explode(t, with_text=False),
+                              batch_format="pyarrow")
+               .groupby("h").aggregate(Min("code", alias_name="min_code")))
+    wm, size = _materialized_size(winners)
+
+    def assemble_pl(kept: pa.Table) -> pa.Table:
+        import polars as pl
+        g = (pl.from_arrow(kept)
+             .sort(["doc_id", "bi"])
+             .group_by("doc_id", maintain_order=True)
+             .agg(text_dedup=pl.col("wtxt").str.join(" "),
+                  n_blocks_kept=pl.len().cast(pl.Int64)))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "text_dedup": g["text_dedup"].to_arrow().cast(pa.string()),
+            "n_blocks_kept": pa.array(g["n_blocks_kept"].to_numpy(),
+                                      pa.int64())})
+
+    if size <= threshold_bytes:
+        side = _pull_table(wm)
+        ref = ray.put(side.combine_chunks() if side is not None else None)
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            blk = explode(t, with_text=True)
+            s = ray.get(ref)
+            idx = pc.index_in(blk["h"], value_set=s["h"])
+            keep = pc.equal(blk["code"], s["min_code"].take(idx))
+            return assemble_pl(blk.filter(keep)
+                               .select(["doc_id", "bi", "wtxt"]))
+
+        return ds.map_batches(rewrite, batch_format="pyarrow",
+                              batch_size=None)
+
+    blk = ds.map_batches(lambda t: explode(t, with_text=True),
+                         batch_format="pyarrow")
+    joined = blk.join(wm, join_type="inner", num_partitions=8, on=("h",))
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["code"], t["min_code"]))
+                .select(["doc_id", "bi", "wtxt"]))
+
+    kept = joined.map_batches(keep_winners, batch_format="pyarrow")
+    return kept.groupby("doc_id").map_groups(
+        lambda g: assemble_pl(g), batch_format="pyarrow")

@@ -283,3 +283,72 @@ def test_semdedup_tiny_corpus_clamps_probe(ray_session):
                          n_centroids=16, m_probe=4)
     assert out.removed_id.tolist() == [1]
     assert out.kept_id.tolist() == [0]
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup + token windows
+# ---------------------------------------------------------------------------
+
+
+def _py_token_windows(texts, ids, width, stride):
+    rows = []
+    for i, s in zip(ids, texts):
+        t = (s or "").split(" ")
+        k = 0
+        while k * stride < len(t):
+            w = t[k * stride:k * stride + width]
+            rows.append((i, k, " ".join(w), len(w)))
+            k += 1
+    return rows
+
+
+def test_token_windows_brute_force(ray_session):
+    from realestate_scraper_ray.functions.corpus import token_windows
+    texts = ["a b c d e f g", "x", "", "p q r s", "a b c d e f g",
+             " ".join(f"t{i}" for i in range(65))]
+    ids = [3, 1, 2, 4, 5, 6]
+    for width, stride in [(3, 3), (3, 2), (64, 48), (1, 1)]:
+        got = token_windows(ids, texts, width, stride).to_pandas()
+        got = sorted(map(tuple, got.itertuples(index=False)))
+        want = sorted(_py_token_windows(texts, ids, width, stride))
+        assert got == want, (width, stride)
+
+
+def _py_paragraph_dedup(texts, ids, block):
+    blocks = _py_token_windows(texts, ids, block, block)
+    first = {}
+    for did, bi, btxt, _ in sorted(blocks, key=lambda r: (r[0], r[1])):
+        first.setdefault(btxt, (did, bi))
+    out = {}
+    for did, bi, btxt, _ in blocks:
+        if first[btxt] == (did, bi):
+            out.setdefault(did, []).append((bi, btxt))
+    return {did: (" ".join(b for _, b in sorted(v)), len(v))
+            for did, v in out.items()}
+
+
+@pytest.mark.parametrize("threshold", [None, 0])
+def test_paragraph_dedup_both_paths(ray_session, threshold):
+    """Broadcast (threshold=None -> 64 MiB cap) and forced-distributed
+    (threshold=0) paths against a sequential reference, on a corpus
+    where one doc repeats another's blocks exactly (it must vanish),
+    one shares a prefix block, and tails/empties are exercised."""
+    from realestate_scraper_ray.stages.dedupe import paragraph_dedup
+    B = 4
+    d0 = " ".join(f"a{i}" for i in range(10))          # blocks a0..3 / a4..7 / a8,a9
+    d1 = d0                                            # full dup -> vanishes
+    d2 = " ".join([f"a{i}" for i in range(4)] + ["z1", "z2"])  # shares block 0
+    d3 = "solo doc here"
+    d4 = ""                                            # one empty block
+    texts = [d0, d1, d2, d3, d4]
+    ids = [10, 20, 5, 7, 9]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    out = paragraph_dedup(ds, "text", "doc_id", block=B,
+                          threshold_bytes=threshold)
+    got = {r["doc_id"]: (r["text_dedup"], r["n_blocks_kept"])
+           for r in out.take_all()}
+    want = _py_paragraph_dedup(texts, ids, B)
+    assert got == want
+    assert 20 not in got                      # the full duplicate vanished
+    assert got[5][0] == "a0 a1 a2 a3 z1 z2"   # min doc_id wins the shared block
+    assert got[10][0] == " ".join(f"a{i}" for i in range(4, 10))
