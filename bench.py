@@ -46,6 +46,7 @@ HEADLINE_QUERIES = [
     "events_type_rollup", "events_pivot_counts", "tfidf_top_terms",
     "bloom_semi_join", "approx_percentiles_hist", "events_global_rank",
     "assembled_training_set", "semdedup_removed", "corpus_cluster_map",
+    "chunk_documents", "paragraph_dedup",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a
