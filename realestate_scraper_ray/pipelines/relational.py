@@ -3590,6 +3590,49 @@ def paragraph_dedup_q(sf_dir: str) -> rd.Dataset:
     return _as_arrow(paragraph_dedup(ds, "text", "doc_id", block=32))
 
 
+_DOMAIN_CAP_SQL = """
+SELECT source, doc_id, n_chars, rnk FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents) WHERE rnk <= 20
+"""
+
+
+@query("domain_cap_sample", _DOMAIN_CAP_SQL)
+def domain_cap_sample(sf_dir: str) -> rd.Dataset:
+    """Per-domain quota: keep at most K=20 docs per source (longest
+    n_chars first, ties -> min doc_id) — the per-domain representation
+    cap of web-corpus curation.
+
+    source has LOW cardinality (a handful of values), so a
+    ``groupby(source).map_groups`` would funnel ~1/|sources| of the
+    corpus into one task (the skewed-low-cardinality-key anti-pattern).
+    Instead: a per-batch partial top-K combiner bounds the exchange to
+    K rows per (block, source) — skew-safe at any scale — and the final
+    per-source top-K runs over K x n_blocks rows, not the corpus."""
+    import polars as pl
+    K = 20
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        g = (pl.from_arrow(t)
+             .sort(["n_chars", "doc_id"], descending=[True, False])
+             .group_by("source", maintain_order=True).head(K))
+        return g.select(t.schema.names).to_arrow().cast(t.schema)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["n_chars", "doc_id"],
+                           ascending=[False, True]).head(K))
+        return g.assign(rnk=np.arange(1, len(g) + 1,
+                                      dtype=np.int64))[
+            ["source", "doc_id", "n_chars", "rnk"]]
+
+    return _as_arrow(ds.map_batches(partial_topk, batch_format="pyarrow")
+                     .groupby("source")
+                     .map_groups(final_topk, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

@@ -215,3 +215,41 @@ def test_corpus_cluster_map_planted_clusters(ray_session, tmp_path):
     exp = pd.DataFrame(rows).sort_values("cluster").reset_index(drop=True)
     got = out.astype({"cluster": "int64", "n_docs": "int64"})
     assert got.to_dict("records") == exp.to_dict("records")
+
+
+def test_domain_cap_sample_binds_and_orders(ray_session):
+    """The per-source quota on a skewed synthetic corpus: one hot
+    source far over the cap, one under, exact rank/tie semantics vs a
+    brute-force reference. Runs the registered query body over a temp
+    parquet dir shaped like the testdata."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+
+    rng = np.random.default_rng(11)
+    n_hot, n_cold = 300, 5
+    df = pd.DataFrame({
+        "doc_id": np.arange(n_hot + n_cold, dtype=np.int64),
+        "text": ["x"] * (n_hot + n_cold),
+        "lang": ["pl"] * (n_hot + n_cold),
+        "source": ["hot"] * n_hot + ["cold"] * n_cold,
+        # heavy ties: only 7 distinct lengths in the hot source
+        "n_chars": np.concatenate([rng.integers(10, 17, n_hot),
+                                   rng.integers(100, 200, n_cold)]).astype("int64"),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"))
+        got = pa.Table.from_pylist(
+            QUERIES["domain_cap_sample"](d).take_all()).to_pandas()
+    exp = (df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+           .groupby("source", sort=False).head(20)
+           .sort_values(["source", "n_chars", "doc_id"],
+                        ascending=[True, False, True]))
+    exp = exp.assign(rnk=exp.groupby("source").cumcount() + 1)
+    got = got.sort_values(["source", "rnk"]).reset_index(drop=True)
+    exp = exp[["source", "doc_id", "n_chars", "rnk"]].reset_index(drop=True)
+    assert got.astype(str).to_dict("records") == exp.astype(str).to_dict("records")
+    assert got.groupby("source").size().to_dict() == {"hot": 20, "cold": 5}
