@@ -3590,6 +3590,42 @@ def paragraph_dedup_q(sf_dir: str) -> rd.Dataset:
     return _as_arrow(paragraph_dedup(ds, "text", "doc_id", block=32))
 
 
+_ANN_FILTERED_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id AND e.label = 0),
+r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+
+@query("ann_filtered_topk", _ANN_FILTERED_SQL)
+def ann_filtered_topk(sf_dir: str) -> pd.DataFrame:
+    """Metadata-filtered vector search: top-5 cosine neighbors among
+    vectors satisfying ``label = 0`` only — the filtered-ANN shape of
+    production vector stores. The predicate pushes into the parquet
+    fragment scan (pre-filtering: pruned row groups never leave
+    storage, and the matmul only ever sees qualifying vectors), then
+    the brute-force blocked top-k streams the filtered corpus exactly
+    like `ann_cosine_topk`."""
+    from ..stages.similarity import cosine_topk
+    qds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"],
+              filter=(pc.field("vec_id") < 8))
+    qrows = pa.Table.from_pylist(qds.take_all())
+    qids = np.asarray(qrows["vec_id"])
+    qmat = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"],
+             filter=(pc.field("label") == 0))
+    out = cosine_topk(ds, "embedding", "vec_id", qids, qmat, k=5)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64",
+                       "rank": "int64"})
+
+
 _DOMAIN_CAP_SQL = """
 SELECT source, doc_id, n_chars, rnk FROM (
   SELECT source, doc_id, n_chars,
