@@ -256,13 +256,19 @@ def grouped_percentile_disc(ds, group_col: str, value_col: str,
         return pa.table({group_col: g[group_col][:1],
                          "counts": pa.array([total.tobytes()], pa.binary())})
 
-    merged = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(group_col).map_groups(merge, batch_format="pyarrow")
-              .take_all())
-    if len(merged) * nbins * 8 > driver_cap_bytes:
+    # materialize the sketch table in the OBJECT STORE first and gate on
+    # its metadata row count — the cap must fire BEFORE the driver pulls
+    # n_groups x nbins x 8 bytes, not after (take_all-then-check would
+    # absorb the memory the cap exists to bound)
+    merged_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby(group_col).map_groups(merge, batch_format="pyarrow")
+                 .materialize())
+    n_groups = merged_ds.count()  # metadata read on a materialized ds
+    if n_groups * nbins * 8 > driver_cap_bytes:
         raise ValueError(
-            f"{len(merged)} groups x {nbins} bins exceeds the driver "
+            f"{n_groups} groups x {nbins} bins exceeds the driver "
             f"sketch cap; raise driver_cap_bytes or lower nbins")
+    merged = merged_ds.take_all()
 
     # targets[group][bin] = [(q_name, within_bin_rank), ...]
     targets: dict = {}

@@ -263,3 +263,36 @@ def word_shingle_set(text: str, k: int = 3) -> set[str]:
     if len(words) < k:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def fnv1a64(arr) -> np.ndarray:
+    """Vectorized FNV-1a (64-bit) over each string's UTF-8 bytes.
+
+    Pure uint64 numpy arithmetic over the Arrow flat byte buffer —
+    version-stable across library upgrades (the guarantee a
+    polars/xxh3 kernel cannot make), which is what keys persisted in
+    checkpoints need. The loop is over BYTE POSITIONS (bounded by the
+    longest string); every iteration processes the whole still-active
+    column slice, so Python overhead is O(max_len), not O(rows).
+    """
+    if isinstance(arr, (list, np.ndarray)):
+        arr = pa.array(arr, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    a = arr.cast(pa.large_binary())
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs = np.frombuffer(a.buffers()[1], dtype=np.int64)[
+        a.offset:a.offset + n + 1]
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    starts, lens = offs[:-1], offs[1:] - offs[:-1]
+    h = np.full(n, 0xcbf29ce484222325, dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    max_len = int(lens.max())
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            idx = np.nonzero(lens > j)[0]
+            b = data[starts[idx] + j].astype(np.uint64)
+            h[idx] = (h[idx] ^ b) * prime
+    return h

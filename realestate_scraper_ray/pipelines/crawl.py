@@ -263,7 +263,15 @@ def _host_buckets(urls: pa.Array | pa.ChunkedArray, cfg: CrawlConfig) -> np.ndar
     s = pl.from_arrow(arr)
     if isinstance(s, pl.DataFrame):
         s = s.to_series()
-    hosts = s.str.extract(r"^https?://([^/]+)", 1).to_arrow()
+    # host_of-equivalent kernel: strip any scheme, stop at /?#. The
+    # extract can never be null (the * matches empty), so the
+    # dictionary indices below are always valid integers — a plain
+    # ^https?://([^/]+) returned null for uppercase schemes /
+    # scheme-less URLs (NaN fancy-index crash) and disagreed with
+    # host_of on path-less URLs with a query string.
+    hosts = (s.fill_null("")
+             .str.replace(r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+             .str.extract(r"^([^/?#]*)", 1)).to_arrow()
     if isinstance(hosts, pa.ChunkedArray):
         hosts = hosts.combine_chunks()
     enc = hosts.dictionary_encode()

@@ -196,9 +196,15 @@ def _iter_marker_scripts(html: str, marker: str):
         if i < 0:
             return
         s = html.rfind("<script", pos, i)
-        e = html.find(">", i)
-        if s < 0 or e < 0:
-            return
+        e = html.find(">", s) if s >= 0 else -1
+        if s < 0 or e < i:
+            # stray marker NOT inside a script open tag (visible page
+            # text, an earlier script's JSON body, another tag's
+            # attribute): skip just the marker and keep scanning —
+            # genuine later blocks must still be found, and the
+            # backtracked tag must never be mistaken for the carrier
+            pos = i + len(marker)
+            continue
         j = html.find("</script>", e)
         if j < 0:
             return
@@ -325,8 +331,8 @@ def extract_listing_links(html: str) -> list[str]:
     if "listing-item-link" not in html:
         return []
     from .portals import _CARD_ANY_RE
-    out = [m.group(1) or m.group(2) or m.group(3)
-           for m in _CARD_ANY_RE.finditer(html)]
+    out = [h for m in _CARD_ANY_RE.finditer(html)
+           if (h := m.group(1) or m.group(2) or m.group(3))]
     if not out:
         # fast path missed despite the marker → tolerant DOM pass
         from .htmlparse import parse_html
@@ -410,7 +416,9 @@ def html_to_spans(html: str, url: str | None = None) -> list[dict]:
     if lm:
         fields.setdefault("lat", lm.group(1))
         fields.setdefault("lon", lm.group(2))
-    if '{"latitude":10' in html:  # hydrated map bounds (morizon)
+    if '{"latitude":' in html:  # hydrated map bounds (morizon): the
+        # cheap gate must accept ANY marker id, not just the synthetic
+        # portal's 101..104 (the regex itself matches \d+ ids)
         hc = hydrated_center(html)
         if hc is not None:
             fields.setdefault("lat", hc[0])

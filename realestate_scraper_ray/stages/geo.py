@@ -241,8 +241,16 @@ class GeocoderActor:
         self.misses = 0
         if cache_path and os.path.exists(cache_path):
             with open(cache_path) as f:
-                self.cache = {k: (tuple(v) if v is not None else None)
-                              for k, v in json.load(f).items()}
+                loaded = json.load(f)
+            # migration: pre-verification caches stored bare (lat, lon)
+            # pairs with no display name. Keeping them would make
+            # geocode_result_matches reject every warm hit FOREVER (a
+            # cache hit never re-geocodes), silently disabling the
+            # J4/J5 chain. Dropping them re-resolves each such query
+            # once through the miss path and re-caches the full tuple.
+            self.cache = {k: (tuple(v) if v is not None else None)
+                          for k, v in loaded.items()
+                          if v is None or len(v) >= 3}
 
     def lookup(self, queries: list[str]) -> list[tuple[float, float] | None]:
         out = []

@@ -149,13 +149,15 @@ def listing_links_gratka(html: str, base: str, city: str) -> list[str]:
                     if "?page=" in h and "/ob/" not in h:
                         kept.append(join_url(base, h))  # pagination
             continue
+        loc_txt = None  # tag-strip the card once, not once per href
         for h in _hrefs_in(card):
             u = join_url(base, h)
             if not GRATKA_OB_RE.search(u):
                 continue
             all_ob.append(u)
             # location text: strip tags from the card, containment check
-            loc_txt = re.sub(r"<[^>]+>", " ", card)
+            if loc_txt is None:
+                loc_txt = re.sub(r"<[^>]+>", " ", card)
             if city_matches(loc_txt, city):
                 kept.append(u)
     if not [u for u in kept if "/ob/" in u] and all_ob:
@@ -207,7 +209,9 @@ def listing_links_generic(html: str, base: str) -> list[str]:
     links: list[str] = []
     if 'listing-item-link' in html:
         for m in _CARD_ANY_RE.finditer(html):
-            links.append(join_url(base, m.group(1) or m.group(2) or m.group(3)))
+            h = m.group(1) or m.group(2) or m.group(3)
+            if h:  # empty-href anchors degrade, not crash
+                links.append(join_url(base, h))
         if not links:  # markers present, fast path missed → DOM pass
             root = parse_html(html)
             for a in root.find_all("a", attrs={"data-cy": "listing-item-link"}):
@@ -215,7 +219,9 @@ def listing_links_generic(html: str, base: str) -> list[str]:
                 if h:
                     links.append(join_url(base, h))
     for m in _PAGNEXT_ANY_RE.finditer(html):
-        links.append(join_url(base, m.group(1) or m.group(2) or m.group(3)))
+        h = m.group(1) or m.group(2) or m.group(3)
+        if h:
+            links.append(join_url(base, h))
     return links
 
 

@@ -25,17 +25,18 @@ from .cuckoo import CuckooFilter
 
 
 def url_keys(urls: list[str] | pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """url → uint64 keys, one vectorized xxh3 pass (polars ``hash``
-    kernel, fixed seed — deterministic across processes/nodes for a
-    pinned polars version, which is all the URL-seen service needs:
-    keys live only inside one job's filters and checkpoints)."""
-    import polars as pl
+    """url → uint64 keys, one vectorized FNV-1a pass (pure numpy
+    uint64 arithmetic). VERSION-STABLE by construction: cuckoo shard
+    bytes persist in crawl checkpoints, and a --resume after a library
+    upgrade must hash every previously-seen URL to the same key — a
+    polars/xxh3 kernel cannot promise that across versions (its own
+    docs reserve the right to change the hash), and a silent change
+    would re-admit the entire seen set. ~0.75 µs/URL, noise next to
+    the ~3 CPU-ms/page fetch+parse cost."""
+    from ..functions.textstats import fnv1a64
     arr = urls if isinstance(urls, (pa.Array, pa.ChunkedArray)) \
         else pa.array(urls, pa.string())
-    s = pl.from_arrow(arr)
-    if isinstance(s, pl.DataFrame):
-        s = s.to_series()
-    return s.hash(seed=41).to_numpy().astype(np.uint64, copy=False)
+    return fnv1a64(arr)
 
 
 @ray.remote(num_cpus=0.25)

@@ -151,3 +151,35 @@ def test_multiple_ld_blocks_first_wins():
               for s in html_to_spans(html) if s["kind"] == "text"}
     assert fields["title"] == "first"     # first product wins per field
     assert fields["rooms"] == "4"         # later block fills missing fields
+
+
+def test_stray_marker_outside_script_does_not_derail_extraction():
+    """The marker substring appearing in visible text, in an earlier
+    script's JSON body, or with no preceding <script at all must not
+    abort or mis-anchor extraction of genuine later blocks."""
+    prefix = (
+        '<p>uses application/ld+json markup</p>\n'
+        '<script>var cfg = {"fmt": "application/ld+json"};</script>\n'
+        '<div data-note="application/ld+json"></div>\n')
+    fields, images = extract_ldjson_fields(
+        "<html><head>" + prefix + LD_FIXTURE)
+    assert fields["title"] == "Mieszkanie 3 pok. Gdansk"
+    assert float(fields["price_amount"]) == 499000.0
+    assert len(images) == 2
+    # marker before ANY <script in the document (old code returned)
+    fields2, _ = extract_ldjson_fields(
+        "<html><body><p>application/ld+json here</p>" + LD_FIXTURE)
+    assert fields2["title"] == "Mieszkanie 3 pok. Gdansk"
+
+
+def test_empty_href_cards_degrade_gracefully():
+    html = ('<article data-cy="listing-item">'
+            '<a data-cy="listing-item-link" href="">x</a></article>'
+            '<article data-cy="listing-item">'
+            '<a data-cy="listing-item-link" '
+            'href="https://x.otodom.pl/pl/oferta/m-1-ID1">y</a></article>')
+    links = extract_listing_links(html)
+    assert links == ["https://x.otodom.pl/pl/oferta/m-1-ID1"]
+    from realestate_scraper_ray.stages.portals import listing_links_generic
+    assert listing_links_generic(html, "https://x.otodom.pl") == [
+        "https://x.otodom.pl/pl/oferta/m-1-ID1"]

@@ -242,3 +242,27 @@ def test_geocode_verification_rejects_poisoned_cache(ray_session, tmp_path):
     if bool(out.loc[0, "geo_snapped"]):
         assert float(haversine_m(out.loc[0, "lat"], out.loc[0, "lon"],
                                  cpt[0], cpt[1])) < 1.0
+
+
+def test_legacy_two_element_cache_entries_migrate(ray_session, tmp_path):
+    """A warm cache written by the pre-verification format (bare
+    [lat, lon], no display name) must not poison the verification
+    step forever: legacy entries are dropped on load and re-resolve
+    through the miss path with the full display tuple."""
+    import json
+
+    import ray
+    from realestate_scraper_ray.stages.geo import (
+        GeocoderActor, geocode_result_matches, synthetic_geocode)
+    path = str(tmp_path / "legacy.json")
+    with open(path, "w") as f:
+        json.dump({"Gdansk": [54.3, 18.6],          # legacy 2-element
+                   "Sopot": None}, f)                # cached negative kept
+    g = GeocoderActor.remote(cache_path=path)
+    st0 = ray.get(g.stats.remote())
+    assert st0["cached"] == 1                        # legacy entry dropped
+    (pt,) = ray.get(g.lookup.remote(["Gdansk"]))
+    assert len(pt) == 3 and pt == synthetic_geocode("Gdansk")
+    assert geocode_result_matches("city", None, None, "Gdansk", pt[2])
+    (neg,) = ray.get(g.lookup.remote(["Sopot"]))
+    assert neg is None and ray.get(g.stats.remote())["hits"] == 1

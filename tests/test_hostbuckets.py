@@ -43,3 +43,18 @@ def test_fragments_are_priority_and_bucket_prefixed(tmp_path, ray_session):
     # and detail fragments carry their host bucket in the name
     assert names[0].startswith("part-p0-")
     assert any(n.startswith("part-p2-b") for n in names)
+
+
+def test_bucket_handles_odd_urls_and_matches_host_of():
+    """Uppercase schemes, scheme-less URLs, path-less URLs with a query
+    string, empty strings: no crash, and the bucketed host agrees with
+    functions.urls.host_of (the politeness/skew-salt host)."""
+    import zlib
+
+    from realestate_scraper_ray.functions.urls import host_of
+    cfg = CrawlConfig(skew_salts=(), host_buckets=256)
+    urls = ["HTTPS://Host.pl/x", "https://host.pl?page=2", "host.pl/x",
+            "", "ftp://other.example/z", "https://host.pl/a?b#c"]
+    got = _host_buckets(pa.array(urls, pa.string()), cfg)
+    want = [zlib.crc32(host_of(u).encode()) % 256 for u in urls]
+    assert list(got) == want

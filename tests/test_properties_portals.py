@@ -116,3 +116,20 @@ def test_tolerant_parser_never_raises(junk):
     root = parse_html(junk)          # arbitrary garbage: no exception
     for n in root.iter_nodes():
         assert n.tag
+
+
+def test_hydrated_gate_accepts_any_marker_id():
+    """The cheap substring gate in html_to_spans must fire for ANY
+    hydrated-bounds marker id, not just the synthetic portal's 101..104
+    — a real morizon page may number its corner markers arbitrarily."""
+    from realestate_scraper_ray.stages.fetch import html_to_spans
+    html = ('<html><body><script>x=[{"latitude":7,"longitude":8},'
+            "54.10,18.20,"
+            '{"latitude":9,"longitude":3},'
+            "54.30,18.40]</script>"
+            '<div class="param" data-k="offer_id">m1</div></body></html>')
+    spans = html_to_spans(html, "https://www.morizon.pl/oferta/mzn1")
+    fields = {s["text"].split("=", 1)[0]: s["text"].split("=", 1)[1]
+              for s in spans if "=" in s.get("text", "")}
+    assert float(fields["lat"]) == (54.10 + 54.30) / 2
+    assert float(fields["lon"]) == (18.20 + 18.40) / 2
