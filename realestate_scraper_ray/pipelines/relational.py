@@ -3590,6 +3590,53 @@ def paragraph_dedup_q(sf_dir: str) -> rd.Dataset:
     return _as_arrow(paragraph_dedup(ds, "text", "doc_id", block=32))
 
 
+_BIGRAMS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT UNNEST([array_to_string(list_slice(w, i, i + 1), ' ')
+                 FOR i IN range(1, len(w))]) AS bigram
+  FROM toks WHERE len(w) >= 2),
+c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram)
+SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+
+@query("corpus_bigrams", _BIGRAMS_SQL)
+def corpus_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus bigram counts, global top-20 — the n-gram LM count shape.
+    Per-batch (bigram, cnt) partials (vectorized shingles + np.unique)
+    shrink the exchange to one bigram-vocabulary row per batch; the
+    summed table then yields per-block top-20 partials, so the driver
+    merges <= 20·n_blocks candidate rows, never the vocabulary."""
+    from ..functions.corpus import shingle_strings
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    empty = pa.schema([("bigram", pa.string()), ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, sh = shingle_strings(t["doc_id"].to_numpy(),
+                                t["text"].to_pylist(), k=2)
+        if len(sh) == 0:
+            return empty.empty_table()
+        u, c = np.unique(sh.astype(str), return_counts=True)
+        return pa.table({"bigram": pa.array(u, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bigram").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(t, 20, [("cnt", "descending"),
+                                           ("bigram", "ascending")])
+        return t.take(idx)
+
+    cand = pa.Table.from_pylist(
+        summed.map_batches(local_topk, batch_format="pyarrow")
+        .take_all()).to_pandas()
+    out = (cand.sort_values(["cnt", "bigram"], ascending=[False, True])
+           .head(20).reset_index(drop=True))
+    return out.astype({"cnt": "int64"})
+
+
 _ANN_FILTERED_SQL = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
 s AS (

@@ -237,6 +237,19 @@ def _next_data_advert(block: str) -> dict | None:
 _LD_RE = re.compile(
     r'<script type="application/ld\+json">(.*?)</script>', re.S)
 _LEAFLET_RE = re.compile(r'L\.marker\(\[\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\]\)')
+# anchored probe for a morizon hydrated-bounds corner marker: integer
+# ids only, so float "latitude" values in other portals' JSON (e.g. the
+# trojmiasto NEXT advert) don't trigger a whole-page bounds scan
+_HYD_MARK_RE = re.compile(r'\{"latitude":\d+,"longitude":\d+\}')
+
+
+def _has_hydrated_marker(html: str) -> bool:
+    gi = html.find('{"latitude":')
+    while gi >= 0:
+        if _HYD_MARK_RE.match(html, gi):
+            return True
+        gi = html.find('{"latitude":', gi + 12)
+    return False
 
 # JSON-LD → engine field names (schema.org Product/Offer vocabulary)
 _LD_FIELD_ORDER = ("title", "price_amount", "price_currency", "city",
@@ -416,9 +429,10 @@ def html_to_spans(html: str, url: str | None = None) -> list[dict]:
     if lm:
         fields.setdefault("lat", lm.group(1))
         fields.setdefault("lon", lm.group(2))
-    if '{"latitude":' in html:  # hydrated map bounds (morizon): the
-        # cheap gate must accept ANY marker id, not just the synthetic
-        # portal's 101..104 (the regex itself matches \d+ ids)
+    if _has_hydrated_marker(html):  # hydrated map bounds (morizon):
+        # accepts ANY integer marker id (not just the synthetic
+        # portal's 101..104) without letting float latitudes in other
+        # portals' JSON trigger the whole-page bounds regex
         hc = hydrated_center(html)
         if hc is not None:
             fields.setdefault("lat", hc[0])
