@@ -70,3 +70,46 @@ def test_empty_text_edge_cases():
     assert token_counts([""])["n_tokens_ws"].to_pylist() == [0]
     assert simhash64([""])[0] == 0
     assert (minhash_signatures([""]) == np.iinfo(np.uint64).max).all()
+
+
+def test_fnv1a64_golden_values_and_cap_ordering(ray_session):
+    """fnv1a64 exists to be VERSION-STABLE (url-seen keys persist in
+    crawl checkpoints), so pin it to the published FNV-1a constants —
+    any library or implementation drift must fail loudly here."""
+    import numpy as np
+    import pyarrow as pa
+
+    from realestate_scraper_ray.functions.textstats import fnv1a64
+    got = fnv1a64(pa.array(["", "a", "abc", "żółć",
+                            "https://www.otodom.pl/pl/oferta/m-1-ID1"],
+                           pa.string()))
+    # offset basis; FNV-1a("a"); FNV-1a("abc") — published test vectors
+    assert got[0] == 0xcbf29ce484222325
+    assert got[1] == 0xaf63dc4c8601ec8c
+    assert got[2] == 0xe71fa2190541574b
+
+    def ref(s: str) -> int:
+        h = 0xcbf29ce484222325
+        for b in s.encode():
+            h = ((h ^ b) * 0x100000001b3) % (1 << 64)
+        return h
+
+    assert [int(x) for x in got] == [
+        ref(s) for s in ["", "a", "abc", "żółć",
+                         "https://www.otodom.pl/pl/oferta/m-1-ID1"]]
+
+
+def test_grouped_percentile_cap_fires_before_pull(ray_session):
+    """The driver sketch cap must raise rather than absorb the
+    sketches; with a cap smaller than one sketch it fires for any
+    grouped input."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from realestate_scraper_ray.functions.sketches import grouped_percentile_disc
+    ds = rd.from_arrow(pa.table({"g": ["a", "b"] * 50,
+                                 "v": [float(i) for i in range(100)]}))
+    with pytest.raises(ValueError, match="sketch cap"):
+        grouped_percentile_disc(ds, "g", "v", {"p50": 0.5}, nbins=1024,
+                                driver_cap_bytes=100)
