@@ -60,6 +60,33 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
     from ..functions.textstats import md5_fingerprints, token_counts
 
     os.makedirs(out_dir, exist_ok=True)
+    # resume safety: skip-if-exists is only sound against shards written
+    # with the SAME parameters. A different shard width leaves stale
+    # shard dirs that read_assembled would union with the new ones
+    # (silently duplicated corpus); different bin_tokens/quantile would
+    # keep old-content shards beside new ones. Refuse loudly instead.
+    stale = [d for d in os.listdir(out_dir)
+             if d.startswith("shard=")
+             and len(d) - len("shard=") != shard_hex_digits]
+    if stale:
+        raise ValueError(
+            f"{out_dir} holds shards of a different width (e.g. "
+            f"'{stale[0]}'); resuming with shard_hex_digits="
+            f"{shard_hex_digits} would DUPLICATE the corpus in "
+            "read_assembled — use a fresh out_dir or remove the stale "
+            "shards")
+    man_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            prev = json.load(f)
+        for key, cur in (("shard_hex_digits", shard_hex_digits),
+                         ("bin_tokens", bin_tokens),
+                         ("quantile", quantile)):
+            if key in prev and prev[key] != cur:
+                raise ValueError(
+                    f"{out_dir} was assembled with {key}={prev[key]}; "
+                    f"re-running with {key}={cur} would mix shard "
+                    "contents — use a fresh out_dir")
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text", "source"])
     n_in = ds.count()
@@ -158,7 +185,7 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
         "n_in": int(n_in), "n_after_quality": int(n_gated),
         "n_after_temperature": int(sum(rows.values())),
         "quantile_cutoff_tokens": cutoff, "bin_tokens": bin_tokens,
-        "shard_hex_digits": shard_hex_digits,
+        "quantile": quantile, "shard_hex_digits": shard_hex_digits,
         "shard_rows": {k: int(v) for k, v in sorted(rows.items())},
         "written": sorted(written), "skipped": sorted(skipped),
     }

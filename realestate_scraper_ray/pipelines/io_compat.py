@@ -300,15 +300,19 @@ def export_offer_notifications(result, path: str) -> int:
     stand-in for a broker in this environment is a durable append-only
     JSONL stream in crawl order — a consumer drains it exactly like the
     queue; swapping in a real ``basic_publish`` is one line in the
-    writer loop. Atomic tmp+rename keeps re-exports idempotent."""
+    writer loop. The body is EXACTLY the reference's message —
+    ``{"apartment_id": <id>}``, one key, nothing else (the queue name
+    is the routing key, not body content; backend.py:210-218) — so a
+    schema-strict consumer accepts every line. The id is the engine's
+    offer id (the reference publishes the DB row id, which has no
+    stand-in here). Atomic tmp+rename keeps re-exports idempotent."""
     import json as _json
     offers = result.table("offers").to_pandas().sort_values(
         ["source", "region", "page_idx", "pos"], kind="stable")
     tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         for oid in offers["offer_id"]:
-            f.write(_json.dumps({"apartment_id": str(oid),
-                                 "queue": "scraper_new_offers"}) + "\n")
+            f.write(_json.dumps({"apartment_id": oid}) + "\n")
     os.replace(tmp, path)
     return len(offers)
 

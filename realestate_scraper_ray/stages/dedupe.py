@@ -789,7 +789,13 @@ def paragraph_dedup(ds: rd.Dataset, text_col: str, id_col: str,
 
     blk = ds.map_batches(lambda t: explode(t, with_text=True),
                          batch_format="pyarrow")
-    joined = blk.join(wm, join_type="inner", num_partitions=8, on=("h",))
+    # size the join to its measured input (winner count lower-bounds
+    # the window count) instead of a fixed partition count — this
+    # branch exists precisely for corpora too big to broadcast
+    from .joins import adaptive_partitions
+    joined = blk.join(wm, join_type="inner",
+                      num_partitions=adaptive_partitions(wm.count()),
+                      on=("h",))
 
     def keep_winners(t: pa.Table) -> pa.Table:
         return (t.filter(pc.equal(t["code"], t["min_code"]))

@@ -281,14 +281,22 @@ class GeocoderActor:
 
 
 def geocode_queries(street, district, city) -> list[tuple[str, str]]:
-    """The fallback-query chain (gratka.py:326-426): most-specific
-    first, bare city last (always resolvable). Returns (level, query)."""
+    """The fallback-query chain (gratka.py:326-367), reference-exact:
+    1) street+district+city, 2) street+city, 3) district+city, 4) bare
+    city ONLY when neither street nor district is present ("TYLKO
+    jeśli nie mamy ani ulicy, ani dzielnicy") — an offer with a street
+    whose queries all fail geocodes to NOTHING rather than snapping to
+    the city centroid. Returns (level, query); level carries the
+    verification requirement (street-level queries must match the
+    street in the display name, district-level the district)."""
     out = []
+    if street and district and city:
+        out.append(("street", f"{street}, {district}, {city}"))
     if street and city:
         out.append(("street", f"{street}, {city}"))
     if district and city:
         out.append(("district", f"{district}, {city}"))
-    if city:
+    if city and not (street or district):
         out.append(("city", city))
     return out
 

@@ -57,6 +57,15 @@ def semi_join(fact: rd.Dataset, keys: rd.Dataset, fact_key: str,
         lambda t: t.select([key_col]).group_by(key_col).aggregate([]),
         batch_format="pyarrow")
     k, size = _materialized_size(keys_d)
+    if size > threshold_bytes:
+        # the block-deduped size OVERCOUNTS when the same keys recur in
+        # every block — run the global distinct (this path was paying
+        # it anyway for join semantics) and re-measure the TRUE
+        # distinct set before giving up on the broadcast probe: only a
+        # genuinely cap-exceeding key set should shuffle the fact side
+        k, size = _materialized_size(
+            k.groupby(key_col).aggregate(Count(alias_name="_n"))
+            .select_columns([key_col]))
     if size <= threshold_bytes:
         tbl = _pull_table(k)
         if tbl is None:
@@ -70,8 +79,6 @@ def semi_join(fact: rd.Dataset, keys: rd.Dataset, fact_key: str,
         # slicing), which also preserves the input's block boundaries
         return fact.map_batches(probe, batch_format="pyarrow",
                                 batch_size=None)
-    k = (k.groupby(key_col).aggregate(Count(alias_name="_n"))
-         .select_columns([key_col]))  # global distinct for join semantics
     joined = fact.join(k, join_type="inner", num_partitions=num_partitions,
                        on=(fact_key,), right_on=(key_col,))
     return joined.select_columns(fact.schema().names)

@@ -113,3 +113,21 @@ def test_epoch_shuffle_shard_digits(ray_session):
     # k=2 shards partition each k=1 shard: per-shard pos is 1..n
     for _, g in k2.groupby("shard"):
         assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+
+
+def test_assemble_refuses_parameter_remix(tmp_path, ray_session):
+    """Re-running into an out_dir written with different parameters
+    must refuse loudly: stale shard widths would DUPLICATE the corpus
+    in read_assembled, and changed bin_tokens would mix shard
+    contents behind skip-if-exists."""
+    import pytest
+
+    out = str(tmp_path / "remix")
+    assemble_training_set(SF, out, shard_hex_digits=1)
+    with pytest.raises(ValueError, match="DUPLICATE"):
+        assemble_training_set(SF, out, shard_hex_digits=2)
+    with pytest.raises(ValueError, match="bin_tokens"):
+        assemble_training_set(SF, out, bin_tokens=4096)
+    # same parameters still resume cleanly (all shards skipped)
+    m = assemble_training_set(SF, out)
+    assert m["written"] == [] and len(m["skipped"]) > 0

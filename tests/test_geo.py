@@ -176,15 +176,32 @@ def test_geocode_fallback_chain_and_snap(ray_session, tmp_path):
     out = pa.Table.from_pylist(
         geocode_and_snap(rd.from_arrow(t), g).take_all()).to_pandas()
     out = out.set_index("offer_id")
-    assert out.loc["a", "geo_level"] == "street"
-    assert out.loc["b", "geo_level"] == "city"   # street unknown, no district
+
+    # reference-chain walk (gratka.py:326-367): first resolved AND
+    # verified query wins; exhausting the chain geocodes to nothing
+    from realestate_scraper_ray.stages.geo import (
+        geocode_queries, geocode_result_matches, haversine_m)
+
+    def walk(street, district, city):
+        for level, q in geocode_queries(street, district, city):
+            r = synthetic_geocode(q)
+            if r is not None and geocode_result_matches(
+                    level, street, district, city, r[2]):
+                return level, (r[0], r[1])
+        return "none", None
+
+    lvl_a, pt_a = walk(known_street, "Centrum", "Gdansk")
+    assert out.loc["a", "geo_level"] == lvl_a and lvl_a in ("street",)
+    # b: street present but unresolvable, no district — the reference
+    # NEVER falls back to bare city when a street exists (gratka.py:363)
+    lvl_b, _ = walk(unknown_street, None, "Gdansk")
+    assert out.loc["b", "geo_level"] == lvl_b
+    assert not out.loc["b", "geo_snapped"] or lvl_b != "none"
     assert out.loc["c", "geo_level"] == "city"
     # c sits exactly on the geocoder point -> not snapped
     assert not out.loc["c", "geo_snapped"]
-    # a/b snap iff their geocoder point is >800 m from (54.35, 18.65)
-    from realestate_scraper_ray.stages.geo import haversine_m
-    pa_pt = synthetic_geocode(f"{known_street}, Gdansk")
-    exp_a = float(haversine_m(54.35, 18.65, pa_pt[0], pa_pt[1])) > 800
+    # a snaps iff its accepted point is >800 m from (54.35, 18.65)
+    exp_a = float(haversine_m(54.35, 18.65, pt_a[0], pt_a[1])) > 800
     assert bool(out.loc["a", "geo_snapped"]) == exp_a
 
 
@@ -210,8 +227,11 @@ def test_geocode_verification_rejects_wrong_hits(ray_session):
                   "lat": [54.35], "lon": [18.65]})
     out = pa.Table.from_pylist(
         geocode_and_snap(rd.from_arrow(t), g).take_all()).to_pandas()
-    # the street-level hit resolved but named the wrong place → city
-    assert out.loc[0, "geo_level"] == "city"
+    # the street-level hit resolved but named the wrong place; with a
+    # street present the reference never queries bare city → nothing
+    assert out.loc[0, "geo_level"] == "none"
+    assert not out.loc[0, "geo_snapped"]           # parsed coords kept
+    assert float(out.loc[0, "lat"]) == 54.35
 
 
 def test_geocode_verification_rejects_poisoned_cache(ray_session, tmp_path):
@@ -235,13 +255,11 @@ def test_geocode_verification_rejects_poisoned_cache(ray_session, tmp_path):
                   "lat": [54.35], "lon": [18.65]})
     out = pa.Table.from_pylist(
         geocode_and_snap(rd.from_arrow(t), g).take_all()).to_pandas()
-    assert out.loc[0, "geo_level"] == "city"
-    # and the snap point is the CITY point, not the poisoned one
-    cpt = synthetic_geocode(city)
-    from realestate_scraper_ray.stages.geo import haversine_m
-    if bool(out.loc[0, "geo_snapped"]):
-        assert float(haversine_m(out.loc[0, "lat"], out.loc[0, "lon"],
-                                 cpt[0], cpt[1])) < 1.0
+    # poisoned street-level hit rejected; street present → no bare-city
+    # fallback (gratka.py:363) → nothing accepted, parsed coords kept
+    assert out.loc[0, "geo_level"] == "none"
+    assert not out.loc[0, "geo_snapped"]
+    assert float(out.loc[0, "lat"]) == 54.35 and float(out.loc[0, "lon"]) == 18.65
 
 
 def test_legacy_two_element_cache_entries_migrate(ray_session, tmp_path):

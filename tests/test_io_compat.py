@@ -213,6 +213,9 @@ def test_live_all_log_roundtrip_and_notifications(tmp_path, ray_session):
     offers = res.table("offers").to_pandas().sort_values(
         ["source", "region", "page_idx", "pos"], kind="stable")
     assert [r["apartment_id"] for r in rows] == list(offers["offer_id"])
+    # backend.py:210-218: the body is EXACTLY {"apartment_id": id} —
+    # a schema-strict consumer must accept every line
+    assert all(set(r) == {"apartment_id"} for r in rows)
 
 
 def test_delete_cheap_offers_correction(ray_session):
