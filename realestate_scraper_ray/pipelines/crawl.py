@@ -226,19 +226,6 @@ def _links_of(t: pa.Table, kinds: list[str]) -> pa.Table:
     return links.filter(pc.is_in(links["kind"], value_set=pa.array(kinds)))
 
 
-def make_dedup_fn(urlseen: UrlSeenService):
-    """Stateless map_batches fn: routes candidate frontier rows through
-    the URL-seen shard actors (test-and-set) and keeps first-seen rows."""
-
-    def dedup(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        new = urlseen.filter_new(t["url"].combine_chunks())
-        return t.filter(pa.array(new))
-
-    return dedup
-
-
 _FRAG_COUNTER = itertools.count()
 # per-worker-process token: pids alone are NOT unique across the nodes
 # of a `ray job submit` cluster sharing one --workdir, so a pid+counter
@@ -354,7 +341,8 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
         meta = _filter_kind(t, "pagemeta")
         _write_fragment(
             meta.filter(pc.equal(meta["status"], "fetch_fail"))
-            .select(["url", "source", "region", "page_idx", "fetch_kind"]),
+            .select(["url", "source", "region", "page_idx", "pos",
+                     "fetch_kind"]),
             quarantine_dir)
         cand = _links_of(t, ["detail", "investment"])
         if cand.num_rows:
@@ -449,7 +437,15 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
     """Run (or resume) the crawl. ``stop_after_generations`` simulates a
     kill after N completed waves (checkpoint committed, loop abandoned) —
     the resume-exactness tests restart from there and must produce
-    byte-identical final tables."""
+    byte-identical final tables.
+
+    Resume contract: byte-identical for runs WITHOUT fetch failures.
+    When failures exist, resume deliberately diverges from the crippled
+    run: fetch-failed regions re-enqueue their listing chain and
+    quarantined offer pages re-enqueue (reference retry semantics,
+    cli.py:731-816) — recovery, not replay. Recovered offer rows keep
+    their original (page_idx, pos), so a resumed-then-healed run's
+    offers converge to what an unfailed run produces."""
     portal = Portal(portal_cfg)
     cfg = crawl_cfg
     urlseen = UrlSeenService(cfg.urlseen_shards, cfg.urlseen_capacity, cfg.fingerprint_bits)
@@ -463,7 +459,8 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
     if resume:
         gen = _restore_checkpoint(workdir, state, urlseen, politeness)
         _clean_partial(workdir, gen)
-        _append_retry_rows(portal, state, _frontier_dir(workdir, gen), cfg)
+        _append_retry_rows(portal, state, _frontier_dir(workdir, gen), cfg,
+                           workdir)
     else:
         for name in ("offers", "photos", "media", "quarantine", "frontier", "checkpoint"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
@@ -483,16 +480,24 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
     ckpt_idx = 0
     while True:
         if _frontier_rows(workdir, gen) == 0:
-            failed = [k for k, st in state.items() if st.stop_reason == "fetch_fail"]
-            if failed and retries_left > 0:
-                retries_left -= 1
+            if retries_left > 0:
                 os.makedirs(_frontier_dir(workdir, gen), exist_ok=True)
-                _append_retry_rows(portal, state, _frontier_dir(workdir, gen), cfg)
+                _append_retry_rows(portal, state, _frontier_dir(workdir, gen),
+                                   cfg, workdir)
                 if _frontier_rows(workdir, gen) == 0:
                     break
+                retries_left -= 1
             else:
                 break
-        _run_wave(portal, cfg, workdir, gen, urlseen, politeness, state, run_token)
+        try:
+            _run_wave(portal, cfg, workdir, gen, urlseen, politeness, state,
+                      run_token)
+        except Exception as e:
+            raise RuntimeError(
+                f"wave {gen} failed mid-execution (worker death or task "
+                "error); URL-seen admissions may be partial — re-run with "
+                "resume=True to replay from the last checkpoint "
+                "(replace-on-retry is idempotent)") from e
         # checkpoint interval: skipped waves re-run deterministically on
         # resume (replace-on-retry), trading a little recompute for less
         # per-wave filter-dump I/O
@@ -528,8 +533,23 @@ def _seed_table(portal: Portal, cfg: CrawlConfig) -> pa.Table:
 
 
 def _append_retry_rows(portal: Portal, state: dict, fdir: str,
-                       cfg: CrawlConfig) -> None:
-    """fetch-failed regions resume at last_page_done+1 (cli.py:756-762)."""
+                       cfg: CrawlConfig, workdir: str | None = None) -> None:
+    """Retry enqueue (reference retry rounds, cli.py:731-816):
+
+    - fetch-failed regions resume their LISTING chain at
+      last_page_done+1 (cli.py:756-762);
+    - quarantined DETAIL/INVESTMENT pages re-enqueue unless an offers
+      row proves the detail page has since been fetched (the reference
+      re-fetches failed offer URLs; without this they were admitted to
+      the URL-seen set at discovery and lost forever). Retried detail
+      rows carry kind='detail-retry' so the urls table (derived from
+      kind='detail' frontier rows — each discovery exactly once) is
+      not polluted; they fetch exactly like details and keep their
+      original (page_idx, pos), so recovered offer rows are
+      byte-identical to an unfailed run's. Investment retries have no
+      success marker and simply re-fetch — idempotent, since their
+      re-emitted links dedup against the URL-seen set. Fixed fragment
+      names make repeated resume calls overwrite, not stack."""
     rows = []
     for (s, r), st in state.items():
         if st.stop_reason == "fetch_fail":
@@ -541,7 +561,89 @@ def _append_retry_rows(portal: Portal, state: dict, fdir: str,
     if rows:
         os.makedirs(fdir, exist_ok=True)
         pq.write_table(pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA),
-                       os.path.join(fdir, "part-p0-retry.parquet"))
+                       os.path.join(fdir, "part-p0-retry.parquet"),
+                       row_group_size=8)
+    if workdir is None:
+        return
+    q = _pending_quarantined_offer_pages(workdir)
+    if q is None or q.num_rows == 0:
+        return
+    os.makedirs(fdir, exist_ok=True)
+    for fk, kind, prio, name in (("investment", "investment", 1,
+                                  "part-p1-retryinv.parquet"),
+                                 ("detail", "detail-retry", 2,
+                                  "part-p2-retrydet.parquet")):
+        sel = q.filter(pc.equal(q["fetch_kind"], fk))
+        if not sel.num_rows:
+            continue
+        t = pa.table({
+            "url": sel["url"],
+            "kind": pa.array([kind] * sel.num_rows, pa.string()),
+            "priority": pa.array(np.full(sel.num_rows, prio, np.int32)),
+            "source": sel["source"], "region": sel["region"],
+            "page_idx": sel["page_idx"], "pos": sel["pos"],
+        }).cast(FRONTIER_SCHEMA)
+        pq.write_table(t, os.path.join(fdir, name),
+                       row_group_size=cfg.fetch_batch_size)
+
+
+def _pending_quarantined_offer_pages(workdir: str) -> pa.Table | None:
+    """Distinct quarantined detail/investment pages with no offers row
+    for their URL. The offers check is a streamed, column-pruned
+    ``pc.is_in`` probe — the driver only ever holds the quarantine-
+    sized URL set (operationally small: it is the set of FAILED
+    fetches), never the offers table."""
+    qdir = os.path.join(workdir, "quarantine")
+    if not os.path.isdir(qdir):
+        return None
+    qfiles = []
+    for d in sorted(os.listdir(qdir)):
+        gd = os.path.join(qdir, d)
+        if d.startswith("gen-") and os.path.isdir(gd):
+            qfiles += [os.path.join(gd, f) for f in sorted(os.listdir(gd))
+                       if f.endswith(".parquet")]
+    if not qfiles:
+        return None
+    parts = []
+    for f in qfiles:
+        t = pq.read_table(f)
+        if "pos" not in t.column_names:  # pre-pos quarantine fragments
+            t = t.append_column("pos", pa.array(
+                np.zeros(t.num_rows, np.int32)))
+        parts.append(t.select(["url", "source", "region", "page_idx",
+                               "pos", "fetch_kind"]))
+    q = pa.concat_tables(parts)
+    q = q.filter(pc.is_in(q["fetch_kind"],
+                          value_set=pa.array(["detail", "investment"])))
+    if not q.num_rows:
+        return q
+    # distinct by url, keep first occurrence
+    df = q.to_pandas().drop_duplicates(subset=["url"], keep="first")
+    q = pa.Table.from_pandas(df, preserve_index=False)
+    det_urls = q.filter(pc.equal(q["fetch_kind"], "detail"))["url"]
+    odir = os.path.join(workdir, "offers")
+    ofiles = []
+    if os.path.isdir(odir):
+        for d in sorted(os.listdir(odir)):
+            gd = os.path.join(odir, d)
+            if d.startswith("gen-") and os.path.isdir(gd):
+                ofiles += [os.path.join(gd, f) for f in sorted(os.listdir(gd))
+                           if f.endswith(".parquet")]
+    if not ofiles or not len(det_urls):
+        return q
+    ref = ray.put(det_urls.combine_chunks())
+
+    def probe(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.is_in(t["url"], value_set=ray.get(ref)))
+                .select(["url"]))
+
+    done = rd.read_parquet(ofiles, columns=["url"]).map_batches(
+        probe, batch_format="pyarrow").take_all()
+    fetched = {r["url"] for r in done}
+    if not fetched:
+        return q
+    mask = [u not in fetched for u in q["url"].to_pylist()]
+    return q.filter(pa.array(mask))
 
 
 def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
@@ -561,19 +663,21 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
     # hold an arbitrarily large frontier. Summaries fold across windows.
     fdir = _frontier_dir(workdir, gen)
     files = sorted(f for f in os.listdir(fdir) if f.endswith(".parquet"))
-    windows: list[list[str]] = [[]]
-    rows_in_win = 0
+    # one footer read per fragment: the split loop records each
+    # window's row total so run_window never re-opens the footers
+    windows: list[tuple[list[str], int]] = [([], 0)]
     for f in files:
-        windows[-1].append(os.path.join(fdir, f))
-        rows_in_win += pq.ParquetFile(os.path.join(fdir, f)).metadata.num_rows
-        if cfg.max_wave_rows is not None and rows_in_win >= cfg.max_wave_rows:
-            windows.append([])
-            rows_in_win = 0
+        paths, rows = windows[-1]
+        paths.append(os.path.join(fdir, f))
+        rows += pq.ParquetFile(os.path.join(fdir, f)).metadata.num_rows
+        windows[-1] = (paths, rows)
+        if cfg.max_wave_rows is not None and rows >= cfg.max_wave_rows:
+            windows.append(([], 0))
     wave_fn = make_wave_fn(portal.cfg, cfg, politeness, urlseen, workdir, gen,
                            run_token)
 
-    def run_window(paths: list[str]) -> list[dict]:
-        n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    def run_window(win: tuple[list[str], int]) -> list[dict]:
+        paths, n_rows = win
         # fan out to ~one block per fetch batch (row-group-granular
         # splits) so parallelism tracks window size, not the previous
         # wave's writer-task count; sorted paths keep the priority
@@ -595,13 +699,23 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
         # only the cheap metadata step, execution stays concurrent
         with _READ_LOCK:
             ds = rd.read_parquet(paths, override_num_blocks=nblocks)
+        # max_retries=0: wave tasks perform NON-IDEMPOTENT side effects
+        # (fragment writes + URL-seen test-and-set), and Ray's default
+        # transparently re-runs a task whose worker died — a silently
+        # retried wave task would duplicate offer fragments AND
+        # permanently drop the URLs the dead attempt had already
+        # admitted (the retry sees them as 'seen'). Failing the wave
+        # loudly instead is recoverable: resume=True replays from the
+        # last checkpoint, whose replace-on-retry semantics ARE
+        # idempotent (tested byte-identical).
         return ds.map_batches(
             wave_fn, batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
             concurrency=cfg.fetch_concurrency,
-            num_cpus=cfg.fetch_num_cpus).take_all()
+            num_cpus=cfg.fetch_num_cpus,
+            max_retries=0).take_all()
 
-    windows = [w for w in windows if w]
+    windows = [w for w in windows if w[0]]
     summary: list[dict] = []
     if len(windows) <= 1:
         if windows:
@@ -675,8 +789,13 @@ def _run_wave(portal: Portal, cfg: CrawlConfig, workdir: str, gen: int,
 
     if next_rows:
         os.makedirs(next_dir, exist_ok=True)
+        # row_group_size=8: read_parquet splits only at row-group
+        # granularity, so one big group would serialize every region's
+        # pagination fetch into a single task each wave (the same
+        # reason the gen-0 seed file uses row groups of 8)
         pq.write_table(pa.Table.from_pylist(next_rows, schema=FRONTIER_SCHEMA),
-                       os.path.join(next_dir, "part-p0-driver.parquet"))
+                       os.path.join(next_dir, "part-p0-driver.parquet"),
+                       row_group_size=8)
 
 
 # ---------------------------------------------------------------------------

@@ -74,9 +74,12 @@ def export_reference_csv(result, out_dir: str) -> dict[str, int]:
 def export_debug_jsonl(result, path: str) -> int:
     """Quarantine table as the reference's JSONL debug-dump format
     (detail.py:194,207-212: one JSON object per failed URL). Returns
-    the row count."""
+    the row count. The dump carries exactly the reference's fields —
+    the parquet table itself may grow columns (e.g. ``pos`` for the
+    retry path) without changing this format."""
     import json
-    tbl = result.table("quarantine")
+    tbl = result.table("quarantine").select(
+        ["url", "source", "region", "page_idx", "fetch_kind"])
     tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         for row in tbl.to_pylist():

@@ -80,8 +80,6 @@ COMBINED_SCHEMA = pa.schema([
     ("fetch_kind", pa.string()),     # pagemeta: pagination|investment|detail
 ])
 
-PRIORITY = {"pagination": 0, "investment": 1, "investment_next": 1, "detail": 2}
-
 # HTML extractor chain (portal html mode): the regex/JSON analogue of
 # the reference's selector parsers, with the reference's precedence —
 #   listing cards  a[data-cy=listing-item-link] (M11, otodom.py:497-534)

@@ -10,8 +10,8 @@ crawl (BASELINE.md correctness gate). 16-bit fingerprints halve memory
 for scale runs where ~1e-4 FP is acceptable; the trade-off is config
 (``CrawlConfig.fingerprint_bits``).
 
-Upstream key-collision bound: filter keys are the first 64 bits of
-xxh3(canonical_url) (state/urlseen.py url_keys), so at the 10^10-URL
+Upstream key-collision bound: filter keys are 64-bit
+FNV-1a(canonical_url) (state/urlseen.py url_keys), so at the 10^10-URL
 design point the birthday expectation is ~(10^10)^2 / 2^65 ≈ 3 colliding
 key *pairs* across the whole crawl — each would silently treat one
 distinct URL as already seen. That 64-bit stage, not the fingerprint FP

@@ -1,7 +1,8 @@
 """Sharded URL-seen service: cuckoo-filter partition actors.
 
 The crawl-frontier dedup path (north_rule): canonicalize URL →
-xxh3 → 64-bit key → shard ``key % n_shards`` → per-shard
+FNV-1a → 64-bit key → shard ``(key >> 48) % n_shards`` (high bits;
+the cuckoo bucket index consumes the low bits) → per-shard
 ``contains_and_add`` (test-and-set, batch-atomic inside the actor).
 Replaces the reference's process-local ``DedupeSet``
 (/root/reference/scrapper/core/dedup.py:16-37) with partition affinity:
@@ -9,9 +10,10 @@ the same URL always lands on the same shard, so first-seen-wins holds
 under full parallelism. Each shard checkpoints its filter bytes for
 resume (FIXTURES.md F6 ``filter_bytes``).
 
-Keys come from the polars xxh3 kernel with a FIXED seed — stable across
-processes/machines/restarts for a pinned polars version (never use
-process-seeded hashes for a persisted filter).
+Keys come from ``functions.textstats.fnv1a64`` — pure numpy uint64
+arithmetic, VERSION-STABLE across library upgrades (never use a
+library hash kernel for a persisted filter; its implementation may
+change between versions and silently re-admit the whole seen set).
 """
 
 from __future__ import annotations
@@ -104,7 +106,13 @@ class UrlSeenService:
         keys = url_keys(urls)
         if keys.size == 0:
             return np.zeros(0, dtype=bool)
-        shard_of = (keys % np.uint64(self.n)).astype(np.int64)
+        # route on HIGH bits: the cuckoo filter's primary bucket index
+        # consumes the low bits (h & (nbuckets-1)), so `keys % n` with a
+        # power-of-two shard count would pin every key of a shard to
+        # 1/n of its filter's buckets — measured: fill failure at 77 %
+        # of configured capacity. High-bit routing keeps the low bits
+        # uniform within each shard.
+        shard_of = ((keys >> np.uint64(48)) % np.uint64(self.n)).astype(np.int64)
         seen = np.zeros(keys.size, dtype=bool)
         futs, idxs = [], []
         for s in range(self.n):

@@ -52,7 +52,7 @@ def test_fetch_fail_regions_resume(tmp_path, ray_session):
     q = r1.table("quarantine")
     assert q.num_rows == r1.pages_failed
     assert set(q.column_names) == {"url", "source", "region", "page_idx",
-                                   "fetch_kind"}
+                                   "pos", "fetch_kind"}
     r2 = run_crawl(PCFG, CCFG, wd, resume=True)
     assert all(v["stop_reason"] != "fetch_fail" for v in r2.state.values())
     # every region reached a terminal stop reason
@@ -146,3 +146,28 @@ def test_windowed_kill_mid_window_resume_byte_identical(tmp_path, ray_session):
     for name in ("urls", "offers", "photos"):
         pd.testing.assert_frame_equal(ft[name], rt[name], obj=name)
     assert resumed.state == full.state
+
+
+def test_failed_offer_pages_recovered_on_resume(tmp_path, ray_session):
+    """Quarantined detail/investment pages re-enqueue (reference retry
+    rounds, cli.py:731-816): a crippled run followed by a healthy
+    resume converges to EXACTLY the offers of a never-failed run —
+    recovered rows keep their original (page_idx, pos) — and a second
+    resume is a no-op (no duplicates)."""
+    healthy = run_crawl(PCFG, CCFG, str(tmp_path / "healthy"))
+    wd = str(tmp_path / "wd")
+    fail_cfg = CrawlConfig(urlseen_shards=4, urlseen_capacity=1 << 14,
+                           fetch_batch_size=64, fail_per_mille=120,
+                           fail_depth=9)
+    r1 = run_crawl(PCFG, fail_cfg, wd)
+    q1 = r1.table("quarantine").to_pandas()
+    if not (q1["fetch_kind"].isin(["detail", "investment"])).any():
+        pytest.skip("failure injection hit no offer page at this size")
+    assert r1.offers < healthy.offers  # the crippled run lost offers
+    r2 = run_crawl(PCFG, CCFG, wd, resume=True)
+    ho = _tables(healthy, ("offers",))["offers"]
+    r2o = _tables(r2, ("offers",))["offers"]
+    pd.testing.assert_frame_equal(r2o, ho)
+    # idempotence: resuming again adds nothing
+    r3 = run_crawl(PCFG, CCFG, wd, resume=True)
+    pd.testing.assert_frame_equal(_tables(r3, ("offers",))["offers"], ho)
