@@ -296,3 +296,80 @@ def fnv1a64(arr) -> np.ndarray:
             b = data[starts[idx] + j].astype(np.uint64)
             h[idx] = (h[idx] ^ b) * prime
     return h
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1) —
+# the published document-level quality filter, as integer counters so
+# the pass decision is exact (no float ratios to hash-mismatch).
+# ---------------------------------------------------------------------------
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats(texts) -> pa.Table:
+    """Per-text counters for the Gopher rules, one vectorized polars
+    pass. Patterns restrict to the RE2 ∩ rust-regex common subset
+    ((?m), \\pL — NOT \\b, whose word-boundary semantics differ between
+    the two engines) so the DuckDB oracle reproduces every count.
+
+    - n_words          whitespace-delimited tokens (\\S+ runs)
+    - n_nonws_chars    total chars across words (mean word length =
+                       n_nonws_chars / n_words)
+    - n_alpha_words    words containing at least one letter (\\pL)
+    - n_lines          newline count + 1
+    - n_bullet_lines   lines whose first non-blank char is -, * or •
+    - n_ellipsis_lines lines ending with ... or …
+    - n_symbols        '#' plus '…' occurrences
+    - n_stop_hits      how many of the 8 Gopher stop words appear
+    """
+    s = _to_series(texts).alias("t")
+    low = pl.col("t").str.to_lowercase()
+    stop_exprs = [
+        low.str.contains(rf"(?:^|[^\pL]){w}(?:[^\pL]|$)")
+        .cast(pl.Int64).alias(f"_s{i}")
+        for i, w in enumerate(GOPHER_STOP_WORDS)
+    ]
+    df = s.to_frame().select(
+        pl.col("t").str.count_matches(r"\S+").cast(pl.Int64)
+        .alias("n_words"),
+        pl.col("t").str.count_matches(r"\S").cast(pl.Int64)
+        .alias("n_nonws_chars"),
+        pl.col("t").str.count_matches(r"\S*\pL\S*").cast(pl.Int64)
+        .alias("n_alpha_words"),
+        (pl.col("t").str.count_matches(r"\n").cast(pl.Int64) + 1)
+        .alias("n_lines"),
+        pl.col("t").str.count_matches(r"(?m)^[ \t]*[-*•]").cast(pl.Int64)
+        .alias("n_bullet_lines"),
+        pl.col("t").str.count_matches(r"(?m)(\.\.\.|…)[ \t]*$")
+        .cast(pl.Int64).alias("n_ellipsis_lines"),
+        (pl.col("t").str.count_matches(r"#")
+         + pl.col("t").str.count_matches(r"…")).cast(pl.Int64)
+        .alias("n_symbols"),
+        *stop_exprs,
+    ).with_columns(
+        sum(pl.col(f"_s{i}") for i in range(len(GOPHER_STOP_WORDS)))
+        .alias("n_stop_hits"),
+    ).drop([f"_s{i}" for i in range(len(GOPHER_STOP_WORDS))])
+    return df.to_arrow()
+
+
+def gopher_pass(stats: pa.Table) -> pa.Array:
+    """The Gopher keep decision from integer counters (ratios as exact
+    cross-multiplications): 50 ≤ words ≤ 100k; mean word length in
+    [3, 10]; symbol/word ≤ 0.1; bullet lines ≤ 90 %; ellipsis lines
+    ≤ 30 %; ≥ 80 % alphabetic words; ≥ 2 stop words."""
+    c = {n: np.asarray(stats[n].combine_chunks()) for n in
+         ("n_words", "n_nonws_chars", "n_alpha_words", "n_lines",
+          "n_bullet_lines", "n_ellipsis_lines", "n_symbols",
+          "n_stop_hits")}
+    w = c["n_words"]
+    ok = ((w >= 50) & (w <= 100_000)
+          & (3 * w <= c["n_nonws_chars"]) & (c["n_nonws_chars"] <= 10 * w)
+          & (10 * c["n_symbols"] <= w)
+          & (10 * c["n_bullet_lines"] <= 9 * c["n_lines"])
+          & (10 * c["n_ellipsis_lines"] <= 3 * c["n_lines"])
+          & (5 * c["n_alpha_words"] >= 4 * w)
+          & (c["n_stop_hits"] >= 2))
+    return pa.array(ok)

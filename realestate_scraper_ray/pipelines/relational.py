@@ -3716,6 +3716,64 @@ def domain_cap_sample(sf_dir: str) -> rd.Dataset:
                      .map_groups(final_topk, batch_format="pandas"))
 
 
+# Gopher quality rules (Rae et al. 2021, Table A1) as integer counters
+# + exact cross-multiplied ratio comparisons — see
+# functions/textstats.py gopher_stats/gopher_pass for the rule list.
+# Every regex below is in the RE2 ∩ rust-regex common subset so DuckDB
+# reproduces the engine's counts bit-for-bit.
+_GOPHER_STOP_SQL = " + ".join(
+    "(CASE WHEN regexp_matches(lower(text), "
+    f"'(?:^|[^\\pL]){w}(?:[^\\pL]|$)') THEN 1 ELSE 0 END)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with"))
+
+_GOPHER_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)  AS n_words,
+    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonws_chars,
+    CAST(length(regexp_extract_all(text, '\\S*\\pL\\S*')) AS BIGINT) AS n_alpha_words,
+    CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+    CAST(length(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS BIGINT) AS n_bullet_lines,
+    CAST(length(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$')) AS BIGINT) AS n_ellipsis_lines,
+    CAST(length(text) - length(replace(text, '#', ''))
+       + length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols,
+    CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stop_hits
+  FROM documents)
+SELECT *,
+  CAST(n_words >= 50 AND n_words <= 100000
+   AND 3*n_words <= n_nonws_chars AND n_nonws_chars <= 10*n_words
+   AND 10*n_symbols <= n_words
+   AND 10*n_bullet_lines <= 9*n_lines
+   AND 10*n_ellipsis_lines <= 3*n_lines
+   AND 5*n_alpha_words >= 4*n_words
+   AND n_stop_hits >= 2 AS BIGINT) AS gopher_keep
+FROM c
+"""
+
+
+@query("gopher_quality_filter", _GOPHER_SQL)
+def gopher_quality_filter(sf_dir: str) -> rd.Dataset:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    Table A1) over the documents table: word count 50–100k, mean word
+    length 3–10, symbol/word ≤ 0.1, ≤ 90 % bullet lines, ≤ 30 %
+    ellipsis lines, ≥ 80 % alphabetic words, ≥ 2 stop words. One
+    vectorized polars pass per batch; counters are integers and the
+    keep decision is exact cross-multiplication, so the whole result
+    (not just row counts) is hash-checkable against the SQL oracle."""
+    from ..functions.textstats import gopher_pass, gopher_stats
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        st = gopher_stats(t["text"].combine_chunks())
+        keep = pc.cast(gopher_pass(st), pa.int64())
+        out = pa.table({"doc_id": t["doc_id"]})
+        for name in st.column_names:
+            out = out.append_column(name, st[name])
+        return out.append_column("gopher_keep", keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

@@ -113,3 +113,35 @@ def test_grouped_percentile_cap_fires_before_pull(ray_session):
     with pytest.raises(ValueError, match="sketch cap"):
         grouped_percentile_disc(ds, "g", "v", {"p50": 0.5}, nbins=1024,
                                 driver_cap_bytes=100)
+
+
+def test_gopher_rules_reference_cases():
+    """Each Gopher rule (Rae et al. 2021, Table A1) trips on a crafted
+    document while a plain passing document survives; counters match
+    hand computation."""
+    from realestate_scraper_ray.functions.textstats import (
+        gopher_pass, gopher_stats,
+    )
+    passing = ("the cheerful cat sat on of that mat and we have fun "
+               "with it " * 10)
+    cases = {
+        "too_few_words": "the of words here",                 # < 50 words
+        "short_words": "a b c " * 40 + "the of",              # mean < 3
+        "symbols": "#tag " * 30 + passing,                    # #/word > .1
+        "bullets": "\n".join("- item the of and that" for _ in range(20)),
+        "ellipsis": "\n".join(f"cut off the of and that{i}..."
+                              for i in range(10)),
+        "non_alpha": "12 34 56 78 " * 30 + "the of",          # alpha < 80%
+        "no_stopwords": "zebra quokka lemur pangolin " * 20,  # < 2 stops
+    }
+    st = gopher_stats([passing, *cases.values()])
+    keep = gopher_pass(st).to_pylist()
+    assert keep[0] is True
+    assert keep[1:] == [False] * len(cases)
+    row0 = {n: st[n][0].as_py() for n in st.column_names}
+    assert row0["n_words"] == 140 and row0["n_lines"] == 1
+    assert row0["n_stop_hits"] == 6  # the of that and have with
+    bullets = {n: st[n][4].as_py() for n in st.column_names}
+    assert bullets["n_bullet_lines"] == bullets["n_lines"] == 20
+    ell = {n: st[n][5].as_py() for n in st.column_names}
+    assert ell["n_ellipsis_lines"] == ell["n_lines"] == 10
