@@ -137,6 +137,14 @@ class PortalConfig:
     # per page (real Otodom pages are 300-800 KB of Next.js HTML).
     # 0 = span mode: pages are the interleaved-span documents directly.
     html_bytes: int = 0
+    # crawler-trap population: this per-mille of listing-card links
+    # lead into a session-id trap — an investment-style URL whose page
+    # links only to its own "next page" with one more &sid=<hex> query
+    # param, forever (the classic calendar/session-id trap: every hop
+    # is a NEW url, so exact URL dedup admits the chain unboundedly).
+    # The engine's frontier guard (CrawlConfig.max_url_len /
+    # max_query_params / max_path_depth) is what bounds it.
+    trap_per_mille: int = 0
     # when set, the fetch stage serves pages from this materialized
     # documents parquet (doc_id, spans) instead of rendering
     # procedurally — the table-backed "Lance take by doc_id" path from
@@ -237,6 +245,18 @@ class CrawlConfig:
     # chain while still keeping per-(host,salt) politeness budgets.
     skew_salts: tuple[tuple[str, int], ...] = (("otodom", 8),)
     host_buckets: int = 256
+    # crawler-trap guard: URL-shape caps applied to every extracted
+    # link BEFORE it reaches per-page dedup or the URL-seen service
+    # (calendar/session-id traps mint unbounded NEW urls, so exact
+    # dedup cannot stop them — shape caps can). None = no cap. The
+    # reference has no trap defense (its listing walks are bounded by
+    # max-pages and the no-new auto-stop; detail links are never
+    # expanded), so the guard defaults OFF for oracle parity; a real
+    # web-scale deployment should set all three. Rejected links are
+    # persisted to workdir/trapped/gen-N for audit.
+    max_url_len: int | None = None
+    max_query_params: int | None = None
+    max_path_depth: int | None = None
     # frontier windowing: when a generation holds more rows than this,
     # it is processed in file-granular sub-windows (each its own bounded
     # streamed execution; summaries fold across windows). Caps driver

@@ -318,6 +318,7 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
     next_dir = _frontier_dir(workdir, gen + 1)
 
     quarantine_dir = os.path.join(workdir, "quarantine", f"gen-{gen}")
+    trapped_dir = os.path.join(workdir, "trapped", f"gen-{gen}")
 
     def wave(batch: pa.Table) -> pa.Table:
         t = fetch(batch)
@@ -344,6 +345,14 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
             .select(["url", "source", "region", "page_idx", "pos",
                      "fetch_kind"]),
             quarantine_dir)
+        # trap-guard audit trail: links rejected by the URL-shape caps
+        # (stages/fetch.py trap_like), persisted per generation like
+        # quarantine — never admitted to the frontier or URL-seen set
+        _write_fragment(
+            _links_of(t, ["trapped"]).select(
+                ["url", "source", "region", "page_idx", "pos",
+                 "fetch_kind"]),
+            trapped_dir)
         cand = _links_of(t, ["detail", "investment"])
         if cand.num_rows:
             mask = urlseen.filter_new(cand["url"].combine_chunks())
@@ -462,7 +471,8 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         _append_retry_rows(portal, state, _frontier_dir(workdir, gen), cfg,
                            workdir)
     else:
-        for name in ("offers", "photos", "media", "quarantine", "frontier", "checkpoint"):
+        for name in ("offers", "photos", "media", "quarantine", "trapped",
+                     "frontier", "checkpoint"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
         os.makedirs(workdir, exist_ok=True)
         gen = 0
@@ -900,6 +910,7 @@ def _clean_partial(workdir: str, resume_gen: int) -> None:
     are dropped and re-written deterministically (replace-on-retry)."""
     for name, cutoff in (("offers", resume_gen), ("photos", resume_gen),
                          ("media", resume_gen), ("quarantine", resume_gen),
+                         ("trapped", resume_gen),
                          ("frontier", resume_gen + 1)):
         root = os.path.join(workdir, name)
         if not os.path.isdir(root):

@@ -38,6 +38,7 @@ import numpy as np
 
 from ..config import REQ_FIELDS, CrawlConfig, PortalConfig
 from ..sources.synth_portal import Portal
+from ..stages.fetch import trap_like
 
 _NUM = re.compile(r"(-?\d+(?:\.\d+)?)")
 
@@ -276,6 +277,11 @@ def _crawl_region(portal: Portal, cfg: CrawlConfig, source: str, region: str,
         for s in links:
             target = s["media_ref"]
             ref = portal.classify(target)
+            # trap guard — same placement as the engine's link emitter
+            # (stages/fetch.py _parse_link_page): before the listing /
+            # robots / dedup decisions
+            if trap_like(target, cfg):
+                continue
             if ref.kind == "listing":
                 next_page_url = target
                 continue
@@ -335,6 +341,8 @@ def _expand_investment(portal: Portal, cfg: CrawlConfig, source: str, region: st
                 continue
             t = s["media_ref"]
             tref = portal.classify(t)
+            if trap_like(t, cfg):
+                continue  # trap guard: chain (or unit link) cut here
             if tref.kind == "investment":
                 url = t  # internal pagination
                 continue

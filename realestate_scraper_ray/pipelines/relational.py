@@ -2142,6 +2142,29 @@ def crawl_quarantine(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+@query("crawl_trap_guard")
+def crawl_trap_guard(sf_dir: str) -> pd.DataFrame:
+    """Crawler-trap defense in the driver gate: a trap-seeded portal
+    (session-id chains that mint unbounded new URLs — exact dedup can
+    never stop them) crawled with the URL-shape guard
+    (CrawlConfig.max_query_params). Returns the trapped audit table;
+    termination is the query returning at all, and engine≡oracle under
+    the guard is pytest-gated (tests/test_trap.py)."""
+    from ..config import CrawlConfig, PortalConfig
+    from .crawl import run_crawl
+    if "trap" not in _CRAWL_CACHE:
+        workdir = _fresh_workdir("/tmp/rsr_entry_crawl_trap")
+        pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                            page_size_scale=0.2, trap_per_mille=80)
+        _CRAWL_CACHE["trap"] = run_crawl(
+            pcfg, CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 12,
+                              fetch_batch_size=64, max_query_params=3),
+            workdir)
+    out = _CRAWL_CACHE["trap"].table("trapped").to_pandas()
+    return (out.sort_values(["source", "region", "page_idx", "url"])
+            .reset_index(drop=True))
+
+
 @query("crawl_urls")
 def crawl_urls(sf_dir: str) -> pd.DataFrame:
     t = _crawl_result().table("urls").to_pandas()

@@ -86,10 +86,12 @@ _PHOTO_RE = re.compile(
     r"^https://img\.(?P<source>[a-z]+)\.pl/(?P<oid>\d+)/(?P<seq>\d+)\.jpg$")
 _INVEST_RE = re.compile(
     r"^https://(?P<region>[a-z-]+)\.otodom\.pl/pl/inwestycja/osiedle-"
-    r"(?P<k>\d+)-ID(?P<oid>\d+)(?:\?page=(?P<page>\d+))?$"
+    r"(?P<k>\d+)-ID(?P<oid>\d+)"
+    r"(?:\?page=(?P<page>\d+)(?:&sid=[0-9a-f]{8})*)?$"
 )
 
 INVEST_UNIT_BASE = 5_000_000  # unit offers live in a disjoint k-space
+TRAP_K_BASE = 8_000_000       # trap chains live in a disjoint k-space
 
 
 @dataclass(frozen=True)
@@ -156,6 +158,17 @@ class Portal:
         oid = "9" + self.oid("otodom", region, k)
         base = f"https://{region}.otodom.pl/pl/inwestycja/osiedle-{k}-ID{oid}"
         return base if page == 1 else f"{base}?page={page}"
+
+    def trap_url(self, region: str, k: int, page: int = 1) -> str:
+        """A session-id trap hop: indistinguishable from an investment
+        URL by grammar (classify() → 'investment'), but page p carries
+        p-1 accumulated &sid= params — every hop is a brand-new URL of
+        growing length, the shape the frontier guard keys on."""
+        u = self.investment_url(region, k, page)
+        sids = "".join(
+            f"&sid={_h64(self.cfg.seed, 'sid', region, k, i) % (1 << 32):08x}"
+            for i in range(1, page))
+        return u + sids
 
     def classify(self, url: str) -> PageRef:
         m = _OFFER_RE.match(url)
@@ -393,6 +406,9 @@ class Portal:
         b = self._bucket("ltype", source, region, k)
         if source == "otodom" and b < c.investment_per_mille:
             return self.investment_url(region, k)
+        if (source == "otodom"
+                and b < c.investment_per_mille + c.trap_per_mille):
+            return self.trap_url(region, TRAP_K_BASE + k)
         if b >= 1000 - c.robots_blocked_per_mille:
             return self.offer_url(source, region, k, private=True)
         return self.offer_url(source, region, k)
@@ -515,6 +531,14 @@ class Portal:
 
     def _render_investment(self, ref: PageRef) -> list[dict]:
         c = self.cfg
+        if ref.k >= TRAP_K_BASE:
+            # trap page: ALWAYS exactly one link — the next hop of its
+            # own chain, a fresh never-seen URL (the infinite calendar/
+            # session-id pattern). Never yields an offer.
+            return [span("link",
+                         media_ref=self.trap_url(ref.region, ref.k,
+                                                 ref.page + 1),
+                         offset=0)]
         per_page = 3
         units = [INVEST_UNIT_BASE + ref.k * 10 + u for u in range(c.investment_units)]
         lo = (ref.page - 1) * per_page

@@ -46,7 +46,7 @@ from ..state.politeness import PolitenessService, parse_robots, path_allowed
 COMBINED_SCHEMA = pa.schema([
     ("rec_kind", pa.string()),       # 'link' | 'offer' | 'photo' | 'pagemeta'
     ("url", pa.string()),
-    ("kind", pa.string()),           # link: pagination|investment|investment_next|detail
+    ("kind", pa.string()),           # link: pagination|investment|investment_next|detail|trapped
     ("priority", pa.int32()),
     ("source", pa.string()),
     ("region", pa.string()),
@@ -509,6 +509,27 @@ def make_fetch_fn(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig,
     return fetch_parse
 
 
+def trap_like(url: str, cfg: CrawlConfig) -> bool:
+    """Crawler-trap guard: does this extracted link exceed the
+    configured URL-shape caps (length / query-param count / path
+    depth)? Calendar and session-id traps mint unbounded NEW urls, so
+    exact URL dedup cannot stop them — shape caps can. O(len(url));
+    shared verbatim by the engine's link emitter and the sequential
+    oracle so the trapped set is identical on both sides. All caps
+    default to None (off): the reference has no trap defense, so
+    parity runs must not filter."""
+    if cfg.max_url_len is not None and len(url) > cfg.max_url_len:
+        return True
+    if cfg.max_query_params is None and cfg.max_path_depth is None:
+        return False
+    head, _, q = url.partition("?")
+    if (cfg.max_query_params is not None and q
+            and q.count("&") + 1 > cfg.max_query_params):
+        return True
+    return (cfg.max_path_depth is not None
+            and head.count("/") - 2 > cfg.max_path_depth)
+
+
 class FetchParse:
     def __init__(self, portal_cfg: PortalConfig, crawl_cfg: CrawlConfig,
                  politeness: PolitenessService | None = None):
@@ -644,9 +665,22 @@ class FetchParse:
         is_invest = kind.startswith("investment")
         inv_page = portal.classify(url).page if is_invest else 0
         provenance = "investment" if is_invest else "pagination"
+        guard_on = (self.cfg.max_url_len is not None
+                    or self.cfg.max_query_params is not None
+                    or self.cfg.max_path_depth is not None)
         for s in links:
             target = s["media_ref"]
             ref = portal.classify(target)
+            # trap guard first: a trapped link must never reach the
+            # robots cache, per-page dedup or the URL-seen shards
+            # (traps mint unbounded NEW urls — admitting them would
+            # both loop the crawl and pollute the seen set)
+            if guard_on and trap_like(target, self.cfg):
+                emit("link", url=target, kind="trapped", priority=9,
+                     source=r["source"], region=r["region"],
+                     page_idx=r["page_idx"], pos=s["offset"],
+                     fetch_kind=provenance)
+                continue
             if ref.kind == "listing":
                 emit("link", url=target, kind="pagination", priority=0,
                      source=r["source"], region=r["region"],
