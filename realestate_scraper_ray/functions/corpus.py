@@ -197,3 +197,67 @@ def token_windows(ids, texts, width: int, stride: int) -> pa.Table:
     if not parts:
         return _WINDOWS_SCHEMA.empty_table()
     return pa.concat_tables(parts)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+# Unigram-feature importance weights log w(x) = Σ_tok [ln p_target(tok)
+# − ln p_raw(tok)], Laplace add-1 smoothed over the RAW vocabulary, in
+# fixed-point micro-nats so per-doc sums are integer-exact.
+# ---------------------------------------------------------------------------
+
+
+def dsir_partials(ids, texts, is_target) -> pa.Table:
+    """Per-batch combiner for the DSIR feature model: (tok, c_raw,
+    c_tgt) where c_raw counts every row and c_tgt only rows flagged as
+    the target domain. The global groupby sums a vocabulary-sized
+    table, never the corpus."""
+    w = _explode_words(ids, texts)
+    flags = pl.DataFrame({
+        "id": pl.Series(ids, dtype=pl.Int64),
+        "_tgt": pl.Series(np.asarray(is_target, dtype=np.int64)),
+    })
+    g = (w.join(flags, on="id", how="left")
+          .group_by("word")
+          .agg(pl.len().alias("c_raw"), pl.col("_tgt").sum().alias("c_tgt")))
+    return pa.table({
+        "tok": pa.array(g["word"].to_list(), pa.string()),
+        "c_raw": pa.array(g["c_raw"].to_numpy(), pa.int64()),
+        "c_tgt": pa.array(g["c_tgt"].to_numpy(), pa.int64())})
+
+
+def build_dsir_model(counts) -> pa.Table:
+    """(tok, c_raw, c_tgt) pandas frame → broadcastable (tok, dlp)
+    table, dlp = round((ln((c_tgt+1)/(s_tgt+V)) −
+    ln((c_raw+1)/(s_raw+V))) · 1e6) micro-nats. Add-1 smoothing over
+    the raw vocabulary keeps ln finite for target-absent tokens; the
+    arithmetic mirrors the SQL oracle term-for-term (same float64 ops
+    in the same order)."""
+    import math
+    sr = float(counts["c_raw"].sum())
+    st = float(counts["c_tgt"].sum())
+    v = float(len(counts))
+    dlp = [int(round((math.log((ct + 1) / (st + v))
+                      - math.log((cr + 1) / (sr + v))) * 1e6))
+           for cr, ct in zip(counts["c_raw"], counts["c_tgt"])]
+    return pa.table({"tok": pa.array(counts["tok"], pa.string()),
+                     "dlp": pa.array(dlp, pa.int64())})
+
+
+def dsir_scores(ids, texts, model: pa.Table) -> pa.Table:
+    """Per-doc DSIR importance weight against the broadcast (tok, dlp)
+    model: polars explode + Rust hash join + integer sum. Inner join is
+    lossless here — every scored token exists in the raw vocabulary by
+    construction."""
+    w = _explode_words(ids, texts)
+    m = pl.from_arrow(model)
+    g = (w.join(m, left_on="word", right_on="tok", how="inner")
+          .group_by("id")
+          .agg(pl.len().alias("tok_n"),
+               pl.col("dlp").sum().alias("dsir_micro_sum"))
+          .sort("id"))
+    return pa.table({
+        "doc_id": pa.array(g["id"].to_numpy(), pa.int64()),
+        "tok_n": pa.array(g["tok_n"].to_numpy(), pa.int64()),
+        "dsir_micro_sum": pa.array(g["dsir_micro_sum"].to_numpy(),
+                                   pa.int64())})

@@ -3797,6 +3797,106 @@ def gopher_quality_filter(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+# unigram-feature importance weights against a target domain (lang =
+# 'en' here), Laplace add-1 smoothed over the raw vocabulary, in
+# integer micro-nats (same fixed-point discipline as lm_logprob_score).
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+raw AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_raw,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_tgt
+        FROM toks GROUP BY tok),
+consts AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS sr,
+                  CAST(SUM(c_tgt) AS DOUBLE) AS st,
+                  CAST(COUNT(*) AS DOUBLE) AS v
+           FROM raw),
+model AS (
+  SELECT tok,
+         CAST(ROUND((LN((c_tgt + 1) / (st + v))
+                   - LN((c_raw + 1) / (sr + v))) * 1000000) AS BIGINT)
+         AS dlp
+  FROM raw, consts)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tok_n,
+       CAST(SUM(m.dlp) AS BIGINT) AS dsir_micro_sum
+FROM toks JOIN model m USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _dsir_scored(sf_dir: str) -> rd.Dataset:
+    """Shared DSIR pipeline: pass 1 builds the joint (tok, c_raw,
+    c_tgt) feature model with per-batch combiners (one vocabulary-sized
+    shuffle), the model broadcasts ONCE via ray.put, pass 2 scores
+    every document shuffle-free. 100 TB shape: identical to
+    lm_logprob_score — cap the broadcast at top-V features + a floor."""
+    from ..functions.corpus import build_dsir_model, dsir_partials, dsir_scores
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        tgt = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        return dsir_partials(t["doc_id"].to_numpy(), t["text"].to_pylist(),
+                             tgt)
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby("tok")
+              .aggregate(Sum("c_raw", alias_name="c_raw"),
+                         Sum("c_tgt", alias_name="c_tgt"))
+              .to_pandas())  # vocabulary-sized, driver-safe
+    model_ref = ray.put(build_dsir_model(counts))
+
+    def score(t: pa.Table) -> pa.Table:
+        return dsir_scores(t["doc_id"].to_numpy(), t["text"].to_pylist(),
+                           ray.get(model_ref))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+@query("dsir_importance_weights", _DSIR_SQL)
+def dsir_importance_weights(sf_dir: str) -> rd.Dataset:
+    """DSIR importance weights (Xie et al. 2023) over the documents
+    table with the 'en' slice as the target domain. Weights are
+    fixed-point micro-nats (BIGINT) so the full streamed result
+    hash-matches the SQL oracle."""
+    return _dsir_scored(sf_dir)
+
+
+_DSIR_TOPK_SQL = f"""
+WITH w AS ({_DSIR_SQL.replace("ORDER BY doc_id", "")})
+SELECT doc_id, tok_n, dsir_micro_sum,
+       CAST(ROW_NUMBER() OVER (ORDER BY dsir_micro_sum DESC, doc_id)
+            AS BIGINT) AS rnk
+FROM w ORDER BY dsir_micro_sum DESC, doc_id LIMIT 50
+"""
+
+
+@query("dsir_topk_sample", _DSIR_TOPK_SQL)
+def dsir_topk_sample(sf_dir: str) -> pd.DataFrame:
+    """The selection half of DSIR: keep the K documents most like the
+    target domain. Deterministic top-K (weight desc, doc_id ties) via
+    per-batch partial top-K — only K rows per block reach the driver
+    merge, never the corpus (the domain_cap_sample pattern)."""
+    import polars as pl
+    K = 50
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        g = (pl.from_arrow(t)
+             .sort(["dsir_micro_sum", "doc_id"], descending=[True, False])
+             .head(K))
+        return g.to_arrow().cast(t.schema)
+
+    parts = (_dsir_scored(sf_dir)
+             .map_batches(partial_topk, batch_format="pyarrow")
+             .take_all())  # ≤ K rows per block
+    w = (pd.DataFrame(parts)
+         .sort_values(["dsir_micro_sum", "doc_id"],
+                      ascending=[False, True]).head(K)
+         .reset_index(drop=True))
+    return w.assign(rnk=np.arange(1, len(w) + 1, dtype=np.int64))
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

@@ -253,3 +253,43 @@ def test_domain_cap_sample_binds_and_orders(ray_session):
     exp = exp[["source", "doc_id", "n_chars", "rnk"]].reset_index(drop=True)
     assert got.astype(str).to_dict("records") == exp.astype(str).to_dict("records")
     assert got.groupby("source").size().to_dict() == {"hot": 20, "cold": 5}
+
+
+def test_dsir_weights_match_brute_force_and_rank_target_up():
+    """DSIR kernels vs a from-scratch reimplementation on a toy corpus;
+    docs drawn from the target vocabulary must outrank the rest."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from realestate_scraper_ray.functions.corpus import (
+        build_dsir_model, dsir_partials, dsir_scores,
+    )
+    docs = {
+        1: ("aa bb aa cc", True),   # target-domain docs
+        2: ("aa aa bb", True),
+        3: ("xx yy zz xx", False),  # off-domain
+        4: ("aa xx", False),        # mixed
+    }
+    ids = np.array(list(docs), dtype=np.int64)
+    texts = [docs[i][0] for i in ids]
+    flags = np.array([docs[i][1] for i in ids])
+    counts = (dsir_partials(ids, texts, flags).to_pandas()
+              .groupby("tok", as_index=False).sum())
+    model = dsir_scores(ids, texts, build_dsir_model(counts)).to_pandas()
+
+    # brute force
+    toks = [(i, w, docs[i][1]) for i in ids for w in docs[i][0].split(" ")]
+    raw = pd.Series([w for _, w, _ in toks]).value_counts()
+    tgt = pd.Series([w for _, w, f in toks if f]).value_counts()
+    sr, st, v = float(raw.sum()), float(sum(tgt)), float(len(raw))
+    dlp = {w: int(round((math.log((tgt.get(w, 0) + 1) / (st + v))
+                         - math.log((raw[w] + 1) / (sr + v))) * 1e6))
+           for w in raw.index}
+    for i in ids:
+        expect = sum(dlp[w] for w in docs[i][0].split(" "))
+        got = int(model.loc[model.doc_id == i, "dsir_micro_sum"].iloc[0])
+        assert got == expect, (i, got, expect)
+    s = model.set_index("doc_id")["dsir_micro_sum"]
+    assert min(s[1], s[2]) > s[4] > s[3]  # target > mixed > off-domain
