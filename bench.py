@@ -47,6 +47,7 @@ HEADLINE_QUERIES = [
     "bloom_semi_join", "approx_percentiles_hist", "events_global_rank",
     "assembled_training_set", "semdedup_removed", "corpus_cluster_map",
     "chunk_documents", "paragraph_dedup",
+    "gopher_quality_filter", "dsir_importance_weights",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

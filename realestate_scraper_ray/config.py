@@ -192,6 +192,14 @@ class CrawlConfig:
     # per-host, which is what lets throughput scale with host-parallelism)
     rps_per_host: float = 1e9           # effectively off for synthetic fetch
     politeness_shards: int = 4
+    # adaptive failure backoff (beyond the reference, which retries per
+    # URL but never slows a failing host down): each failed request
+    # multiplies the host's politeness spacing by backoff_factor (capped
+    # at backoff_cap_mult × base interval); each success divides it back
+    # (floored at 1×). factor 1.0 = off. Advisory state: NOT
+    # checkpointed — a resumed crawl re-learns hosts' health.
+    backoff_factor: float = 1.0
+    backoff_cap_mult: float = 16.0
     # token-bucket burst depth: how many unconsumed slots a host may
     # carry across wave barriers (a host idle during another host's
     # wave tail catches up with ≤burst back-to-back requests next wave;

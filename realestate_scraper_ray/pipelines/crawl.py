@@ -459,7 +459,9 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
     cfg = crawl_cfg
     urlseen = UrlSeenService(cfg.urlseen_shards, cfg.urlseen_capacity, cfg.fingerprint_bits)
     politeness = PolitenessService(cfg.politeness_shards, cfg.rps_per_host,
-                                   cfg.politeness_burst)
+                                   cfg.politeness_burst,
+                                   cfg.backoff_factor,
+                                   cfg.backoff_cap_mult)
     run_token = uuid.uuid4().hex[:12]  # keys warm-worker stage caches per run
 
     state: dict[tuple[str, str], RegionState] = {

@@ -601,13 +601,13 @@ class FetchParse:
             per_host: dict[str, int] = {}
             for h in hosts:
                 per_host[h] = per_host.get(h, 0) + 1
-            delays = self.politeness.book(per_host)
+            booked = self.politeness.book(per_host)
             t0 = time.monotonic()
-            interval = 1.0 / self.cfg.rps_per_host
             k: dict[str, int] = {}
             due = []
             for h in hosts:
-                due.append(t0 + delays[h] + k.get(h, 0) * interval)
+                d0, spacing = booked[h]
+                due.append(t0 + d0 + k.get(h, 0) * spacing)
                 k[h] = k.get(h, 0) + 1
             order = sorted(order, key=due.__getitem__)
 
@@ -626,6 +626,10 @@ class FetchParse:
                 out[name].append(kv.get(name))
             out["rec_kind"][-1] = rec_kind
 
+        # adaptive backoff: per-host (fails, oks) of this batch, folded
+        # into the politeness shards once at the end (one RPC round)
+        backoff_on = due is not None and self.cfg.backoff_factor > 1.0
+        outcome: dict[str, list[int]] = {}
         for i in order:
             r = rows[i]
             url, kind = r["url"], r["kind"]
@@ -634,6 +638,9 @@ class FetchParse:
                 if wait > 0:
                     time.sleep(wait)
             spans = self._fetch(url)
+            if backoff_on:
+                o = outcome.setdefault(hosts[i], [0, 0])
+                o[0 if spans is None else 1] += 1
             if spans is None:
                 emit("pagemeta", url=url, source=r["source"], region=r["region"],
                      page_idx=r["page_idx"], pos=r["pos"], status="fetch_fail",
@@ -648,6 +655,9 @@ class FetchParse:
                      page_idx=r["page_idx"], pos=r["pos"], status="ok",
                      n_links=0, fetch_kind="detail")
 
+        if backoff_on and outcome:
+            self.politeness.report(
+                {h: (nf, nk) for h, (nf, nk) in outcome.items()})
         self._emit_offers(offer_ctx, offer_raw, offer_photos, emit)
         return pa.Table.from_pydict(out, schema=COMBINED_SCHEMA)
 

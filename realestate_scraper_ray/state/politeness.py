@@ -37,17 +37,53 @@ class PolitenessShard:
     serves many hosts without blocking.
     """
 
-    def __init__(self, rps_per_host: float, burst: int = 1):
+    def __init__(self, rps_per_host: float, burst: int = 1,
+                 backoff_factor: float = 1.0,
+                 backoff_cap_mult: float = 16.0):
         self.interval = 1.0 / rps_per_host
         self.burst = max(1, burst)
         self.free_at: dict[str, float] = {}
+        # adaptive failure backoff (AIMD-style, multiplicative both
+        # ways): a host's effective spacing is interval × mult[host];
+        # report() multiplies by backoff_factor per failed request
+        # (capped) and divides per success (floored at 1.0). factor 1.0
+        # = backoff off (the default; the reference retries per URL but
+        # never slows a failing host down).
+        self.bf = max(1.0, backoff_factor)
+        self.cap = max(1.0, backoff_cap_mult)
+        self.mult: dict[str, float] = {}
+
+    def _spacing(self, host: str) -> float:
+        return self.interval * self.mult.get(host, 1.0)
+
+    def book(self, host: str, n: int) -> tuple[float, float]:
+        """Book n slots; returns (delay until first slot, per-request
+        spacing the caller must pace at)."""
+        now = time.monotonic()
+        spacing = self._spacing(host)
+        free = self.free_at.get(host, now)
+        free = max(free, now - self.burst * spacing)  # cap accrued burst
+        self.free_at[host] = free + n * spacing
+        return max(0.0, free - now), spacing
 
     def acquire(self, host: str, n: int) -> float:
-        now = time.monotonic()
-        free = self.free_at.get(host, now)
-        free = max(free, now - self.burst * self.interval)  # cap accrued burst
-        self.free_at[host] = free + n * self.interval
-        return max(0.0, free - now)
+        return self.book(host, n)[0]
+
+    def report(self, host: str, n_fail: int, n_ok: int) -> float:
+        """Fold a batch's per-host outcome into the backoff multiplier;
+        returns the new multiplier (for tests/metrics)."""
+        if self.bf <= 1.0:
+            return 1.0
+        m = self.mult.get(host, 1.0)
+        if n_fail:
+            m = min(self.cap, m * self.bf ** n_fail)
+        if n_ok:
+            m = max(1.0, m / self.bf ** n_ok)
+        if m == 1.0:
+            self.mult.pop(host, None)
+        else:
+            self.mult[host] = m
+        return m
 
     def snapshot(self) -> dict[str, float]:
         return dict(self.free_at)
@@ -67,13 +103,17 @@ class PolitenessShard:
 
 
 class PolitenessService:
-    def __init__(self, n_shards: int, rps_per_host: float, burst: int = 1):
+    def __init__(self, n_shards: int, rps_per_host: float, burst: int = 1,
+                 backoff_factor: float = 1.0,
+                 backoff_cap_mult: float = 16.0):
         self.n = n_shards
         self.rps = rps_per_host
         # politeness off (synthetic-fetch benches) ⇒ no shard actors at
         # all: don't reserve CPU for a service that is never called
         self.shards = ([] if rps_per_host >= 1e8 else
-                       [PolitenessShard.remote(rps_per_host, burst)
+                       [PolitenessShard.remote(rps_per_host, burst,
+                                               backoff_factor,
+                                               backoff_cap_mult)
                         for _ in range(n_shards)])
 
     def acquire(self, host: str, n: int) -> float:
@@ -90,20 +130,33 @@ class PolitenessService:
 
     def book(self, counts: dict[str, int]) -> dict[str, float]:
         """Book ``counts[h]`` slots for every host in ONE round of shard
-        RPCs and return each host's delay until its FIRST booked slot —
-        no sleeping here. Callers turn the bookings into per-request due
-        times and process requests in due order, so a batch holding
-        several hosts paces them CONCURRENTLY on one task (span = max
-        over hosts, not sum over hosts) while every request still lands
-        on or after its booked slot."""
+        RPCs; returns per host ``(delay until its FIRST booked slot,
+        per-request spacing)`` — no sleeping here. Callers turn the
+        bookings into per-request due times (first + k·spacing) and
+        process requests in due order, so a batch holding several hosts
+        paces them CONCURRENTLY on one task (span = max over hosts, not
+        sum over hosts) while every request still lands on or after its
+        booked slot. Spacing comes from the shard so a backoff-penalised
+        host is paced at its widened interval, not the base one."""
         if self.rps >= 1e8 or not counts:
-            return dict.fromkeys(counts, 0.0)
+            return dict.fromkeys(counts, (0.0, 0.0))
         import zlib
 
         hosts = list(counts)
         futs = [self.shards[zlib.crc32(h.encode()) % self.n]
-                .acquire.remote(h, counts[h]) for h in hosts]
+                .book.remote(h, counts[h]) for h in hosts]
         return dict(zip(hosts, ray.get(futs)))
+
+    def report(self, stats: dict[str, tuple[int, int]]) -> None:
+        """Per-batch failure/success outcome per host → the shards'
+        adaptive backoff. One RPC round, only called when backoff is
+        configured (CrawlConfig.backoff_factor > 1)."""
+        if self.rps >= 1e8 or not stats:
+            return
+        import zlib
+
+        ray.get([self.shards[zlib.crc32(h.encode()) % self.n]
+                 .report.remote(h, nf, nk) for h, (nf, nk) in stats.items()])
 
     def dump_headroom(self) -> dict[str, float]:
         """One host→remaining-delay map for the crawl checkpoint (the

@@ -128,3 +128,65 @@ def test_politeness_burst_carries_bounded_credit(ray_session):
     head = ray.get(sh.snapshot_headroom.remote()).get("h", 0.0)
     # free_at advanced (8 - 3) slots past now = 0.5 s (minus RPC time)
     assert 0.30 < head <= 0.52
+
+
+def test_backoff_widens_and_recovers_spacing(ray_session):
+    """AIMD failure backoff: fails multiply a host's spacing (capped),
+    successes divide it back to the base interval; other hosts are
+    untouched; factor 1.0 leaves report() a no-op."""
+    shard = PolitenessShard.remote(rps_per_host=10.0, burst=1,
+                                   backoff_factor=2.0, backoff_cap_mult=8.0)
+    d0, sp0 = ray.get(shard.book.remote("bad.pl", 1))
+    assert sp0 == pytest.approx(0.1)
+    assert ray.get(shard.report.remote("bad.pl", 3, 0)) == 8.0  # 2^3 capped
+    _, sp1 = ray.get(shard.book.remote("bad.pl", 1))
+    assert sp1 == pytest.approx(0.8)
+    _, sp_other = ray.get(shard.book.remote("good.pl", 1))
+    assert sp_other == pytest.approx(0.1)
+    assert ray.get(shard.report.remote("bad.pl", 0, 2)) == 2.0   # 8/2^2
+    assert ray.get(shard.report.remote("bad.pl", 0, 5)) == 1.0   # floored
+    _, sp2 = ray.get(shard.book.remote("bad.pl", 1))
+    assert sp2 == pytest.approx(0.1)
+    off = PolitenessShard.remote(rps_per_host=10.0)
+    assert ray.get(off.report.remote("x.pl", 9, 0)) == 1.0
+
+
+def test_backoff_spacing_enforced_end_to_end(ray_session):
+    """A penalised host's booked slots really are spaced at the widened
+    interval — the second booking lands mult × interval later."""
+    svc = PolitenessService(2, rps_per_host=5.0, backoff_factor=4.0)
+    d, sp = svc.book({"slow.pl": 1})["slow.pl"]
+    assert (d, sp) == (0.0, pytest.approx(0.2))
+    svc.report({"slow.pl": (1, 0)})
+    d2, sp2 = svc.book({"slow.pl": 2})["slow.pl"]
+    assert sp2 == pytest.approx(0.8)
+    d3, _ = svc.book({"slow.pl": 1})["slow.pl"]
+    # previous booking reserved 2 slots at 0.8 s spacing ⇒ ≥1.4 s out
+    assert d3 > 1.2
+
+
+def test_crawl_with_backoff_matches_oracle(tmp_path, ray_session):
+    """Backoff changes pacing, never results: a flaky crawl (soft
+    failures, retries succeed) with backoff on equals the same crawl
+    with backoff off."""
+    import pandas as pd
+
+    from realestate_scraper_ray.config import PortalConfig
+    from realestate_scraper_ray.pipelines.crawl import run_crawl
+    pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                        page_size_scale=0.2)
+    base = dict(urlseen_shards=2, urlseen_capacity=1 << 13,
+                fetch_batch_size=64, rps_per_host=200.0,
+                politeness_shards=2, fetch_num_cpus=0.5,
+                fail_per_mille=150, fail_depth=2)  # soft: retries succeed
+    a = run_crawl(pcfg, CrawlConfig(**base, backoff_factor=2.0),
+                  str(tmp_path / "a"))
+    b = run_crawl(pcfg, CrawlConfig(**base), str(tmp_path / "b"))
+    for name in ("urls", "offers"):
+        ta = (a.table(name).to_pandas()
+              .sort_values(["source", "region", "page_idx", "pos"])
+              .reset_index(drop=True))
+        tb = (b.table(name).to_pandas()
+              .sort_values(["source", "region", "page_idx", "pos"])
+              .reset_index(drop=True))
+        pd.testing.assert_frame_equal(ta, tb, obj=name)
