@@ -3897,6 +3897,67 @@ def dsir_topk_sample(sf_dir: str) -> pd.DataFrame:
     return w.assign(rnk=np.arange(1, len(w) + 1, dtype=np.int64))
 
 
+# The full engine loop in one composition: crawl output → training
+# corpus. Non-SQL (crawl-derived); a brute-force pandas twin over the
+# same crawl's offers table is pytest-gated.
+_CTC_BIN = 512
+
+
+@query("crawl_training_corpus")
+def crawl_training_corpus(sf_dir: str) -> pd.DataFrame:
+    """Crawl → training set, streamed end to end: the crawl's offer
+    descriptions (via CrawlResult.dataset — fragments never concatenate
+    on the driver) flow through vectorized token counting, exact
+    content-hash dedup (hash-partitioned keep-first; only (hash, id,
+    n_tokens) ints ride the exchange — same-hash rows share one text,
+    so n_tokens is group-constant) and GPT-style sequence packing
+    (hierarchical prefix sum, 512-token bins). One call takes a
+    reference user from crawl artifacts to a packed corpus."""
+    from ..functions.textstats import rolling_hash64, token_counts
+    res = _crawl_result()
+    ds = res.dataset("offers")
+
+    def key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.is_null(t["description"])))
+        txt = t["description"].combine_chunks()
+        h = np.asarray(rolling_hash64(txt)).view(np.int64)
+        tc = token_counts(txt)
+        return pa.table({
+            "oid": pc.cast(t["offer_id"], pa.int64()),
+            "h": pa.array(h),
+            "n_tokens": pc.cast(tc["n_tokens_ws"], pa.int64())})
+
+    canon = (ds.map_batches(key, batch_format="pyarrow")
+             .groupby("h")
+             .aggregate(Min("oid", alias_name="oid"),
+                        Min("n_tokens", alias_name="n_tokens"),
+                        Count(alias_name="dupes"))
+             .map_batches(lambda t: t.append_column(
+                 "bucket", pc.divide(t["oid"], 1 << 14)),
+                 batch_format="pyarrow")
+             .materialize())
+    sub = (canon.select_columns(["bucket", "n_tokens"])
+           .groupby("bucket").aggregate(Sum("n_tokens", alias_name="tot"))
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    starts = np.concatenate(([0], sub["tot"].cumsum().to_numpy()[:-1]))
+    offsets = ray.put(dict(zip(sub["bucket"].astype(int),
+                               starts.astype(int))))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("oid").reset_index(drop=True)
+        base = ray.get(offsets)[int(g["bucket"][0])]
+        n = g["n_tokens"].to_numpy()
+        off = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame({
+            "offer_id": g["oid"], "n_tokens": g["n_tokens"],
+            "dupes": g["dupes"], "tok_offset": off.astype(np.int64),
+            "pack_bin": (off // _CTC_BIN).astype(np.int64)})
+
+    out = (canon.groupby("bucket").map_groups(pack, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("offer_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

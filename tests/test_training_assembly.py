@@ -63,3 +63,29 @@ def test_sequence_packing_matches_oracle():
     expect = np.concatenate(([0], np.cumsum(n)[:-1]))
     assert np.array_equal(o["tok_offset"].to_numpy(), expect)
     assert np.array_equal(o["pack_bin"].to_numpy(), expect // 2048)
+
+
+def test_crawl_training_corpus_matches_brute_force(ray_session):
+    """crawl → token count → exact keep-first dedup → packing equals a
+    pandas reimplementation over the same crawl's offers table."""
+    import numpy as np
+
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["crawl_training_corpus"](sf)
+    offers = QUERIES["crawl_offers_wide"](sf)
+    o = offers[offers["description"].notna()].copy()
+    o["oid"] = o["offer_id"].astype("int64")
+    o["n_tokens"] = o["description"].str.split().map(len)
+    g = (o.sort_values("oid")
+         .groupby("description", as_index=False)
+         .agg(oid=("oid", "min"), n_tokens=("n_tokens", "first"),
+              dupes=("oid", "size"))
+         .sort_values("oid").reset_index(drop=True))
+    off = np.concatenate(([0], g["n_tokens"].cumsum().to_numpy()[:-1]))
+    assert got["offer_id"].tolist() == g["oid"].tolist()
+    assert got["n_tokens"].tolist() == g["n_tokens"].tolist()
+    assert got["dupes"].tolist() == g["dupes"].tolist()
+    assert got["tok_offset"].tolist() == off.tolist()
+    assert got["pack_bin"].tolist() == (off // 512).tolist()
+    assert got["dupes"].sum() == len(o)  # every doc accounted for
