@@ -3958,6 +3958,77 @@ def crawl_training_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("offer_id").reset_index(drop=True)
 
 
+_VLM_IMG_TOKENS = 576  # ViT-L/14 @ 336px patch count — the usual VLM cost
+_VLM_BIN = 4096
+
+
+@query("crawl_vlm_packing")
+def crawl_vlm_packing(sf_dir: str) -> pd.DataFrame:
+    """Multimodal interleaved packing: each crawl document costs its
+    text tokens (title + description) plus a fixed 576 tokens per image
+    span — the VLM training-assembly shape over the input_hint's
+    interleaved text+media substrate. No join: offers contribute
+    (oid, n_txt, 0) and photos (oid, 0, 1) rows into ONE ints-only
+    union + groupby-sum (photo-less offers keep left semantics for
+    free), then hierarchical-prefix-sum packing into 4096-token bins.
+    """
+    from ..functions.textstats import token_counts
+    res = _crawl_result()
+
+    def txt(t: pa.Table) -> pa.Table:
+        title = pc.coalesce(t["title"], pa.scalar("", pa.string()))
+        desc = pc.coalesce(t["description"], pa.scalar("", pa.string()))
+        n = pc.add(
+            pc.cast(token_counts(title.combine_chunks())["n_tokens_ws"],
+                    pa.int64()),
+            pc.cast(token_counts(desc.combine_chunks())["n_tokens_ws"],
+                    pa.int64()))
+        return pa.table({"oid": pc.cast(t["offer_id"], pa.int64()),
+                         "n_txt": n,
+                         "n_img": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def img(t: pa.Table) -> pa.Table:
+        return pa.table({"oid": pc.cast(t["offer_id"], pa.int64()),
+                         "n_txt": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "n_img": pa.array(np.ones(t.num_rows, np.int64))})
+
+    flat = (res.dataset("offers").map_batches(txt, batch_format="pyarrow")
+            .union(res.dataset("photos").map_batches(
+                img, batch_format="pyarrow")))
+    docs = (flat.groupby("oid")
+            .aggregate(Sum("n_txt", alias_name="n_txt"),
+                       Sum("n_img", alias_name="n_img"))
+            .map_batches(lambda t: t.append_column(
+                "cost", pc.add(t["n_txt"],
+                               pc.multiply(t["n_img"],
+                                           pa.scalar(_VLM_IMG_TOKENS,
+                                                     pa.int64()))))
+                .append_column("bucket", pc.divide(t["oid"], 1 << 14)),
+                batch_format="pyarrow")
+            .materialize())
+    sub = (docs.select_columns(["bucket", "cost"])
+           .groupby("bucket").aggregate(Sum("cost", alias_name="tot"))
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    starts = np.concatenate(([0], sub["tot"].cumsum().to_numpy()[:-1]))
+    offsets = ray.put(dict(zip(sub["bucket"].astype(int),
+                               starts.astype(int))))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("oid").reset_index(drop=True)
+        base = ray.get(offsets)[int(g["bucket"][0])]
+        n = g["cost"].to_numpy()
+        off = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame({
+            "offer_id": g["oid"], "n_text_tokens": g["n_txt"],
+            "n_images": g["n_img"], "seq_cost": g["cost"],
+            "tok_offset": off.astype(np.int64),
+            "pack_bin": (off // _VLM_BIN).astype(np.int64)})
+
+    out = (docs.groupby("bucket").map_groups(pack, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("offer_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

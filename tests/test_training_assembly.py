@@ -89,3 +89,32 @@ def test_crawl_training_corpus_matches_brute_force(ray_session):
     assert got["tok_offset"].tolist() == off.tolist()
     assert got["pack_bin"].tolist() == (off // 512).tolist()
     assert got["dupes"].sum() == len(o)  # every doc accounted for
+
+
+def test_crawl_vlm_packing_matches_brute_force(ray_session):
+    """Interleaved text+image packing equals a pandas reimplementation:
+    cost = title+description ws-tokens + 576/photo, packed in offer_id
+    order into 4096-token bins; photo-less offers keep cost = text."""
+    import numpy as np
+
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["crawl_vlm_packing"](sf)
+    offers = QUERIES["crawl_offers_wide"](sf)
+    photos = QUERIES["crawl_photos"](sf)
+    o = offers.copy()
+    o["oid"] = o["offer_id"].astype("int64")
+    o["n_txt"] = (o["title"].fillna("").str.split().map(len)
+                  + o["description"].fillna("").str.split().map(len))
+    pc_ = photos["offer_id"].astype("int64").value_counts()
+    o["n_img"] = o["oid"].map(pc_).fillna(0).astype("int64")
+    o["cost"] = o["n_txt"] + 576 * o["n_img"]
+    o = o.sort_values("oid").reset_index(drop=True)
+    off = np.concatenate(([0], o["cost"].cumsum().to_numpy()[:-1]))
+    assert got["offer_id"].tolist() == o["oid"].tolist()
+    assert got["n_text_tokens"].tolist() == o["n_txt"].tolist()
+    assert got["n_images"].tolist() == o["n_img"].tolist()
+    assert got["seq_cost"].tolist() == o["cost"].tolist()
+    assert got["tok_offset"].tolist() == off.tolist()
+    assert got["pack_bin"].tolist() == (off // 4096).tolist()
+    assert (got["n_images"] == 0).any()  # left semantics exercised
