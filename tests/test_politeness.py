@@ -92,7 +92,10 @@ def test_headroom_restores_across_different_shard_count(ray_session):
     for h in hosts:
         svc.acquire(h, 1)
         shard = svc.shards[zlib.crc32(h.encode()) % 2]
-        ray.get(shard.acquire.remote(h, 3))
+        # Book ~12 s of headroom: the assertion below only needs > 1 s
+        # left after the resumed service's 5 actors spin up, which can
+        # take several seconds on a loaded machine (flaky at 3 slots).
+        ray.get(shard.acquire.remote(h, 12))
     headroom = svc.dump_headroom()
     assert set(headroom) == set(hosts)
 
@@ -104,7 +107,7 @@ def test_headroom_restores_across_different_shard_count(ray_session):
 
     # legacy list-of-per-shard-blobs checkpoints still restore
     legacy = PolitenessService(3, rps_per_host=1.0)
-    legacy.restore_headroom([{h: 3.0} for h in hosts])
+    legacy.restore_headroom([{h: 8.0} for h in hosts])
     for h in hosts:
         shard = legacy.shards[zlib.crc32(h.encode()) % 3]
         assert ray.get(shard.acquire.remote(h, 1)) > 1.0
