@@ -373,3 +373,23 @@ def gopher_pass(stats: pa.Table) -> pa.Array:
           & (5 * c["n_alpha_words"] >= 4 * w)
           & (c["n_stop_hits"] >= 2))
     return pa.array(ok)
+
+
+# ---------------------------------------------------------------------------
+# unicode/whitespace text normalization (the standard first stage of a
+# web-text pipeline: NFC composition + whitespace canonicalization)
+# ---------------------------------------------------------------------------
+
+def normalize_text(texts) -> pa.Array:
+    """NFC-normalize, collapse ASCII whitespace runs to one space, trim
+    edge spaces. NFC runs through polars (this build's
+    pc.utf8_normalize is a no-op on decomposed input); the whitespace
+    collapse deliberately uses pyarrow's RE2 `\\s+` — the same engine
+    and (ASCII) semantics as a DuckDB `regexp_replace` oracle, where
+    rust-regex's Unicode `\\s` would also eat U+00A0 and diverge."""
+    import pyarrow.compute as pc
+    s = _to_series(texts)
+    nfc = s.str.normalize("NFC").to_arrow().cast(pa.string())
+    collapsed = pc.replace_substring_regex(nfc, pattern=r"\s+",
+                                           replacement=" ")
+    return pc.utf8_trim(collapsed, characters=" ")

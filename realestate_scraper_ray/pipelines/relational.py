@@ -4030,6 +4030,183 @@ def crawl_vlm_packing(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Statistical / preprocessing operators: mergeable-moments outlier
+# detection, sufficient-statistics OLS, random-projection reduction,
+# unicode text normalization.  Common thread: the only thing that ever
+# crosses the wire is a constant number of integers per (block, group)
+# — the same combiner-first discipline as the sketches.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_SQL = """
+WITH c AS (SELECT event_id, event_type, value,
+                  CAST(ROUND(value*100,0) AS BIGINT) AS cents FROM events),
+m AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS s,
+             SUM(CAST(cents AS HUGEINT)*cents) AS ss
+      FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type, c.value
+FROM c JOIN m USING (event_type)
+WHERE (CAST(c.cents AS HUGEINT)*m.n - m.s)*(CAST(c.cents AS HUGEINT)*m.n - m.s)
+      > 9*(CAST(m.n AS HUGEINT)*m.ss - CAST(m.s AS HUGEINT)*m.s)
+"""
+
+
+@query("events_outlier_zscore", _OUTLIER_SQL)
+def events_outlier_zscore(sf_dir: str) -> rd.Dataset:
+    """3-sigma outliers per event_type, integer-exact and shuffle-free:
+    pass 1 folds per-(block, type) moment partials (n, Σcents, Σcents²)
+    — a constant few ints per block, the Welford-style mergeable
+    sufficient statistic — to the driver; the driver turns each group's
+    moments into one integer threshold K = isqrt(9·(n·ΣΣ − Σ²)) with
+    arbitrary-precision ints (no float σ, so the boundary is exact:
+    |x·n − Σ| > K  ⟺  (x−μ)² > 9σ²); pass 2 is a stateless broadcast
+    filter.  No groupby exchange ever sees an event row."""
+    import math
+
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        g = pa.table({"event_type": t["event_type"],
+                      "n": np.ones(len(t), np.int64),
+                      "s": cents, "ss": cents * cents}) \
+            .group_by("event_type").aggregate(
+                [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "ss"])
+
+    mom: dict[str, list[int]] = {}
+    for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        m = mom.setdefault(r["event_type"], [0, 0, 0])
+        m[0] += int(r["n"]); m[1] += int(r["s"]); m[2] += int(r["ss"])
+    thr = {t: (n, s, math.isqrt(9 * (n * ss - s * s)))
+           for t, (n, s, ss) in mom.items()}
+
+    def flag(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for tp, (n, s, k) in thr.items():
+            m = et == tp
+            keep[m] = np.abs(cents[m] * n - s) > k
+        return t.filter(pa.array(keep)) \
+                .select(["event_id", "event_type", "value"])
+
+    return _as_arrow(ds.map_batches(flag, batch_format="pyarrow"))
+
+
+_OLS_SQL = """
+WITH c AS (SELECT event_type,
+                  epoch(date_trunc('second', ts))::BIGINT
+                    - (SELECT MIN(epoch(date_trunc('second', ts))::BIGINT)
+                       FROM events) AS x,
+                  CAST(ROUND(value*100,0) AS BIGINT) AS y
+           FROM events),
+m AS (SELECT event_type, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx,
+             SUM(y)::HUGEINT AS sy, SUM(x::HUGEINT*y) AS sxy,
+             SUM(x::HUGEINT*x) AS sxx
+      FROM c GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST((CASE WHEN n*sxy - sx*sy >= 0 THEN 1 ELSE -1 END) *
+            (abs(1000000*(n*sxy - sx*sy)) // (n*sxx - sx*sx)) AS BIGINT)
+       AS slope_micro
+FROM m
+"""
+
+
+@query("events_ols_trend", _OLS_SQL)
+def events_ols_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-group least-squares trend (cents/second slope of value over
+    time) fitted distributively via mergeable sufficient statistics —
+    the closed-form OLS decomposition (n, Σx, Σy, Σxy, Σx²) that turns
+    model fitting into the same combiner-then-tiny-merge shape as a
+    grouped sum.  x is rebased to the global min timestamp so per-batch
+    Σx² stays inside int64; the driver folds partials with Python ints
+    (exact at any scale) and emits a fixed-point micro-slope with
+    truncation-toward-zero division (matching SQL's `//` on HUGEINT).
+    Slope per 100 TB: partials are 5 ints per (block, group)."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+    t0 = ds.aggregate(Min("ts"))["min(ts)"]
+    x0 = int(pd.Timestamp(t0).value // 10**9)  # trunc to whole seconds
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = (t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+             - x0)
+        y = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        g = pa.table({"event_type": t["event_type"],
+                      "n": np.ones(len(t), np.int64),
+                      "sx": x, "sy": y, "sxy": x * y, "sxx": x * x}) \
+            .group_by("event_type").aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxy", "sum"), ("sxx", "sum")])
+        return g.rename_columns(["event_type", "n", "sx", "sy",
+                                 "sxy", "sxx"])
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["event_type"], [0, 0, 0, 0, 0])
+        for i, k in enumerate(("n", "sx", "sy", "sxy", "sxx")):
+            a[i] += int(r[k])
+    rows = []
+    for tp in sorted(acc):
+        n, sx, sy, sxy, sxx = acc[tp]
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        slope = (1 if num >= 0 else -1) * (abs(1_000_000 * num) // den)
+        rows.append({"event_type": tp, "n": n, "slope_micro": slope})
+    return pd.DataFrame(rows)
+
+
+_RP_SQL = """
+WITH e AS (SELECT vec_id, UNNEST(embedding) AS x, UNNEST(range(64)) AS i
+           FROM embeddings),
+s AS (SELECT i.range AS i, j.range AS j,
+        CASE WHEN substr(md5(CAST(i.range AS VARCHAR) || ':'
+                             || CAST(j.range AS VARCHAR)), 1, 1)
+             IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn
+      FROM range(64) i, range(16) j)
+SELECT e.vec_id, s.j AS proj_dim,
+       CAST(SUM(s.sgn * CAST(TRUNC(CAST(e.x AS DOUBLE)*1000000) AS BIGINT))
+            AS BIGINT) AS proj
+FROM e JOIN s USING (i)
+GROUP BY e.vec_id, s.j
+"""
+
+
+@query("embedding_rp_project", _RP_SQL)
+def embedding_rp_project(sf_dir: str) -> rd.Dataset:
+    """Random-projection reduction of the 64-dim embeddings to 16 dims
+    (`stages/similarity.py rp_project`): ±1 md5-derived signs and
+    trunc-fixed-point components make the projection itself hash-exact
+    against SQL — not just a distortion gate.  Map-side only: the sign
+    matrix rides the task closure, nothing shuffles."""
+    from ..stages.similarity import rp_project
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _as_arrow(rp_project(ds, "embedding", "vec_id", k=16, dim=64))
+
+
+_NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'), ' ')
+         AS clean_text
+FROM documents
+"""
+
+
+@query("text_normalize", _NORMALIZE_SQL)
+def text_normalize(sf_dir: str) -> rd.Dataset:
+    """Unicode NFC + whitespace canonicalization over the documents
+    table — the standard first stage of a web-text pipeline
+    (`functions/textstats.py normalize_text`); stateless map, RE2
+    whitespace semantics shared with the DuckDB oracle."""
+    from ..functions.textstats import normalize_text
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "clean_text": normalize_text(t["text"])})
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return _as_arrow(ds.map_batches(norm, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the

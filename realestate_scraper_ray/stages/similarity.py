@@ -266,3 +266,55 @@ def lsh_bucket_topk(ds: rd.Dataset, vec_col: str, id_col: str,
     out = cand.groupby("query_id", sort=True).head(k).copy()
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Achlioptas '03 ±1 signs) — dimensionality reduction
+# as a pure map-side stage.
+# ---------------------------------------------------------------------------
+
+def rp_sign_matrix(dim: int, k: int) -> np.ndarray:
+    """Deterministic ±1 sign matrix (dim × k), entry (i, j) = +1 iff the
+    first hex nibble of md5("i:j") < 8. md5 (not splitmix) so a SQL
+    oracle can derive the identical matrix (`md5(i || ':' || j)`); the
+    matrix is dim·k scalars — built once on the driver and shipped in
+    the task closure, never per batch."""
+    import hashlib
+    s = np.empty((dim, k), dtype=np.int64)
+    for i in range(dim):
+        for j in range(k):
+            s[i, j] = 1 if int(hashlib.md5(
+                f"{i}:{j}".encode()).hexdigest()[0], 16) < 8 else -1
+    return s
+
+
+def rp_project(ds: rd.Dataset, vec_col: str, id_col: str, k: int,
+               scale: int = 1_000_000, dim: int | None = None) -> rd.Dataset:
+    """Johnson–Lindenstrauss random projection of an embedding column
+    to k dims, integer-exact: each float32 component is fixed-pointed
+    by trunc(x · scale) (truncation has no round-half ties, so numpy
+    and any SQL oracle agree bit-for-bit), then multiplied by the ±1
+    sign matrix with an int64 matmul.  One streaming pass, no shuffle;
+    output is the flattened (id, proj_dim, proj) long form.  E[‖Px‖²]
+    = k·‖x‖² up to the fixed-point grid, so distances are preserved
+    within the standard JL distortion at this k."""
+    if dim is None:
+        dim = len(ds.take(1)[0][vec_col])  # one-row peek, not a full read
+    signs = rp_sign_matrix(dim, k)
+
+    def project(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "proj_dim": pa.array([], pa.int64()),
+                             "proj": pa.array([], pa.int64())})
+        mat = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
+        ei = np.trunc(mat.astype(np.float64) * scale).astype(np.int64)
+        p = ei @ signs                      # (n, k) int64, exact
+        ids = t[id_col].to_numpy()
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, k)),
+            "proj_dim": pa.array(np.tile(np.arange(k, dtype=np.int64),
+                                         len(ids))),
+            "proj": pa.array(p.reshape(-1))})
+
+    return ds.map_batches(project, batch_format="pyarrow")
