@@ -4206,6 +4206,71 @@ def text_normalize(sf_dir: str) -> rd.Dataset:
     return _as_arrow(ds.map_batches(norm, batch_format="pyarrow"))
 
 
+def _pagerank_sql(n_iter: int = 10, mass: int = 10**12,
+                  damping_pct: int = 85) -> str:
+    """Unrolled-iteration PageRank oracle: DuckDB forbids GROUP BY in a
+    recursive CTE term, so the power iteration is generated as n_iter
+    chained CTEs — every arithmetic step (floor divisions included)
+    mirrors `stages/graph.py pagerank` exactly, making the fixed-point
+    ranks hash-comparable."""
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                  'i' || json_extract_string(props, '$.k') AS dst
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+  UNION
+  SELECT DISTINCT 'i' || json_extract_string(props, '$.k'),
+                  'u' || CAST(user_id AS VARCHAR)
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+nn AS (SELECT COUNT(*) AS cnt FROM deg),
+p0 AS (SELECT deg.src AS node, CAST({mass} // cnt AS BIGINT) AS rank
+       FROM deg, nn)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f""",
+p{i} AS (SELECT e.dst AS node,
+       CAST((SELECT ({100 - damping_pct} * {mass}) // (100 * cnt) FROM nn)
+            + ({damping_pct} * SUM(p{i-1}.rank // d.od)) // 100 AS BIGINT)
+         AS rank
+FROM p{i-1} JOIN e ON e.src = p{i-1}.node JOIN deg d ON d.src = p{i-1}.node
+GROUP BY e.dst)""")
+    return head + "".join(its) + f"\nSELECT node, rank FROM p{n_iter}"
+
+
+def _event_bipartite_edges(sf_dir: str) -> rd.Dataset:
+    """Distinct bidirectional user↔item edges from the events table
+    (item = props.k): per-batch distinct partials, then one pair-key
+    exchange — only (src, dst) strings ride the shuffle.  Reverse edges
+    make every node's out-degree >= 1 (no dangling-mass term)."""
+
+    def mk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        k = df["props"].str.json_path_match("$.k")
+        u = pl.Series(["u"] * len(df)) + df["user_id"].cast(pl.Utf8)
+        i = pl.Series(["i"] * len(df)) + k
+        both = pl.concat([pl.DataFrame({"src": u, "dst": i}),
+                          pl.DataFrame({"src": i, "dst": u})]) \
+                 .drop_nulls().unique()
+        return both.to_arrow()
+
+    ev = _pq(sf_dir, "events", ["user_id", "props"])
+    return (ev.map_batches(mk, batch_format="pyarrow")
+            .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+            .select_columns(["src", "dst"]))
+
+
+@query("graph_pagerank", _pagerank_sql())
+def graph_pagerank(sf_dir: str) -> rd.Dataset:
+    """PageRank over the bipartite user↔item interaction graph — the
+    iterative-algorithm family (`stages/graph.py pagerank`): 10 power
+    iterations, each one adaptive rank-lookup join + combiner-first
+    groupby-sum; integer fixed-point (10^12 mass, floor division) makes
+    the distributed result bit-equal to the unrolled SQL oracle."""
+    from ..stages.graph import pagerank
+    return _as_arrow(pagerank(_event_bipartite_edges(sf_dir), n_iter=10))
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

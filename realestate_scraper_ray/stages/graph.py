@@ -228,3 +228,68 @@ def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
     return labels.map_batches(
         lambda t: pa.table({node_col: t["node"], "component": t["label"]}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PageRank — the canonical iterative distributed algorithm (Pregel /
+# power-iteration shape): per round, one rank lookup join onto the
+# edge list + one groupby-sum of contributions.  Integer fixed-point
+# throughout (total mass 10^12 micro-units, floor division at every
+# step), so the result is bit-deterministic across block splits,
+# process counts and a SQL re-implementation — no float accumulation
+# order anywhere.
+# ---------------------------------------------------------------------------
+
+PAGERANK_MASS = 10**12
+
+
+def pagerank(edges: rd.Dataset, *, n_iter: int = 10,
+             damping_pct: int = 85, mass: int = PAGERANK_MASS) -> rd.Dataset:
+    """Integer-exact PageRank over a directed edge Dataset (src, dst —
+    string or int node ids).  Every node must have out-degree >= 1
+    (callers with dangling nodes add reverse edges first — the
+    bipartite build in `relational.py graph_pagerank` does).
+
+    Update: rank'[d] = base + (damping * Σ_src rank[src] // od[src]) // 100
+    with base = (100-damping)·mass // (100·N).  Only node-scale tables
+    (ranks, degrees) and the edge list move per round: the rank lookup
+    rides the adaptive broadcast-or-shuffle join (64 MiB cap — at
+    10^10 edges the rank side hash-partitions instead of broadcasting),
+    contributions pre-aggregate per batch inside the groupby-sum.
+    Floors lose a few micro-units of mass per round (deterministically);
+    ranks stay within [base, mass]."""
+    from ray.data.aggregate import Count
+
+    from .joins import lookup_join
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="od"))
+    # bidirectional edge builds guarantee src-set == node-set
+    nodes = deg.materialize()
+    n = nodes.count()
+    r0 = mass // n
+    base = ((100 - damping_pct) * mass) // (100 * n)
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table({"node": t["src"],
+                            "rank": np.full(len(t), r0, dtype=np.int64)}),
+        batch_format="pyarrow").materialize()
+    edges_d = lookup_join(edges, nodes, "src", "src", ["od"]).materialize()
+
+    def contribs(t: pa.Table) -> pa.Table:
+        c = t["rank"].to_numpy() // t["od"].to_numpy()
+        return (pa.table({"node": t["dst"], "c": c})
+                .group_by("node").aggregate([("c", "sum")])
+                .rename_columns(["node", "c"]))
+
+    def fold(t: pa.Table) -> pa.Table:
+        s = t["c"].to_numpy()
+        return pa.table({"node": t["node"],
+                         "rank": base + (damping_pct * s) // 100})
+
+    for _ in range(n_iter):
+        joined = lookup_join(edges_d, ranks, "src", "node", ["rank"])
+        ranks = (joined.map_batches(contribs, batch_format="pyarrow")
+                 .groupby("node").aggregate(Sum("c", alias_name="c"))
+                 .map_batches(fold, batch_format="pyarrow")
+                 .materialize())
+    return ranks

@@ -1,0 +1,74 @@
+"""Distributed PageRank (stages/graph.py pagerank): integer fixed-point
+power iteration checked against a sequential dict-based twin, including
+a hub node (skewed in-degree) and block-split invariance."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _seq_pagerank(edges, n_iter=10, mass=10**12, damping=85):
+    """Sequential twin with identical floor arithmetic."""
+    from collections import defaultdict
+    od = defaultdict(int)
+    for s, _ in edges:
+        od[s] += 1
+    nodes = sorted(od)
+    n = len(nodes)
+    base = ((100 - damping) * mass) // (100 * n)
+    rank = {v: mass // n for v in nodes}
+    for _ in range(n_iter):
+        inc = defaultdict(int)
+        for s, d in edges:
+            inc[d] += rank[s] // od[s]
+        rank = {v: base + (damping * inc[v]) // 100 for v in inc}
+    return rank
+
+
+def _run_engine(edges, blocks, n_iter=10):
+    from realestate_scraper_ray.stages.graph import pagerank
+    t = pa.table({"src": [s for s, _ in edges],
+                  "dst": [d for _, d in edges]})
+    ds = rd.from_arrow(t).repartition(blocks)
+    out = pagerank(ds, n_iter=n_iter).take_all()
+    return {r["node"]: r["rank"] for r in out}
+
+
+def test_pagerank_matches_sequential_with_hub(ray_session):
+    rng = np.random.default_rng(17)
+    # ring (connectivity) + a hub every node points to (in-degree skew)
+    n = 60
+    edges = set()
+    for v in range(n):
+        edges.add((f"n{v}", f"n{(v + 1) % n}"))
+        edges.add((f"n{v}", "hub"))
+    edges.add(("hub", "n0"))  # hub must have out-degree >= 1
+    # random chords
+    for _ in range(120):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((f"n{a}", f"n{b}"))
+    edges = sorted(edges)
+
+    want = _seq_pagerank(edges)
+    got = _run_engine(edges, blocks=5)
+    assert got == want
+    # the hub's rank dominates every ring node's
+    assert got["hub"] > max(v for k, v in got.items() if k != "hub")
+
+
+def test_pagerank_block_split_invariant(ray_session):
+    edges = [(f"a{i}", f"a{(i * 7 + 1) % 23}") for i in range(23)]
+    edges += [(d, s) for s, d in edges]  # make it strongly connected
+    edges = sorted(set(edges))
+    assert _run_engine(edges, blocks=1, n_iter=4) == \
+        _run_engine(edges, blocks=8, n_iter=4)
+
+
+def test_pagerank_mass_roughly_conserved(ray_session):
+    # floors only ever drop micro-units: total stays within N*100 of mass
+    edges = [(f"v{i}", f"v{(i + 1) % 40}") for i in range(40)]
+    edges += [(d, s) for s, d in edges]
+    got = _run_engine(sorted(set(edges)), blocks=3)
+    total, mass = sum(got.values()), 10**12
+    assert mass - len(got) * 200 < total <= mass
