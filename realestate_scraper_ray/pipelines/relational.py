@@ -4271,6 +4271,62 @@ def graph_pagerank(sf_dir: str) -> rd.Dataset:
     return _as_arrow(pagerank(_event_bipartite_edges(sf_dir), n_iter=10))
 
 
+_INC_HOURLY_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value*100,0) AS BIGINT))/100.0 AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_incremental_hourly", _INC_HOURLY_SQL)
+def events_incremental_hourly(sf_dir: str) -> rd.Dataset:
+    """Incrementally-maintained hourly aggregate
+    (`stages/incremental.py IncrementalGroupSum`): the events table is
+    ingested as four sequential deltas (plus one deliberate re-apply —
+    the exactly-once manifest makes it a no-op), each folding combiner
+    partials into hash-bucketed on-disk state; the read of that state
+    must equal the one-shot SQL aggregate.  This is the daily-crawl
+    ingest shape: per delta, work is O(delta + touched buckets), never
+    O(history)."""
+    import tempfile
+
+    from ..stages.incremental import IncrementalGroupSum
+
+    def partials(t: pa.Table) -> pa.Table:
+        hour = (t["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 3_600_000_000)
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        g = pa.table({"hour_id": hour, "event_type": t["event_type"],
+                      "n": np.ones(len(t), np.int64), "s": cents}) \
+            .group_by(["hour_id", "event_type"]) \
+            .aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["hour_id", "event_type", "n", "s"])
+
+    state = IncrementalGroupSum(
+        tempfile.mkdtemp(prefix="rsr_inc_", dir="/tmp"),
+        key_cols=["hour_id", "event_type"], int_key="hour_id")
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    for part in range(4):
+        delta = ds.map_batches(
+            lambda t, p=part: t.filter(
+                pc.equal(pc.bit_wise_and(t["event_id"], 3), p)),
+            batch_format="pyarrow")
+        assert state.update(delta, f"delta-{part}", partials)
+    # exactly-once: a retried delta id must be a no-op
+    assert not state.update(ds, "delta-2", partials)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"hour_id": t["hour_id"],
+                         "event_type": t["event_type"], "n": t["n"],
+                         "value_sum": pc.divide(
+                             pc.cast(t["s"], pa.float64()), 100.0)})
+
+    return _as_arrow(state.read().map_batches(finish,
+                                              batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #
