@@ -4327,6 +4327,71 @@ def events_incremental_hourly(sf_dir: str) -> rd.Dataset:
                                               batch_format="pyarrow"))
 
 
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000,0)
+                AS BIGINT))/10000.0 AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("returned_revenue_by_customer", _Q10_SQL)
+def returned_revenue_by_customer(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: 4-table join ranking customers by returned-item
+    revenue.  Scale discipline: the returnflag filter is pushed into the
+    lineitem scan; revenue pre-aggregates per batch and then per order
+    BEFORE touching orders (the l→o join carries order-scale (key, cents)
+    pairs, never lineitems); customer/nation payloads arrive through the
+    adaptive lookup join; only per-block top-20 candidates reach the
+    driver."""
+    from ..stages.joins import lookup_join
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"],
+             filter=(pc.field("l_returnflag") == "R"))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(1.0, t["l_discount"])), 10000.0)),
+            pa.int64())
+        return (pa.table({"l_orderkey": t["l_orderkey"], "c": cents})
+                .group_by("l_orderkey").aggregate([("c", "sum")])
+                .rename_columns(["l_orderkey", "c"]))
+
+    per_order = (li.map_batches(rev_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey").aggregate(Sum("c", alias_name="c")))
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = lookup_join(per_order, orders, "l_orderkey", "o_orderkey",
+                    ["o_custkey"])
+    per_cust = j.groupby("o_custkey").aggregate(Sum("c", alias_name="c"))
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    j = lookup_join(per_cust, cust, "o_custkey", "c_custkey",
+                    ["c_name", "c_nationkey"])
+    nat = _pq(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = lookup_join(j, nat, "c_nationkey", "n_nationkey", ["n_name"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["c", "o_custkey"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = j.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["c", "o_custkey"],
+                           ascending=[False, True]).head(20)
+    return pd.DataFrame({
+        "c_custkey": top["o_custkey"].astype("int64").values,
+        "c_name": top["c_name"].values, "n_name": top["n_name"].values,
+        "revenue": (top["c"] / 10000.0).values})
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #
