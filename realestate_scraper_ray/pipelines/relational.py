@@ -4392,6 +4392,104 @@ def returned_revenue_by_customer(sf_dir: str) -> pd.DataFrame:
         "revenue": (top["c"] / 10000.0).values})
 
 
+_SPAN_DEDUP_SQL = """
+WITH srt AS (
+  SELECT user_id, event_type AS kind, props,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS off
+  FROM events),
+win AS (
+  SELECT props, MIN(user_id * 4294967296 + off) AS mn
+  FROM srt WHERE kind != 'purchase' GROUP BY props),
+keep AS (
+  SELECT s.* FROM srt s
+  WHERE s.kind = 'purchase'
+     OR (s.user_id * 4294967296 + s.off) =
+        (SELECT w.mn FROM win w WHERE w.props = s.props)),
+resoff AS (
+  SELECT user_id, kind,
+         CASE WHEN kind = 'purchase' THEN '' ELSE props END AS text,
+         CASE WHEN kind = 'purchase' THEN props ELSE '' END AS media_ref,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY off) - 1 AS new_off
+  FROM keep)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       md5(string_agg(kind || '|' || text || '|' || media_ref || '|'
+                      || new_off, ';' ORDER BY new_off)) AS spans_fp
+FROM resoff GROUP BY user_id
+"""
+
+
+@query("interleaved_span_dedup", _SPAN_DEDUP_SQL)
+def interleaved_span_dedup(sf_dir: str) -> pd.DataFrame:
+    """Span-level exact dedup INSIDE interleaved documents — the
+    payload-specific dedup the input_hint substrate needs: duplicate
+    *text* spans are removed globally keep-first (first = smallest
+    (doc_id, offset)), media spans ('purchase' here stands in for the
+    image kind) are exempt, and every document is rewritten with its
+    surviving spans re-offset in original order.  Scale shape: the
+    keep-first exchange carries only (text_hash, packed_position) ints;
+    winners come back through the adaptive lookup join; the rewrite is
+    the standard one-doc-key shuffle of ``assemble_spans``.  Verified
+    via the order-sensitive fingerprint twin (any lost / reordered /
+    mis-offset span changes the hash)."""
+    from ..functions.textstats import rolling_hash64
+    from ..stages.interleave import assemble_spans, span_fingerprints
+    from ..stages.joins import lookup_join
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type", "props"])
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "kind": g["event_type"], "props": g["props"],
+            "off": np.arange(len(g), dtype=np.int64)})
+
+    flat = ds.groupby("user_id").map_groups(rank, batch_format="pandas")
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        h = np.asarray(rolling_hash64(t["props"].combine_chunks())) \
+            .view(np.int64)
+        ckey = t["user_id"].to_numpy() * (1 << 32) + t["off"].to_numpy()
+        return (t.append_column("thash", pa.array(h))
+                 .append_column("ckey", pa.array(ckey)))
+
+    keyed = flat.map_batches(add_keys, batch_format="pyarrow")
+    text_spans = keyed.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], "purchase")),
+        batch_format="pyarrow")
+    media_spans = keyed.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "purchase")),
+        batch_format="pyarrow")
+    # ints-only keep-first exchange: (thash, ckey) per text span
+    winners = (text_spans.select_columns(["thash", "ckey"])
+               .groupby("thash").aggregate(Min("ckey", alias_name="mn")))
+    survivors = lookup_join(text_spans, winners, "thash", "thash",
+                            ["mn"]).map_batches(
+        lambda t: t.filter(pc.equal(t["ckey"], t["mn"]))
+                   .select(["user_id", "kind", "props", "off"]),
+        batch_format="pyarrow")
+    kept = survivors.union(media_spans.select_columns(
+        ["user_id", "kind", "props", "off"]))
+
+    def to_span_cols(t: pa.Table) -> pa.Table:
+        is_media = pc.equal(t["kind"], "purchase")
+        empty = pa.array([""] * len(t), pa.string())
+        return pa.table({
+            "user_id": t["user_id"], "kind": t["kind"],
+            "text": pc.if_else(is_media, empty, t["props"]),
+            "media_ref": pc.if_else(is_media, t["props"], empty),
+            "off": t["off"]})
+
+    docs = assemble_spans(kept.map_batches(to_span_cols,
+                                           batch_format="pyarrow"),
+                          "user_id", kind_col="kind", text_col="text",
+                          media_col="media_ref", order_cols=["off"])
+    out = span_fingerprints(docs, "user_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

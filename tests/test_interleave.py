@@ -61,3 +61,55 @@ def test_events_interleaved_matches_duckdb(ray_session):
            .sort_values("user_id").reset_index(drop=True))
     assert mine["n_spans"].tolist() == orc["n_spans"].tolist()
     assert mine["spans_fp"].tolist() == orc["spans_fp"].tolist()
+
+
+def test_interleaved_span_dedup_bruteforce(ray_session, tmp_path):
+    """Engine span dedup vs a sequential twin: global keep-first on
+    text spans, media exempt, re-offset rewrite, vanishing doc."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    # doc 1: dup text (kept: first), a media span, unique text
+    # doc 2: same text as doc 1's first span (goes away), dup media (kept)
+    # doc 3: ONLY duplicate text spans -> document vanishes entirely
+    rows = [
+        # user, ts(us), event_id, kind, props
+        (1, 10, 100, "view", "T-dup"),
+        (1, 20, 101, "view", "T-dup"),          # intra-doc dup, dropped
+        (1, 30, 102, "purchase", "M-1"),
+        (1, 40, 103, "click", "T-unique"),
+        (2, 5, 104, "purchase", "M-1"),          # media dup: exempt, kept
+        (2, 15, 105, "view", "T-dup"),           # loses to (1, off 0)
+        (2, 25, 106, "purchase", "M-1"),         # exempt again
+        (3, 1, 107, "view", "T-dup"),            # whole doc vanishes
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array([r[4] for r in rows]),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    # NOTE: (1, ts=10) is globally first for "T-dup": user 1 < user 3
+    # by packed (user_id, offset) order even though user 3's ts is
+    # earlier — keep-first is position-keyed, not time-keyed.
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+    got = {r.user_id: (r.n_spans, r.spans_fp)
+           for r in QUERIES["interleaved_span_dedup"](
+               str(tmp_path)).itertuples()}
+
+    def fp(spans):
+        s = ";".join(f"{k}|{tx}|{m}|{i}"
+                     for i, (k, tx, m) in enumerate(spans))
+        return hashlib.md5(s.encode()).hexdigest()
+
+    want = {
+        1: (3, fp([("view", "T-dup", ""), ("purchase", "", "M-1"),
+                   ("click", "T-unique", "")])),
+        2: (2, fp([("purchase", "", "M-1"), ("purchase", "", "M-1")])),
+    }
+    assert got == want
+    assert 3 not in got  # fully-deduped doc vanishes
