@@ -48,6 +48,9 @@ HEADLINE_QUERIES = [
     "assembled_training_set", "semdedup_removed", "corpus_cluster_map",
     "chunk_documents", "paragraph_dedup",
     "gopher_quality_filter", "dsir_importance_weights",
+    "graph_pagerank", "events_incremental_hourly",
+    "interleaved_span_dedup", "events_outlier_zscore",
+    "embedding_rp_project",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

@@ -4490,6 +4490,49 @@ def interleaved_span_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+_INC_DEDUP_SQL = """
+WITH a AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+firstb AS (SELECT text, MIN(doc_id) AS doc_id FROM b GROUP BY text)
+SELECT f.doc_id FROM firstb f
+WHERE f.text NOT IN (SELECT text FROM a)
+"""
+
+
+@query("documents_incremental_dedup", _INC_DEDUP_SQL)
+def documents_incremental_dedup(sf_dir: str) -> rd.Dataset:
+    """Cross-snapshot dedup at ingest
+    (`stages/incremental.py IncrementalDedup`): the documents table
+    arrives as two snapshots (even doc_ids, then odd); snapshot B's
+    survivors are its docs whose text was never seen before —
+    established against the on-disk fingerprint state, NOT by
+    re-scanning snapshot A.  A deliberate re-ingest of snapshot B
+    must return the identical survivor set without mutating state
+    (exactly-once under retry).  Only (hash, id) ints ride the bucket
+    exchange; each delta touches only its own hash buckets."""
+    import tempfile
+
+    from ..stages.incremental import IncrementalDedup
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    even = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    odd = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow")
+    st = IncrementalDedup(tempfile.mkdtemp(prefix="rsr_incdedup_",
+                                           dir="/tmp"))
+    st.ingest(even, "snap-0", "text", "doc_id").materialize()
+    surv = st.ingest(odd, "snap-1", "text", "doc_id") \
+        .select_columns(["doc_id"]).materialize()
+    retry = st.ingest(odd, "snap-1", "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in surv.take_all())
+    assert ids == sorted(r["doc_id"] for r in
+                         retry.select_columns(["doc_id"]).take_all())
+    return _as_arrow(surv)
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

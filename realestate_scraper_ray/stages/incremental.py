@@ -146,3 +146,96 @@ class IncrementalGroupSum:
             for d in os.listdir(self.state_dir)
             if d.startswith("bucket="))
         return rd.read_parquet(paths)
+
+
+class IncrementalDedup:
+    """Cross-delta exact dedup at ingest: documents seen in ANY prior
+    delta are dropped; the fingerprint state lives on disk as
+    hash-bucketed parquet, so a delta only reads/writes the buckets its
+    own fingerprints hash to (O(delta), not O(corpus)).  The same
+    atomic-rename + in-file applied-delta metadata as
+    ``IncrementalGroupSum`` gives exactly-once semantics under retry.
+
+    Within a delta, duplicates keep the smallest id (deterministic
+    under any block split).  This is the daily-crawl-snapshot dedup of
+    the C4/RefinedWeb recipes, maintained incrementally instead of
+    recomputed over the full history per snapshot.
+    """
+
+    def __init__(self, state_dir: str, n_buckets: int = 16):
+        self.state_dir = state_dir
+        self.n_buckets = n_buckets
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _bucket_path(self, b: int) -> str:
+        return os.path.join(self.state_dir, f"bucket={b:02d}",
+                            "part.parquet")
+
+    def ingest(self, delta: rd.Dataset, delta_id: str, text_col: str,
+               id_col: str) -> rd.Dataset:
+        """Returns the delta's SURVIVORS (rows new to the corpus, one
+        per distinct text, min ``id_col`` wins) and folds their
+        fingerprints into the state.  A re-ingest of the same
+        ``delta_id`` returns the same survivors without mutating state
+        (the per-bucket metadata records applied delta ids).
+
+        Scale shape: the text never leaves its scan task — only
+        (hash, id) int pairs ride the bucket exchange; each bucket task
+        merges against its own parquet file.  Survivor *rows* are
+        recovered by an adaptive semi-join of the delta against the
+        winning ids."""
+        from ..functions.textstats import rolling_hash64
+        from ..stages.joins import semi_join
+
+        state_dir, nb = self.state_dir, self.n_buckets
+        bucket_path = self._bucket_path
+
+        def keys(t: pa.Table) -> pa.Table:
+            h = np.asarray(rolling_hash64(
+                t[text_col].combine_chunks())).view(np.int64)
+            # per-batch keep-first pre-combiner
+            g = (pa.table({"h": h, "id": t[id_col]})
+                 .group_by("h").aggregate([("id", "min")])
+                 .rename_columns(["h", "id"]))
+            b = _bucket_of(g["h"].to_numpy(), nb)
+            return g.append_column("bucket", pa.array(b))
+
+        def merge_bucket(g):
+            import pandas as pd
+            bucket = int(g["bucket"].iloc[0])
+            path = bucket_path(bucket)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            cand = (g.groupby("h", as_index=False)["id"].min())
+            folded: list[str] = []
+            seen = None
+            if os.path.exists(path):
+                prev = pq.read_table(path)
+                folded = json.loads((prev.schema.metadata or {})
+                                    .get(b"applied_deltas", b"[]"))
+                seen = prev.to_pandas()
+            if seen is not None:
+                new = cand[~cand["h"].isin(seen["h"])]
+            else:
+                new = cand
+            if delta_id not in folded:
+                merged = (new if seen is None
+                          else pd.concat([seen, new], ignore_index=True))
+                out = pa.Table.from_pandas(merged, preserve_index=False)
+                out = out.replace_schema_metadata(
+                    {b"applied_deltas":
+                     json.dumps(folded + [delta_id]).encode()})
+                tmp = path + f".tmp-{uuid.uuid4().hex}"
+                pq.write_table(out, tmp)
+                os.replace(tmp, path)
+            else:
+                # retry of an applied delta: the state already contains
+                # this delta's fingerprints — its survivors are exactly
+                # the state entries matching (h, id)
+                new = seen.merge(cand, on=["h", "id"])
+            return new[["id"]]
+
+        winners = (delta.map_batches(keys, batch_format="pyarrow")
+                   .groupby("bucket")
+                   .map_groups(merge_bucket, batch_format="pandas")
+                   .materialize())
+        return semi_join(delta, winners, id_col, "id")

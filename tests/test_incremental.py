@@ -112,3 +112,52 @@ def test_untouched_buckets_not_rewritten(ray_session, tmp_path):
             assert os.stat(p).st_mtime_ns != stamps[p]
         else:
             assert os.stat(p).st_mtime_ns == stamps[p]
+
+
+# ---------------------------------------------------------------------------
+# IncrementalDedup: cross-snapshot dedup at ingest
+# ---------------------------------------------------------------------------
+
+def _docs(ids, texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": np.array(ids, dtype=np.int64), "text": texts}))
+
+
+def test_incremental_dedup_across_and_within_deltas(ray_session, tmp_path):
+    from realestate_scraper_ray.stages.incremental import IncrementalDedup
+    st = IncrementalDedup(str(tmp_path / "st"), n_buckets=4)
+    # delta 0: within-delta dup (keep min id 1), unique texts
+    s0 = st.ingest(_docs([3, 1, 2], ["dup-x", "dup-x", "only-a"]),
+                   "d0", "text", "doc_id")
+    assert sorted(r["doc_id"] for r in s0.take_all()) == [1, 2]
+    # delta 1: one text already in the corpus, one new, one internal dup
+    s1 = st.ingest(_docs([10, 11, 12, 13],
+                         ["dup-x", "fresh", "fresh", "only-b"]),
+                   "d1", "text", "doc_id")
+    assert sorted(r["doc_id"] for r in s1.take_all()) == [11, 13]
+
+
+def test_incremental_dedup_retry_exactly_once(ray_session, tmp_path):
+    import os
+    from realestate_scraper_ray.stages.incremental import IncrementalDedup
+    st = IncrementalDedup(str(tmp_path / "st"), n_buckets=4)
+    st.ingest(_docs([1, 2], ["a", "b"]), "d0", "text", "doc_id") \
+        .materialize()
+    d1 = _docs([5, 6, 7], ["a", "c", "c"])
+    first = sorted(r["doc_id"] for r in
+                   st.ingest(d1, "d1", "text", "doc_id").take_all())
+    assert first == [6]
+    stamps = {}
+    for root, _, files in os.walk(st.state_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            stamps[p] = os.stat(p).st_mtime_ns
+    # retry: same survivors, state files untouched
+    again = sorted(r["doc_id"] for r in
+                   st.ingest(d1, "d1", "text", "doc_id").take_all())
+    assert again == first
+    for p, ns in stamps.items():
+        assert os.stat(p).st_mtime_ns == ns
+    # and a later delta still sees d1's fingerprints
+    s2 = st.ingest(_docs([9], ["c"]), "d2", "text", "doc_id")
+    assert s2.take_all() == []
