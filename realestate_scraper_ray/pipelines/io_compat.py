@@ -327,3 +327,43 @@ def delete_cheap_offers(ds: "rd.Dataset",
     apartments by id, delete price < 50 000): here one streaming
     vectorized filter over the offers table — no per-row API walk."""
     return ds.filter(expr=f"price_amount >= {threshold}")
+
+
+def write_jsonl_shards(ds: "rd.Dataset", out_dir: str) -> int:
+    """Corpus-scale JSONL sink: one shard file per block, written INSIDE
+    the map task (atomic tmp+rename, shard name from the block's min id
+    so re-runs overwrite deterministically rather than duplicating).
+    Returns rows written.  JSONL is the lingua franca for corpus
+    hand-off (the reference's debug dump, HF datasets, most curation
+    tools) — parquet stays the engine-internal format."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        first = min(t.column(0).to_pylist())
+        path = _os.path.join(out_dir, f"shard-{first}.jsonl")
+        tmp = path + f".tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in t.to_pylist():
+                f.write(_json.dumps(row, ensure_ascii=False,
+                                    sort_keys=True) + "\n")
+        _os.replace(tmp, path)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(dump, batch_format="pyarrow").take_all()
+    return int(sum(r["n"] for r in parts))
+
+
+def read_jsonl_shards(out_dir: str) -> "rd.Dataset":
+    """Streaming JSONL source for the shards ``write_jsonl_shards``
+    produced (ray.data's native json reader — one block per shard,
+    schema inferred by Arrow)."""
+    import os as _os
+    paths = sorted(_os.path.join(out_dir, f)
+                   for f in _os.listdir(out_dir) if f.endswith(".jsonl"))
+    return rd.read_json(paths)

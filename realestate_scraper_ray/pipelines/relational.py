@@ -4533,6 +4533,33 @@ def documents_incremental_dedup(sf_dir: str) -> rd.Dataset:
     return _as_arrow(surv)
 
 
+_JSONL_RT_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+"""
+
+
+@query("documents_jsonl_roundtrip", _JSONL_RT_SQL)
+def documents_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """JSONL sink + source round-trip (`io_compat.write_jsonl_shards` /
+    `read_jsonl_shards`): the documents table is written as sharded
+    JSONL inside map tasks (atomic, deterministic shard names) and read
+    back with ray.data's native json reader — the result must equal the
+    parquet original.  JSONL is the corpus hand-off format of the
+    reference's debug dump and of most curation tooling."""
+    import tempfile
+
+    from .io_compat import read_jsonl_shards, write_jsonl_shards
+
+    out = tempfile.mkdtemp(prefix="rsr_jsonl_", dir="/tmp")
+    docs = _pq(sf_dir, "documents",
+               ["doc_id", "lang", "source", "n_chars"])
+    write_jsonl_shards(docs, out)
+    back = read_jsonl_shards(out).map_batches(
+        lambda t: t.select(["doc_id", "lang", "source", "n_chars"]),
+        batch_format="pyarrow")
+    return _as_arrow(back)
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

@@ -230,3 +230,35 @@ def test_delete_cheap_offers_correction(ray_session):
                   "price_amount": [49_999.0, 50_000.0, 750_000.0]})
     out = delete_cheap_offers(rd.from_arrow(t)).to_pandas()
     assert sorted(out["offer_id"]) == ["b", "c"]
+
+
+def test_jsonl_shards_roundtrip_and_rerun_overwrites(ray_session, tmp_path):
+    """write_jsonl_shards/read_jsonl_shards: unicode-exact round-trip,
+    deterministic shard names (a re-run overwrites, never duplicates)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from realestate_scraper_ray.pipelines.io_compat import (
+        read_jsonl_shards, write_jsonl_shards,
+    )
+
+    t = pa.table({"doc_id": np.arange(6, dtype=np.int64),
+                  "text": ["Zażółć gęślą", 'quote " and \\', "新聞",
+                           "plain", "tab\tnewline\n", "é"],
+                  "n": np.arange(6, dtype=np.int64) * 10})
+    out = str(tmp_path / "jl")
+    ds = rd.from_arrow(t).repartition(3)
+    assert write_jsonl_shards(ds, out) == 6
+    n_files = len(os.listdir(out))
+    assert n_files >= 1
+    back = read_jsonl_shards(out).take_all()
+    want = sorted(t.to_pylist(), key=lambda r: r["doc_id"])
+    assert sorted(back, key=lambda r: r["doc_id"]) == want
+    # re-run: same shard names -> overwrite, not append
+    assert write_jsonl_shards(ds, out) == 6
+    assert len(os.listdir(out)) == n_files
+    assert sorted(read_jsonl_shards(out).take_all(),
+                  key=lambda r: r["doc_id"]) == want
