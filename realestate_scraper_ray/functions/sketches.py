@@ -312,3 +312,55 @@ def grouped_percentile_disc(ds, group_col: str, value_col: str,
            .to_pandas())
     return out[[group_col] + list(qs)].sort_values(group_col
                                                    ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan '05) — point-frequency
+# estimation for ARBITRARY keys with a one-sided error: never an
+# undercount, overcount ≤ O(N/w) w.h.p.  Complements Misra-Gries, whose
+# guarantee only covers keys above n/k.  The partial is a fixed d×w
+# int64 grid per batch — sum-mergeable in any tree shape.
+# ---------------------------------------------------------------------------
+
+CMS_W = 1 << 14   # 16384 columns
+CMS_D = 4
+_CMS_SEEDS = np.array([0x243F6A8885A308D3, 0x13198A2E03707344,
+                       0xA4093822299F31D0, 0x082EFA98EC4E6C89],
+                      dtype=np.uint64)
+
+
+def cms_partial(hashes: np.ndarray, *, w: int = CMS_W, d: int = CMS_D,
+                grid: np.ndarray | None = None) -> np.ndarray:
+    """Fold pre-hashed uint64 keys into a (d, w) count grid — the
+    per-batch combiner.  Row i uses splitmix64(h ^ seed_i), so the d
+    probes are pairwise-independent enough for the CM analysis."""
+    if grid is None:
+        grid = np.zeros((d, w), dtype=np.int64)
+    if len(hashes) == 0:
+        return grid
+    h = np.asarray(hashes, dtype=np.uint64)
+    for i in range(d):
+        pos = (splitmix64(h ^ _CMS_SEEDS[i]) % np.uint64(w)).astype(np.int64)
+        np.add.at(grid[i], pos, 1)
+    return grid
+
+
+def cms_merge(parts: list[np.ndarray]) -> np.ndarray:
+    """Elementwise sum — the associative merge."""
+    out = np.zeros_like(parts[0])
+    for p in parts:
+        out += p
+    return out
+
+
+def cms_query(grid: np.ndarray, hashes: np.ndarray,
+              *, w: int = CMS_W) -> np.ndarray:
+    """Point-frequency estimates: min over the d rows (never below the
+    true count; overcount of row i is the colliding mass in its cell)."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    d = grid.shape[0]
+    ests = np.empty((d, len(h)), dtype=np.int64)
+    for i in range(d):
+        pos = (splitmix64(h ^ _CMS_SEEDS[i]) % np.uint64(w)).astype(np.int64)
+        ests[i] = grid[i][pos]
+    return ests.min(axis=0)

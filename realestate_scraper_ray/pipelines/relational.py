@@ -4560,6 +4560,67 @@ def documents_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
     return _as_arrow(back)
 
 
+_CMS_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM toks WHERE term <> '' GROUP BY term)
+SELECT term, n_exact, TRUE AS cms_ok
+FROM c ORDER BY n_exact DESC, term LIMIT 10 OFFSET 10
+"""
+
+
+@query("cms_point_frequency", _CMS_SQL)
+def cms_point_frequency(sf_dir: str) -> pd.DataFrame:
+    """Count-min point-frequency estimation
+    (`functions/sketches.py cms_*`): per-batch (4×16384) grids merge by
+    summation — frequency queries for ARBITRARY terms from a fixed
+    512 KiB state, where Misra-Gries only guarantees terms above n/k.
+    Probes the 11th–20th most frequent terms (mid-frequency, where MG's
+    guarantee runs out); `cms_ok` asserts the one-sided CM bound:
+    est ≥ true (deterministic) and est ≤ true + 20·N/w (holds with
+    probability ≥ 1 − (1/20)^4 per probe).  Grid blobs pull to the
+    driver like the histogram partials; at extreme block counts the
+    same sum-merge runs as a tree instead."""
+    from ..functions.sketches import CMS_W, cms_merge, cms_query
+    from ..functions.textstats import fnv1a64
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        toks = pa.table({"term": pc.list_flatten(
+            pc.split_pattern_regex(t["text"], r"\s+"))})
+        toks = toks.filter(pc.not_equal(toks["term"], ""))
+        return toks.group_by("term").aggregate([("term", "count")])
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        from ..functions.sketches import cms_partial
+        toks = pc.list_flatten(pc.split_pattern_regex(t["text"], r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        h = np.asarray(fnv1a64(toks))
+        return pa.table({
+            "grid": pa.array([cms_partial(h).tobytes()], pa.binary()),
+            "n": pa.array([len(h)], pa.int64())})
+
+    exact = (ds.map_batches(exact_partial, batch_format="pyarrow")
+             .groupby("term")
+             .aggregate(Sum("term_count", alias_name="n_exact"))
+             .to_pandas())
+    parts = ds.map_batches(grid_partial, batch_format="pyarrow").take_all()
+    grid = cms_merge([np.frombuffer(r["grid"], dtype=np.int64)
+                      .reshape(4, CMS_W) for r in parts])
+    n_total = int(sum(r["n"] for r in parts))
+
+    probes = (exact.sort_values(["n_exact", "term"],
+                                ascending=[False, True])
+              .iloc[10:20].reset_index(drop=True))
+    est = cms_query(grid, np.asarray(
+        fnv1a64(pa.array(probes["term"].tolist(), pa.string()))))
+    true = probes["n_exact"].astype("int64").to_numpy()
+    bound = 20 * n_total // CMS_W
+    probes["cms_ok"] = (est >= true) & (est <= true + bound)
+    probes["n_exact"] = probes["n_exact"].astype("int64")
+    return probes[["term", "n_exact", "cms_ok"]]
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

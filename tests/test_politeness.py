@@ -60,17 +60,20 @@ def test_budget_headroom_checkpoint_roundtrip(ray_session):
     svc = PolitenessService(2, rps_per_host=1.0)
     svc.acquire("busy.pl", 1)      # books slot now
     busy_shard = svc.shards[zlib.crc32(b"busy.pl") % 2]
-    ray.get(busy_shard.acquire.remote("busy.pl", 3))  # 3 more slots booked
+    # 60 booked slots: magnitude semantics still checked (headroom ≈
+    # bookings minus elapsed) with enough margin that a loaded-suite
+    # scheduler stall between RPCs cannot erode it below the band
+    ray.get(busy_shard.acquire.remote("busy.pl", 59))
     headroom = svc.dump_headroom()
     assert "busy.pl" in headroom
-    assert 2.0 < headroom["busy.pl"] <= 4.0  # ~4 booked slots minus elapsed
+    assert 30.0 < headroom["busy.pl"] <= 60.0
 
     fresh = PolitenessService(2, rps_per_host=1.0)
     fresh.restore_headroom(headroom)
     # next acquire on the restored service must wait out the headroom
     shard = fresh.shards[zlib.crc32(b"busy.pl") % 2]
     delay = ray.get(shard.acquire.remote("busy.pl", 1))
-    assert delay > 1.5             # restored budget enforced
+    assert delay > 10.0            # restored budget enforced
     # unknown hosts are unaffected
     assert ray.get(shard.acquire.remote("fresh.pl", 1)) == 0.0
 
@@ -92,10 +95,12 @@ def test_headroom_restores_across_different_shard_count(ray_session):
     for h in hosts:
         svc.acquire(h, 1)
         shard = svc.shards[zlib.crc32(h.encode()) % 2]
-        # Book ~12 s of headroom: the assertion below only needs > 1 s
-        # left after the resumed service's 5 actors spin up, which can
-        # take several seconds on a loaded machine (flaky at 3 slots).
-        ray.get(shard.acquire.remote(h, 12))
+        # Book ~15 min of headroom: this test asserts ROUTING (the
+        # restored budget lands in the shard acquire consults), not
+        # timing — under a fully loaded suite, actor spin-up between
+        # booking and the final assert has been observed to exceed 12 s,
+        # so the margin must dwarf any plausible scheduler stall.
+        ray.get(shard.acquire.remote(h, 900))
     headroom = svc.dump_headroom()
     assert set(headroom) == set(hosts)
 
@@ -107,7 +112,7 @@ def test_headroom_restores_across_different_shard_count(ray_session):
 
     # legacy list-of-per-shard-blobs checkpoints still restore
     legacy = PolitenessService(3, rps_per_host=1.0)
-    legacy.restore_headroom([{h: 8.0} for h in hosts])
+    legacy.restore_headroom([{h: 120.0} for h in hosts])
     for h in hosts:
         shard = legacy.shards[zlib.crc32(h.encode()) % 3]
         assert ray.get(shard.acquire.remote(h, 1)) > 1.0

@@ -137,3 +137,43 @@ def test_hist_empty_and_constant():
     assert hist_quantile(empty, 0.0, 1.0, 0.5) == 0.0
     const = hist_partial(np.full(100, 5.0), 5.0, 5.0, 16)
     assert const.sum() == 100  # degenerate range doesn't crash
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts_and_bounds_overcount():
+    import collections
+
+    import numpy as np
+
+    from realestate_scraper_ray.functions.sketches import (
+        cms_merge, cms_partial, cms_query,
+    )
+    rng = np.random.default_rng(9)
+    # zipf-ish skew: heavy keys + a long tail
+    keys = np.concatenate([
+        rng.integers(0, 50, 20000), rng.integers(0, 100000, 30000),
+    ]).astype(np.uint64)
+    grid = cms_merge([cms_partial(c) for c in np.array_split(keys, 7)])
+    true = collections.Counter(keys.tolist())
+    q = np.array(sorted(true), dtype=np.uint64)
+    est = cms_query(grid, q)
+    tv = np.array([true[int(k)] for k in q])
+    assert (est >= tv).all()                      # one-sided, always
+    w = grid.shape[1]
+    assert (est - tv).max() <= 20 * len(keys) // w
+
+
+def test_cms_merge_equals_single_pass():
+    import numpy as np
+
+    from realestate_scraper_ray.functions.sketches import (
+        cms_merge, cms_partial,
+    )
+    rng = np.random.default_rng(10)
+    keys = rng.integers(0, 1000, 9000).astype(np.uint64)
+    whole = cms_partial(keys)
+    merged = cms_merge([cms_partial(c) for c in np.array_split(keys, 5)])
+    assert (whole == merged).all()
