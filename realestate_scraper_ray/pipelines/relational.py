@@ -4641,18 +4641,26 @@ def cms_point_frequency(sf_dir: str) -> pd.DataFrame:
 CANONICAL_FIRST: list[str] = [
     # relational joins/aggregates
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
-    "order_lineitem_coverage", "orders_full_outer", "orders_above_cust_avg",
+    "order_lineitem_coverage", "orders_full_outer",
     "promo_revenue_share",
-    # event windows / streaming semantics
+    # event windows / streaming / iterative / incremental semantics
+    # (range-join demoted r3: the window/join family already holds five
+    # prefix rows; the iterative + incremental families held none)
     "events_hourly_window", "events_sessionize", "events_asof_purchase",
-    "events_range_join", "events_global_rank", "events_interleaved_docs",
+    "events_global_rank", "events_interleaved_docs",
+    "graph_pagerank", "events_incremental_hourly",
     # crawl extraction kernels (M1..M31 families)
-    "url_canonicalize", "offer_id_extract", "polish_number_coercion",
+    # (polish_number_coercion demoted r3 — five extraction kernels stay)
+    "url_canonicalize", "offer_id_extract",
     "ldjson_extract", "listing_links", "city_canonicalize",
-    # text quality / corpus analysis
+    # text quality / corpus analysis / statistical preprocessing
+    # (doc_repetition_stats demoted r3 for the moments-outlier family)
     "token_count", "quality_stats", "documents_clean_corpus",
-    "doc_repetition_stats", "decontaminate", "tfidf_top_terms",
-    # dedup families + accuracy gates
+    "decontaminate", "tfidf_top_terms", "events_outlier_zscore",
+    # dedup families + accuracy gates (+ the payload-specific
+    # interleaved span dedup, r3 — orders_above_cust_avg demoted: the
+    # join family keeps q3/q5/coverage/full_outer/promo)
+    "interleaved_span_dedup",
     "dedup_exact_text", "dedup_minhash_recall", "dedup_ngram_jaccard",
     "dedup_simhash_precision", "embedding_neardup",
     "embedding_neardup_lsh_recall", "exact_substring_dup",
