@@ -331,27 +331,37 @@ def delete_cheap_offers(ds: "rd.Dataset",
 
 def write_jsonl_shards(ds: "rd.Dataset", out_dir: str) -> int:
     """Corpus-scale JSONL sink: one shard file per block, written INSIDE
-    the map task (atomic tmp+rename, shard name from the block's min id
-    so re-runs overwrite deterministically rather than duplicating).
-    Returns rows written.  JSONL is the lingua franca for corpus
-    hand-off (the reference's debug dump, HF datasets, most curation
-    tools) — parquet stays the engine-internal format."""
+    the map task (atomic tmp+rename).  The shard name is
+    ``shard-{min id}-{content hash}`` — a pure function of the block's
+    rows, so the same block always lands on the same name (re-runs
+    overwrite) and two blocks can never collide unless they hold
+    identical rows.  Stale shards from an earlier run with a different
+    partitioning are cleared up front, so the directory always reflects
+    exactly one run.  Returns rows written.  JSONL is the lingua franca
+    for corpus hand-off (the reference's debug dump, HF datasets, most
+    curation tools) — parquet stays the engine-internal format."""
+    import hashlib as _hashlib
     import json as _json
     import os as _os
     import uuid as _uuid
 
     _os.makedirs(out_dir, exist_ok=True)
+    for f in _os.listdir(out_dir):  # clear stale shards (layout change)
+        if f.endswith(".jsonl"):
+            _os.unlink(_os.path.join(out_dir, f))
 
     def dump(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"n": pa.array([0], pa.int64())})
+        lines = [_json.dumps(row, ensure_ascii=False, sort_keys=True)
+                 for row in t.to_pylist()]
+        body = "\n".join(lines) + "\n"
         first = min(t.column(0).to_pylist())
-        path = _os.path.join(out_dir, f"shard-{first}.jsonl")
+        digest = _hashlib.sha1(body.encode()).hexdigest()[:10]
+        path = _os.path.join(out_dir, f"shard-{first}-{digest}.jsonl")
         tmp = path + f".tmp-{_uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
-            for row in t.to_pylist():
-                f.write(_json.dumps(row, ensure_ascii=False,
-                                    sort_keys=True) + "\n")
+            f.write(body)
         _os.replace(tmp, path)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
@@ -362,8 +372,11 @@ def write_jsonl_shards(ds: "rd.Dataset", out_dir: str) -> int:
 def read_jsonl_shards(out_dir: str) -> "rd.Dataset":
     """Streaming JSONL source for the shards ``write_jsonl_shards``
     produced (ray.data's native json reader — one block per shard,
-    schema inferred by Arrow)."""
+    schema inferred by Arrow).  An empty directory reads as an empty
+    Dataset."""
     import os as _os
     paths = sorted(_os.path.join(out_dir, f)
                    for f in _os.listdir(out_dir) if f.endswith(".jsonl"))
+    if not paths:
+        return rd.from_items([])
     return rd.read_json(paths)

@@ -2702,7 +2702,8 @@ def media_frame_sample(sf_dir: str) -> pd.DataFrame:
 
 
 _HEAVY_HITTERS_SQL = """
-WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents),
 c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
       FROM toks WHERE term <> '' GROUP BY term)
 SELECT term, n_exact, TRUE AS in_sketch
@@ -4066,17 +4067,34 @@ def events_outlier_zscore(sf_dir: str) -> rd.Dataset:
 
     def partials(t: pa.Table) -> pa.Table:
         cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
-        g = pa.table({"event_type": t["event_type"],
-                      "n": np.ones(len(t), np.int64),
-                      "s": cents, "ss": cents * cents}) \
-            .group_by("event_type").aggregate(
-                [("n", "sum"), ("s", "sum"), ("ss", "sum")])
-        return g.rename_columns(["event_type", "n", "s", "ss"])
+        mx = int(np.abs(cents).max(initial=0))
+        if mx * mx * max(len(cents), 1) <= (1 << 62):
+            g = pa.table({"event_type": t["event_type"],
+                          "n": np.ones(len(t), np.int64),
+                          "s": cents, "ss": cents * cents}) \
+                .group_by("event_type").aggregate(
+                    [("n", "sum"), ("s", "sum"), ("ss", "sum")]) \
+                .rename_columns(["event_type", "n", "s", "ss"])
+            return g.append_column(
+                "ss_hi", pa.array(np.zeros(len(g), np.int64)))
+        # extreme-value batch: the int64 Σc² could wrap (the SQL twin
+        # uses HUGEINT for the same reason) — exact Python-int fold,
+        # emitted as split hi/lo int64 halves of the 128-bit sum
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        rows = []
+        for tp in np.unique(et):
+            c = [int(v) for v in cents[et == tp]]
+            ss = sum(v * v for v in c)
+            rows.append({"event_type": str(tp), "n": len(c),
+                         "s": sum(c), "ss": ss % (1 << 62),
+                         "ss_hi": ss >> 62})
+        return pa.Table.from_pylist(rows)
 
     mom: dict[str, list[int]] = {}
     for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
         m = mom.setdefault(r["event_type"], [0, 0, 0])
-        m[0] += int(r["n"]); m[1] += int(r["s"]); m[2] += int(r["ss"])
+        m[0] += int(r["n"]); m[1] += int(r["s"])
+        m[2] += int(r["ss"]) + (int(r["ss_hi"]) << 62)
     thr = {t: (n, s, math.isqrt(9 * (n * ss - s * s)))
            for t, (n, s, ss) in mom.items()}
 
@@ -4084,9 +4102,13 @@ def events_outlier_zscore(sf_dir: str) -> rd.Dataset:
         cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
         et = t["event_type"].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(t), dtype=bool)
+        mx = int(np.abs(cents).max(initial=0))
         for tp, (n, s, k) in thr.items():
             m = et == tp
-            keep[m] = np.abs(cents[m] * n - s) > k
+            if mx * n <= (1 << 62):
+                keep[m] = np.abs(cents[m] * n - s) > k
+            else:  # same extreme-magnitude guard as the partials
+                keep[m] = [abs(int(c) * n - s) > k for c in cents[m]]
         return t.filter(pa.array(keep)) \
                 .select(["event_id", "event_type", "value"])
 
@@ -4105,9 +4127,10 @@ m AS (SELECT event_type, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx,
              SUM(x::HUGEINT*x) AS sxx
       FROM c GROUP BY event_type)
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       CAST((CASE WHEN n*sxy - sx*sy >= 0 THEN 1 ELSE -1 END) *
-            (abs(1000000*(n*sxy - sx*sy)) // (n*sxx - sx*sx)) AS BIGINT)
-       AS slope_micro
+       CAST(CASE WHEN n*sxx - sx*sx = 0 THEN 0
+            ELSE (CASE WHEN n*sxy - sx*sy >= 0 THEN 1 ELSE -1 END) *
+                 (abs(1000000*(n*sxy - sx*sy)) // (n*sxx - sx*sx))
+            END AS BIGINT) AS slope_micro
 FROM m
 """
 
@@ -4131,25 +4154,56 @@ def events_ols_trend(sf_dir: str) -> pd.DataFrame:
         x = (t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
              - x0)
         y = np.round(t["value"].to_numpy() * 100).astype(np.int64)
-        g = pa.table({"event_type": t["event_type"],
-                      "n": np.ones(len(t), np.int64),
-                      "sx": x, "sy": y, "sxy": x * y, "sxx": x * x}) \
-            .group_by("event_type").aggregate(
-                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
-                 ("sxy", "sum"), ("sxx", "sum")])
-        return g.rename_columns(["event_type", "n", "sx", "sy",
-                                 "sxy", "sxx"])
+        mx = max(int(np.abs(x).max(initial=0)),
+                 int(np.abs(y).max(initial=0)))
+        if mx * mx * max(len(x), 1) <= (1 << 62):
+            g = pa.table({"event_type": t["event_type"],
+                          "n": np.ones(len(t), np.int64),
+                          "sx": x, "sy": y, "sxy": x * y, "sxx": x * x}) \
+                .group_by("event_type").aggregate(
+                    [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                     ("sxy", "sum"), ("sxx", "sum")])
+            return g.rename_columns(["event_type", "n", "sx", "sy",
+                                     "sxy", "sxx"]).append_column(
+                "hi", pa.array([""] * len(g), pa.string()))
+        # decades-long x ranges (or huge values): the int64 batch sums
+        # of x² / x·y could wrap — exact Python-int fold, the big sums
+        # shipped as decimal strings (the driver folds Python ints
+        # anyway; the hot path above never takes this branch)
+        import json as _json
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        rows = []
+        for tp in np.unique(et):
+            m = et == tp
+            xi = [int(v) for v in x[m]]
+            yi = [int(v) for v in y[m]]
+            rows.append({
+                "event_type": str(tp), "n": len(xi), "sx": 0, "sy": 0,
+                "sxy": 0, "sxx": 0,
+                "hi": _json.dumps([sum(xi), sum(yi),
+                                   sum(a * b for a, b in zip(xi, yi)),
+                                   sum(a * a for a in xi)])})
+        return pa.Table.from_pylist(rows)
 
     acc: dict[str, list[int]] = {}
     for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
         a = acc.setdefault(r["event_type"], [0, 0, 0, 0, 0])
-        for i, k in enumerate(("n", "sx", "sy", "sxy", "sxx")):
-            a[i] += int(r[k])
+        a[0] += int(r["n"])
+        if r["hi"]:
+            import json as _json
+            sx, sy, sxy, sxx = _json.loads(r["hi"])
+            a[1] += sx; a[2] += sy; a[3] += sxy; a[4] += sxx
+        else:
+            for i, k in enumerate(("sx", "sy", "sxy", "sxx"), start=1):
+                a[i] += int(r[k])
     rows = []
     for tp in sorted(acc):
         n, sx, sy, sxy, sxx = acc[tp]
         num, den = n * sxy - sx * sy, n * sxx - sx * sx
-        slope = (1 if num >= 0 else -1) * (abs(1_000_000 * num) // den)
+        # den == 0: single event or all events in one second — the
+        # slope is undefined; report 0 (the SQL twin does the same)
+        slope = 0 if den == 0 else \
+            (1 if num >= 0 else -1) * (abs(1_000_000 * num) // den)
         rows.append({"event_type": tp, "n": n, "slope_micro": slope})
     return pd.DataFrame(rows)
 
@@ -4228,13 +4282,17 @@ p0 AS (SELECT deg.src AS node, CAST({mass} // cnt AS BIGINT) AS rank
        FROM deg, nn)"""
     its = []
     for i in range(1, n_iter + 1):
+        # LEFT JOIN from the node set: a node with no incoming edges
+        # holds rank = base (mirrors the engine's zero-row union)
         its.append(f""",
-p{i} AS (SELECT e.dst AS node,
+p{i} AS (SELECT d0.src AS node,
        CAST((SELECT ({100 - damping_pct} * {mass}) // (100 * cnt) FROM nn)
-            + ({damping_pct} * SUM(p{i-1}.rank // d.od)) // 100 AS BIGINT)
-         AS rank
-FROM p{i-1} JOIN e ON e.src = p{i-1}.node JOIN deg d ON d.src = p{i-1}.node
-GROUP BY e.dst)""")
+            + ({damping_pct} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+FROM deg d0 LEFT JOIN (
+  SELECT e.dst, SUM(p{i-1}.rank // d.od) AS s
+  FROM p{i-1} JOIN e ON e.src = p{i-1}.node
+  JOIN deg d ON d.src = p{i-1}.node
+  GROUP BY e.dst) c ON c.dst = d0.src)""")
     return head + "".join(its) + f"\nSELECT node, rank FROM p{n_iter}"
 
 
@@ -4304,6 +4362,8 @@ def events_incremental_hourly(sf_dir: str) -> rd.Dataset:
             .aggregate([("n", "sum"), ("s", "sum")])
         return g.rename_columns(["hour_id", "event_type", "n", "s"])
 
+    import shutil
+
     state = IncrementalGroupSum(
         tempfile.mkdtemp(prefix="rsr_inc_", dir="/tmp"),
         key_cols=["hour_id", "event_type"], int_key="hour_id")
@@ -4313,9 +4373,11 @@ def events_incremental_hourly(sf_dir: str) -> rd.Dataset:
             lambda t, p=part: t.filter(
                 pc.equal(pc.bit_wise_and(t["event_id"], 3), p)),
             batch_format="pyarrow")
-        assert state.update(delta, f"delta-{part}", partials)
-    # exactly-once: a retried delta id must be a no-op
-    assert not state.update(ds, "delta-2", partials)
+        # side-effecting — must NOT live inside an assert (python -O)
+        if not state.update(delta, f"delta-{part}", partials):
+            raise RuntimeError(f"delta-{part} unexpectedly pre-applied")
+    if state.update(ds, "delta-2", partials):  # exactly-once retry
+        raise RuntimeError("retried delta id was re-applied")
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({"hour_id": t["hour_id"],
@@ -4323,8 +4385,10 @@ def events_incremental_hourly(sf_dir: str) -> rd.Dataset:
                          "value_sum": pc.divide(
                              pc.cast(t["s"], pa.float64()), 100.0)})
 
-    return _as_arrow(state.read().map_batches(finish,
-                                              batch_format="pyarrow"))
+    out = _as_arrow(state.read().map_batches(
+        finish, batch_format="pyarrow")).materialize()
+    shutil.rmtree(state.state_dir, ignore_errors=True)  # no /tmp leak
+    return out
 
 
 _Q10_SQL = """
@@ -4521,6 +4585,8 @@ def documents_incremental_dedup(sf_dir: str) -> rd.Dataset:
     odd = docs.map_batches(
         lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
         batch_format="pyarrow")
+    import shutil
+
     st = IncrementalDedup(tempfile.mkdtemp(prefix="rsr_incdedup_",
                                            dir="/tmp"))
     st.ingest(even, "snap-0", "text", "doc_id").materialize()
@@ -4528,9 +4594,12 @@ def documents_incremental_dedup(sf_dir: str) -> rd.Dataset:
         .select_columns(["doc_id"]).materialize()
     retry = st.ingest(odd, "snap-1", "text", "doc_id")
     ids = sorted(r["doc_id"] for r in surv.take_all())
-    assert ids == sorted(r["doc_id"] for r in
-                         retry.select_columns(["doc_id"]).take_all())
-    return _as_arrow(surv)
+    if ids != sorted(r["doc_id"] for r in
+                     retry.select_columns(["doc_id"]).take_all()):
+        raise RuntimeError("retried snapshot returned different survivors")
+    out = _as_arrow(surv).materialize()
+    shutil.rmtree(st.state_dir, ignore_errors=True)  # no /tmp leak
+    return out
 
 
 _JSONL_RT_SQL = """
@@ -4550,6 +4619,8 @@ def documents_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
 
     from .io_compat import read_jsonl_shards, write_jsonl_shards
 
+    import shutil
+
     out = tempfile.mkdtemp(prefix="rsr_jsonl_", dir="/tmp")
     docs = _pq(sf_dir, "documents",
                ["doc_id", "lang", "source", "n_chars"])
@@ -4557,11 +4628,14 @@ def documents_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
     back = read_jsonl_shards(out).map_batches(
         lambda t: t.select(["doc_id", "lang", "source", "n_chars"]),
         batch_format="pyarrow")
-    return _as_arrow(back)
+    res = _as_arrow(back).materialize()
+    shutil.rmtree(out, ignore_errors=True)  # no /tmp leak per run
+    return res
 
 
 _CMS_SQL = """
-WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents),
 c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
       FROM toks WHERE term <> '' GROUP BY term)
 SELECT term, n_exact, TRUE AS cms_ok

@@ -248,7 +248,10 @@ def pagerank(edges: rd.Dataset, *, n_iter: int = 10,
     """Integer-exact PageRank over a directed edge Dataset (src, dst —
     string or int node ids).  Every node must have out-degree >= 1
     (callers with dangling nodes add reverse edges first — the
-    bipartite build in `relational.py graph_pagerank` does).
+    bipartite build in `relational.py graph_pagerank` does); in-degree
+    may be zero: such nodes hold rank = base each round (the zero-row
+    union below keeps them in the rank table, so their OUTGOING
+    contributions are never lost).
 
     Update: rank'[d] = base + (damping * Σ_src rank[src] // od[src]) // 100
     with base = (100-damping)·mass // (100·N).  Only node-scale tables
@@ -274,6 +277,13 @@ def pagerank(edges: rd.Dataset, *, n_iter: int = 10,
                             "rank": np.full(len(t), r0, dtype=np.int64)}),
         batch_format="pyarrow").materialize()
     edges_d = lookup_join(edges, nodes, "src", "src", ["od"]).materialize()
+    # every node contributes a zero row each round: a node nothing
+    # points at would otherwise drop out of `ranks` after round 1 and
+    # its OUTGOING edges would silently stop contributing
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table({"node": t["src"],
+                            "c": np.zeros(len(t), dtype=np.int64)}),
+        batch_format="pyarrow").materialize()
 
     def contribs(t: pa.Table) -> pa.Table:
         c = t["rank"].to_numpy() // t["od"].to_numpy()
@@ -289,7 +299,13 @@ def pagerank(edges: rd.Dataset, *, n_iter: int = 10,
     for _ in range(n_iter):
         joined = lookup_join(edges_d, ranks, "src", "node", ["rank"])
         ranks = (joined.map_batches(contribs, batch_format="pyarrow")
+                 .union(zero_rows)
                  .groupby("node").aggregate(Sum("c", alias_name="c"))
                  .map_batches(fold, batch_format="pyarrow")
+                 # pin the node-scale table to a fixed block count —
+                 # same lesson as connected_components: union+shuffle
+                 # otherwise multiplies tiny blocks every round and
+                 # scheduling overhead dominates the iteration
+                 .repartition(8)
                  .materialize())
     return ranks

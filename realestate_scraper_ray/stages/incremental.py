@@ -140,11 +140,14 @@ class IncrementalGroupSum:
     # -- read ---------------------------------------------------------
     def read(self) -> rd.Dataset:
         """The maintained aggregate as a streaming Dataset (the state
-        is already fully merged per key)."""
+        is already fully merged per key).  An empty state (no update
+        ever ran) reads as an empty Dataset, not an error."""
         paths = sorted(
             os.path.join(self.state_dir, d, "part.parquet")
             for d in os.listdir(self.state_dir)
             if d.startswith("bucket="))
+        if not paths:
+            return rd.from_items([])
         return rd.read_parquet(paths)
 
 

@@ -304,7 +304,9 @@ def rp_project(ds: rd.Dataset, vec_col: str, id_col: str, k: int,
 
     def project(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            # id type must follow the input schema (string ids exist)
+            return pa.table({id_col: pa.array([],
+                                              t.schema.field(id_col).type),
                              "proj_dim": pa.array([], pa.int64()),
                              "proj": pa.array([], pa.int64())})
         mat = np.stack(t[vec_col].to_numpy(zero_copy_only=False))

@@ -21,7 +21,9 @@ def _seq_pagerank(edges, n_iter=10, mass=10**12, damping=85):
         inc = defaultdict(int)
         for s, d in edges:
             inc[d] += rank[s] // od[s]
-        rank = {v: base + (damping * inc[v]) // 100 for v in inc}
+        # every node keeps a rank row even with zero in-degree (base)
+        rank = {v: base + (damping * inc.get(v, 0)) // 100
+                for v in nodes}
     return rank
 
 
@@ -72,3 +74,17 @@ def test_pagerank_mass_roughly_conserved(ray_session):
     got = _run_engine(sorted(set(edges)), blocks=3)
     total, mass = sum(got.values()), 10**12
     assert mass - len(got) * 200 < total <= mass
+
+
+def test_pagerank_keeps_zero_indegree_contributors(ray_session):
+    """A node nothing points at (out-degree >= 1, in-degree 0) must stay
+    in the rank table at base rank — if it dropped out after round 1 its
+    outgoing contributions would silently vanish from later rounds."""
+    edges = [("a", "b"), ("b", "c"), ("c", "b")]
+    got = _run_engine(edges, blocks=2, n_iter=5)
+    want = _seq_pagerank(edges, n_iter=5)
+    assert got == want
+    assert "a" in got
+    assert got["a"] == ((100 - 85) * 10**12) // (100 * 3)  # base rank
+    # a's feed into b persists: b outranks c's sole-feeder level
+    assert got["b"] > got["c"]
