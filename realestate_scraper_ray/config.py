@@ -131,6 +131,13 @@ class PortalConfig:
     # spatial near-dup stage (stages/geo.py, reference backend.py:58-93)
     # must find
     spatial_dup_per_mille: int = 15
+    # content versioning for re-crawl tests: bumping ``content_version``
+    # changes the FACTS (price/area/photos/…) of the deterministic
+    # ``changed_per_mille`` subset of offers — every other page renders
+    # byte-identically, so a conditional-GET revisit can prove both the
+    # 304 skip and the changed-page re-parse. version 0 = original.
+    content_version: int = 0
+    changed_per_mille: int = 0
     # when >0, pages render as ~this many bytes of HTML (boilerplate
     # interleaved with the same facts) and the fetch stage runs the
     # regex extractor chain over them — realistic fetched+parsed cost
@@ -232,6 +239,16 @@ class CrawlConfig:
     # full dumps are O(capacity), deltas O(new URLs))
     checkpoint_full_every: int = 1
     robots: bool = True
+    # Conditional-GET re-crawl (RFC 9110 validators): when True each
+    # parsed detail page's entity tag is persisted to
+    # ``workdir/validators``; a later run pointing ``validators_from``
+    # at that workdir sends the known validator with each detail
+    # request and on a 304 skips transfer+parse entirely, carrying the
+    # prior run's offer/photo rows forward. Listing pages are always
+    # re-fetched (they drive frontier expansion and change on every
+    # posting).
+    validators: bool = False
+    validators_from: str | None = None
     # S5 proxy configuration (reference build_proxies, http.py:105-111):
     # handed to each fetch worker's HTTP-session constructor. The
     # synthetic fetcher has no sockets, so these are carried and

@@ -319,6 +319,7 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
 
     quarantine_dir = os.path.join(workdir, "quarantine", f"gen-{gen}")
     trapped_dir = os.path.join(workdir, "trapped", f"gen-{gen}")
+    validators_dir = os.path.join(workdir, "validators", f"gen-{gen}")
 
     def wave(batch: pa.Table) -> pa.Table:
         t = fetch(batch)
@@ -336,6 +337,15 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
                     photos.select(["offer_id", "seq", "url", "source"]),
                     portal.photo_bytes, head_mime=portal.photo_head_mime),
                 media_dir)
+        # validator state (cfg.validators): every detail pagemeta row
+        # carrying an etag — parsed pages AND 304s (so revisit chains
+        # A→B→C keep propagating validators without re-parsing)
+        if cfg.validators or cfg.validators_from:
+            pm = _filter_kind(t, "pagemeta")
+            _write_fragment(
+                pm.filter(pc.is_valid(pm["etag"]))
+                  .select(["url", "status", "etag"]),
+                validators_dir)
         # quarantine: failed fetches persisted per generation — the
         # debug-sink analogue (detail.py:241-247) and the audit trail
         # behind the fetch_fail resume path
@@ -474,7 +484,7 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
                            workdir)
     else:
         for name in ("offers", "photos", "media", "quarantine", "trapped",
-                     "frontier", "checkpoint"):
+                     "validators", "frontier", "checkpoint"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
         os.makedirs(workdir, exist_ok=True)
         gen = 0
@@ -524,6 +534,8 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
     if gen > 0 and last_ckpt != gen - 1 and stop_after_generations is None:
         _write_checkpoint(workdir, gen - 1, state, urlseen, politeness)  # durable terminal state
 
+    if cfg.validators_from and stop_after_generations is None:
+        _carry_not_modified(workdir, cfg.validators_from)
     res = CrawlResult(workdir=workdir, generations=gen,
                       state={f"{s}|{r}": asdict(st) for (s, r), st in state.items()},
                       limit_offers=cfg.limit_offers,
@@ -534,6 +546,42 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         res.pages_failed += st.failed
         res.offers += st.parsed
     return res
+
+
+def _carry_not_modified(workdir: str, prior_workdir: str) -> None:
+    """Revisit completion: detail pages answered 304 produced no offer /
+    photo rows this run — their rows are BY DEFINITION the prior run's
+    (the validator matched, so the content is unchanged). Copy them
+    forward as one extra fragment generation so the revisit's output
+    tables equal a full re-crawl's byte-for-byte. O(not-modified rows):
+    only the carried subset is read and rewritten, never re-fetched or
+    re-parsed."""
+    # replace-on-rerun: a completed revisit that runs again must not
+    # append a second carry generation
+    for name in ("offers", "photos"):
+        shutil.rmtree(os.path.join(workdir, name, "gen-zcarry"),
+                      ignore_errors=True)
+    vres = CrawlResult(workdir=workdir, generations=0)
+    v = vres._read_gen_dirs("validators")
+    if v is None:
+        return
+    nm = v.filter(pc.equal(v["status"], "not_modified"))
+    if nm.num_rows == 0:
+        return
+    urls = nm["url"].combine_chunks()
+    prior = CrawlResult(workdir=prior_workdir, generations=0)
+    po = prior._read_gen_dirs("offers")
+    if po is not None:
+        carried = po.filter(pc.is_in(po["url"], value_set=urls))
+        _write_fragment(carried,
+                        os.path.join(workdir, "offers", "gen-zcarry"))
+        pp = prior._read_gen_dirs("photos")
+        if pp is not None and carried.num_rows:
+            _write_fragment(
+                pp.filter(pc.is_in(pp["offer_id"],
+                                   value_set=carried["offer_id"]
+                                   .combine_chunks())),
+                os.path.join(workdir, "photos", "gen-zcarry"))
 
 
 def _seed_table(portal: Portal, cfg: CrawlConfig) -> pa.Table:
@@ -912,11 +960,17 @@ def _clean_partial(workdir: str, resume_gen: int) -> None:
     are dropped and re-written deterministically (replace-on-retry)."""
     for name, cutoff in (("offers", resume_gen), ("photos", resume_gen),
                          ("media", resume_gen), ("quarantine", resume_gen),
-                         ("trapped", resume_gen),
+                         ("trapped", resume_gen), ("validators", resume_gen),
                          ("frontier", resume_gen + 1)):
         root = os.path.join(workdir, name)
         if not os.path.isdir(root):
             continue
         for d in os.listdir(root):
-            if d.startswith("gen-") and int(d.split("-", 1)[1]) >= cutoff:
+            if not d.startswith("gen-"):
+                continue
+            suffix = d.split("-", 1)[1]
+            # non-numeric generations (the revisit's carry fragments)
+            # are completion artifacts: always rebuilt at the end of a
+            # resumed run, so a resume drops them unconditionally
+            if not suffix.isdigit() or int(suffix) >= cutoff:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)

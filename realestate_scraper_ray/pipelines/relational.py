@@ -4695,6 +4695,47 @@ def cms_point_frequency(sf_dir: str) -> pd.DataFrame:
     return probes[["term", "n_exact", "cms_ok"]]
 
 
+@query("crawl_revisit")  # non-SQL: conditional-GET re-crawl, pytest-verified
+def crawl_revisit(sf_dir: str) -> pd.DataFrame:
+    """Conditional-GET re-crawl (RFC 9110 validators): crawl once with
+    validator collection, revisit with the stored entity tags, and
+    report the 304/parse split plus table equality with the first run.
+    Detail pages answering 304 skip transfer AND parse; their rows are
+    carried forward from the prior run's fragments.  Full semantics
+    (changed-subset re-parse, A→B→C chains, resume interplay) are
+    equality-tested in tests/test_revisit.py."""
+    import tempfile
+
+    from ..config import CrawlConfig, PortalConfig
+    from .crawl import run_crawl
+
+    pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                        page_size_scale=0.1)
+    ccfg = CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 14,
+                       fetch_batch_size=64, validators=True)
+    wd_a = tempfile.mkdtemp(prefix="rsr_revisit_a_", dir="/tmp")
+    wd_b = tempfile.mkdtemp(prefix="rsr_revisit_b_", dir="/tmp")
+    res_a = run_crawl(pcfg, ccfg, wd_a)
+    cfg_b = CrawlConfig(**{**ccfg.__dict__, "validators_from": wd_a})
+    res_b = run_crawl(pcfg, cfg_b, wd_b)
+
+    v = res_b._read_gen_dirs("validators")
+    counts = {s: n for s, n in zip(*map(
+        lambda a: a.to_pylist(),
+        v.group_by("status").aggregate([("url", "count")]).columns))}
+    a_off = res_a.table("offers").to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    b_off = res_b.table("offers").to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    return pd.DataFrame([{
+        "n_not_modified": int(counts.get("not_modified", 0)),
+        "n_parsed_detail": int(counts.get("ok", 0)),
+        "offers_first": len(a_off), "offers_revisit": len(b_off),
+        "tables_equal": bool(a_off.equals(b_off)),
+        "revisit_parsed_offers": int(res_b.offers),
+    }])
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

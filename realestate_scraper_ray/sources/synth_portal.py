@@ -242,11 +242,37 @@ class Portal:
             return f"{d.day:02d}.{d.month:02d}.{d.year} 12:30"
         return f"{d.isoformat()}T12:30:00"
 
+    def content_ver(self, oid: str) -> int:
+        """The content version of one offer page: 0 unless the config's
+        version bump selected this page into the changed subset."""
+        c = self.cfg
+        if c.content_version > 0 and self._bucket("chg", oid) < c.changed_per_mille:
+            return c.content_version
+        return 0
+
+    def etag(self, url: str) -> str | None:
+        """RFC 9110 entity tag for a detail page — a pure function of
+        (seed, oid, content version), so a conditional fetch can answer
+        not-modified WITHOUT rendering the body.  None for page kinds
+        that are always re-fetched (listing/investment drive frontier
+        expansion and change with every posting)."""
+        ref = self.classify(url)
+        if ref.kind not in ("offer", "blocked"):
+            return None
+        oid = self.oid(ref.source, ref.region, ref.k)
+        ver = self.content_ver(oid)
+        return f"{_h64(self.cfg.seed, 'etag', oid, ver):016x}"
+
     def offer_facts(self, source: str, region: str, k: int) -> dict:
         """Deterministic ground-truth fields for offer (source, region, k)."""
         c = self.cfg
         oid = self.oid(source, region, k)
-        u = lambda tag: _unit(c.seed, tag, oid)  # noqa: E731
+        # content versioning: a bumped version re-rolls the FACT values
+        # of the changed subset (page structure, posted date and the
+        # spatial-dup pairing stay stable — a price edit does not move
+        # a listing to a different page shape)
+        sd = c.seed + self.content_ver(oid) * 1_000_003
+        u = lambda tag: _unit(sd, tag, oid)  # noqa: E731
         # cross-source near-duplicates: the same physical listing posted
         # on several portals with tiny price/coordinate drift — the case
         # the reference's backend spatial dup-check catches (50 m radius,
@@ -255,10 +281,10 @@ class Portal:
         spatial_dup = (_h64(c.seed, "spatialdup", region, k) % 1000
                        < c.spatial_dup_per_mille)
         base = f"dupbase|{region}|{k}" if spatial_dup else oid
-        ub = lambda tag: _unit(c.seed, tag, base)  # noqa: E731
+        ub = lambda tag: _unit(sd, tag, base)  # noqa: E731
         price = round(200_000 + ub("price") * 1_800_000, -3)
         true_area = round(20 + ub("area") * 130, 1)
-        rooms = 1 + _h64(c.seed, "rooms", base) % 6
+        rooms = 1 + _h64(sd, "rooms", base) % 6
         lat = round(49.2 + ub("lat") * 5.5, 6)
         lon = round(14.2 + ub("lon") * 10.1, 6)
         if spatial_dup:  # per-source drift: ≤ ~30 m, price ≤ ±90
@@ -266,10 +292,10 @@ class Portal:
             lat = round(lat + (u("dlat") - 0.5) * 0.0005, 6)
             lon = round(lon + (u("dlon") - 0.5) * 0.0005, 6)
         ppm2 = round(price / true_area, 2)
-        n_photos = _h64(c.seed, "nph", oid) % (c.max_photos + 1)
+        n_photos = _h64(sd, "nph", oid) % (c.max_photos + 1)
         b = self._bucket("variant", oid)
         # wide-schema fields (reference OFFER_COLUMNS, storage.py:13-20)
-        hb = lambda tag, n: _h64(c.seed, tag, base) % n  # noqa: E731
+        hb = lambda tag, n: _h64(sd, tag, base) % n  # noqa: E731
         districts = ("Centrum", "Wrzeszcz", "Mokotow", "Podgorze",
                      "Jezyce", "Srodmiescie", "Zaspa", "Oliwa")
         streets = ("Polna", "Lesna", "Dluga", "Krotka", "Sloneczna",
@@ -286,7 +312,7 @@ class Portal:
             "property_type": "apartament" if hb("ptype", 10) < 2 else "mieszkanie",
             "posted_days_ago": self.posted_days_ago(source, region, k),
             "updated_days_ago": max(
-                0, self.posted_days_ago(source, region, k) - _h64(c.seed, "upd", oid) % 5),
+                0, self.posted_days_ago(source, region, k) - _h64(sd, "upd", oid) % 5),
             "oid": oid,
             "spatial_dup": spatial_dup,
             "price": price,

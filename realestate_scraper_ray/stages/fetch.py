@@ -75,9 +75,12 @@ COMBINED_SCHEMA = pa.schema([
     ("first_seen", pa.timestamp("us")),
     ("last_seen", pa.timestamp("us")),
     ("seq", pa.int32()),
-    ("status", pa.string()),         # pagemeta: ok|empty|fetch_fail
+    ("status", pa.string()),         # pagemeta: ok|empty|fetch_fail|not_modified
     ("n_links", pa.int32()),
     ("fetch_kind", pa.string()),     # pagemeta: pagination|investment|detail
+    # RFC 9110 entity tag of a parsed detail page (cfg.validators) —
+    # persisted so a later run can send conditional requests
+    ("etag", pa.string()),
 ])
 
 # HTML extractor chain (portal html mode): the regex/JSON analogue of
@@ -550,6 +553,28 @@ class FetchParse:
             t = _pq.read_table(portal_cfg.documents_path)
             self._docs = dict(zip(t["doc_id"].to_pylist(),
                                   t["spans"].to_pylist()))
+        # conditional-GET revisit (cfg.validators_from): the prior run's
+        # url→etag validator map, loaded once per actor. Test-scale
+        # loads the whole map; the cluster-scale path shards validator
+        # fragments by host bucket (the same key the frontier writer
+        # already sorts detail fragments by) so an actor pulls only the
+        # buckets its batches contain.
+        self._validators: dict[str, str] | None = None
+        if crawl_cfg.validators_from:
+            import os as _os
+
+            import pyarrow.parquet as _pq
+            self._validators = {}
+            root = _os.path.join(crawl_cfg.validators_from, "validators")
+            if _os.path.isdir(root):
+                for gen in sorted(_os.listdir(root)):
+                    d = _os.path.join(root, gen)
+                    for f in sorted(_os.listdir(d)):
+                        if f.endswith(".parquet"):
+                            vt = _pq.read_table(_os.path.join(d, f))
+                            self._validators.update(
+                                zip(vt["url"].to_pylist(),
+                                    vt["etag"].to_pylist()))
 
     # -- fetch (synthetic render + deterministic failure injection) ---------
 
@@ -637,6 +662,21 @@ class FetchParse:
                 wait = due[i] - time.monotonic()
                 if wait > 0:
                     time.sleep(wait)
+            is_detail = not (kind == "pagination" or kind.startswith("investment"))
+            if is_detail and self._validators is not None:
+                # conditional GET: the request was paced like any other
+                # (a 304 still hits the server), but a matching
+                # validator skips body transfer AND the parse chain
+                known = self._validators.get(url)
+                if known is not None and known == self.portal.etag(url):
+                    emit("pagemeta", url=url, source=r["source"],
+                         region=r["region"], page_idx=r["page_idx"],
+                         pos=r["pos"], status="not_modified", n_links=0,
+                         fetch_kind="detail", etag=known)
+                    if backoff_on:
+                        o = outcome.setdefault(hosts[i], [0, 0])
+                        o[1] += 1
+                    continue
             spans = self._fetch(url)
             if backoff_on:
                 o = outcome.setdefault(hosts[i], [0, 0])
@@ -653,7 +693,9 @@ class FetchParse:
                 self._collect_offer(r, spans, offer_ctx, offer_raw, offer_photos)
                 emit("pagemeta", url=url, source=r["source"], region=r["region"],
                      page_idx=r["page_idx"], pos=r["pos"], status="ok",
-                     n_links=0, fetch_kind="detail")
+                     n_links=0, fetch_kind="detail",
+                     etag=(self.portal.etag(url) if self.cfg.validators
+                           else None))
 
         if backoff_on and outcome:
             self.politeness.report(

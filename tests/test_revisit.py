@@ -1,0 +1,125 @@
+"""Conditional-GET re-crawl (RFC 9110 validators): a revisit with the
+prior run's entity tags 304-skips unchanged detail pages (no transfer,
+no parse) yet produces output tables identical to a full re-crawl —
+including when a content-version bump changes a deterministic subset of
+pages."""
+
+import pandas as pd
+import pyarrow.compute as pc
+import pytest
+
+from realestate_scraper_ray.config import CrawlConfig, PortalConfig
+from realestate_scraper_ray.pipelines.crawl import CrawlResult, run_crawl
+from realestate_scraper_ray.pipelines.oracle import crawl_oracle
+
+CRAWL = CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 14,
+                    fetch_batch_size=64, fetch_concurrency=2,
+                    politeness_shards=2, validators=True)
+
+
+def _pcfg(**kw) -> PortalConfig:
+    return PortalConfig(regions=("pomorskie", "mazowieckie"),
+                        base_pages=3, page_size_scale=0.15, **kw)
+
+
+def _sorted_tbl(res, name, keys):
+    df = res.table(name).to_pandas()
+    return (df[sorted(df.columns)].sort_values(keys)
+            .reset_index(drop=True))
+
+
+def _meta_status_counts(res):
+    v = res._read_gen_dirs("validators")
+    if v is None:
+        return {}
+    return dict(zip(*map(
+        lambda a: a.to_pylist(),
+        v.group_by("status").aggregate([("url", "count")]).columns)))
+
+
+@pytest.fixture(scope="module")
+def first_run(tmp_path_factory, ray_session):
+    wd = str(tmp_path_factory.mktemp("revisit_a"))
+    res = run_crawl(_pcfg(), CRAWL, wd)
+    return wd, res
+
+
+def test_unchanged_revisit_is_all_304(first_run, tmp_path_factory,
+                                      ray_session):
+    wd_a, res_a = first_run
+    cfg = CrawlConfig(**{**CRAWL.__dict__, "validators_from": wd_a})
+    wd_b = str(tmp_path_factory.mktemp("revisit_b"))
+    res_b = run_crawl(_pcfg(), cfg, wd_b)
+
+    for name, keys in (("offers", ["url"]),
+                       ("photos", ["offer_id", "seq"])):
+        pd.testing.assert_frame_equal(_sorted_tbl(res_a, name, keys),
+                                      _sorted_tbl(res_b, name, keys))
+    assert (set(res_a.table("urls")["offer_url"].to_pylist())
+            == set(res_b.table("urls")["offer_url"].to_pylist()))
+
+    # every detail page answered 304 — zero detail parses happened
+    counts = _meta_status_counts(res_b)
+    assert counts.get("not_modified", 0) > 0
+    assert counts.get("ok", 0) == 0  # validators rows are detail-only
+    assert res_b.offers == 0          # no offer was parsed this run
+    assert res_b.pages_fetched == res_a.pages_fetched  # 304s still count
+
+
+def test_changed_subset_reparsed_rest_304(first_run, tmp_path_factory,
+                                          ray_session):
+    wd_a, _ = first_run
+    v1 = _pcfg(content_version=1, changed_per_mille=200)
+    # ground truth: a fresh full crawl of the v1 portal
+    wd_c = str(tmp_path_factory.mktemp("revisit_c"))
+    res_c = run_crawl(v1, CRAWL, wd_c)
+    # revisit: v0 validators against the v1 portal
+    cfg = CrawlConfig(**{**CRAWL.__dict__, "validators_from": wd_a})
+    wd_d = str(tmp_path_factory.mktemp("revisit_d"))
+    res_d = run_crawl(v1, cfg, wd_d)
+
+    for name, keys in (("offers", ["url"]),
+                       ("photos", ["offer_id", "seq"])):
+        pd.testing.assert_frame_equal(_sorted_tbl(res_c, name, keys),
+                                      _sorted_tbl(res_d, name, keys))
+
+    counts = _meta_status_counts(res_d)
+    n304, nok = counts.get("not_modified", 0), counts.get("ok", 0)
+    assert n304 > 0 and nok > 0
+    ratio = nok / (n304 + nok)
+    assert 0.10 < ratio < 0.35  # ~200/1000 changed (hash-bucket spread)
+    # only the changed subset was parsed
+    assert res_d.offers < res_c.offers / 2
+
+    # engine(v1) still matches the sequential oracle on the versioned
+    # portal (span-sequence semantics survive content versioning)
+    from realestate_scraper_ray.sources.synth_portal import Portal
+    orc = crawl_oracle(Portal(v1), CRAWL)
+    got = _sorted_tbl(res_c, "offers", ["url"])
+    exp = pd.DataFrame(orc.offers)
+    exp = exp[sorted(set(exp.columns) & set(got.columns))] \
+        .sort_values("url").reset_index(drop=True)
+    got = got[exp.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_revisit_chain_and_rerun_no_duplicates(first_run,
+                                               tmp_path_factory,
+                                               ray_session):
+    """A→B→C validator chains keep working (304 pages re-emit their
+    validator), and re-running a completed revisit in the same workdir
+    replaces the carry fragments instead of appending."""
+    wd_a, res_a = first_run
+    cfg_b = CrawlConfig(**{**CRAWL.__dict__, "validators_from": wd_a})
+    wd_b = str(tmp_path_factory.mktemp("revisit_chain_b"))
+    run_crawl(_pcfg(), cfg_b, wd_b)
+    cfg_c = CrawlConfig(**{**CRAWL.__dict__, "validators_from": wd_b})
+    wd_c = str(tmp_path_factory.mktemp("revisit_chain_c"))
+    res_c = run_crawl(_pcfg(), cfg_c, wd_c)
+    pd.testing.assert_frame_equal(_sorted_tbl(res_a, "offers", ["url"]),
+                                  _sorted_tbl(res_c, "offers", ["url"]))
+    assert _meta_status_counts(res_c).get("not_modified", 0) > 0
+
+    # re-run the SAME revisit workdir: carry must replace, not append
+    res_c2 = run_crawl(_pcfg(), cfg_c, wd_c)
+    assert res_c2.table("offers").num_rows == res_a.table("offers").num_rows
