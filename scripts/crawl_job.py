@@ -23,6 +23,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _n_not_modified(res) -> int:
+    v = res._read_gen_dirs("validators")
+    if v is None:
+        return 0
+    import pyarrow.compute as pc
+    return int(pc.sum(pc.equal(v["status"], "not_modified")
+                      .cast("int64")).as_py() or 0)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--workdir", required=True)
@@ -54,6 +63,10 @@ def main() -> int:
     ap.add_argument("--notify", metavar="PATH", default=None,
                     help="write the scraper_new_offers notification "
                          "stream (one apartment_id JSONL row per offer)")
+    # conditional-GET re-crawl: collect validators on every run; point
+    # --revisit-from at a previous run's workdir to 304-skip unchanged
+    # detail pages (no transfer, no parse; rows carry forward)
+    ap.add_argument("--revisit-from", metavar="WORKDIR", default=None)
     args = ap.parse_args()
 
     import ray
@@ -80,7 +93,8 @@ def main() -> int:
         fetch_batch_size=args.batch_size,
         checkpoint_every=args.checkpoint_every,
         checkpoint_full_every=args.checkpoint_full_every,
-        max_wave_rows=args.max_wave_rows)
+        max_wave_rows=args.max_wave_rows,
+        validators=True, validators_from=args.revisit_from)
     t0 = time.time()
     res = run_crawl(pcfg, ccfg, args.workdir, resume=args.resume,
                     retry_rounds=args.retry_rounds)
@@ -103,6 +117,7 @@ def main() -> int:
         **({"exports": exports} if exports else {}),
         "workdir": res.workdir, "generations": res.generations,
         "pages": pages, "offers": res.offers, "failed": res.pages_failed,
+        "not_modified": _n_not_modified(res),
         "sec": round(dt, 2), "pages_per_sec": round(pages / max(dt, 1e-9), 2),
         "regions_fetch_fail": sorted(
             k for k, v in res.state.items() if v["stop_reason"] == "fetch_fail"),
