@@ -4736,6 +4736,51 @@ def crawl_revisit(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+_WEIGHTED_SAMPLE_SQL = """
+WITH k AS (SELECT doc_id,
+   CAST(ROUND(1000000 * ln((( ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 13))::BIGINT + 0.5)
+                            / 4503599627370496.0)) / n_chars, 0) AS BIGINT)
+     AS key
+ FROM documents WHERE n_chars > 0)
+SELECT doc_id, key FROM k ORDER BY key DESC, doc_id LIMIT 50
+"""
+
+
+@query("weighted_sample_es", _WEIGHTED_SAMPLE_SQL)
+def weighted_sample_es(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis '06):
+    each doc draws key = ln(u)/w from a deterministic md5-derived
+    uniform (u = (m+0.5)/2^52, exactly representable, so numpy and
+    DuckDB compute the identical double) and the k largest keys win —
+    equivalent to sampling ∝ weight without replacement.  Distributed
+    shape: a per-block top-k combiner (k rows per block ride to the
+    driver, never the corpus) — the one-pass, one-small-merge sampler
+    a 100-TB weighted mixture draw needs.  Keys are fixed-pointed to
+    micro units; ln is the only libm call and is gated bit-exact
+    against the oracle (same discipline as `lm_logprob_score`)."""
+    K, M = 50, float(1 << 52)
+    from ..functions.textstats import md5_fingerprints
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"],
+             filter=(pc.field("n_chars") > 0))
+
+    def local_top(t: pa.Table) -> pa.Table:
+        fp = md5_fingerprints(pc.cast(t["doc_id"], pa.string()))
+        m = np.array([int(h[:13], 16) for h in fp.to_pylist()],
+                     dtype=np.float64)
+        u = (m + 0.5) / M
+        key = np.round(1_000_000 * np.log(u)
+                       / t["n_chars"].to_numpy()).astype(np.int64)
+        order = np.lexsort((t["doc_id"].to_numpy(), -key))[:K]
+        return pa.table({"doc_id": t["doc_id"].take(pa.array(order)),
+                         "key": pa.array(key[order])})
+
+    cand = ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["key", "doc_id"],
+                           ascending=[False, True]).head(K)
+    return top.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

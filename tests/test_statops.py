@@ -160,3 +160,54 @@ def test_rp_project_preserves_distances_jl(ray_session):
     assert corr > 0.9
     # unbiased scale: mean ratio within 15 %
     assert 0.85 < np.mean(dp / do) < 1.15
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis–Spirakis weighted sampling
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_es_bruteforce_and_bias(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    w = (1 + ids % 97).astype(np.int64) * 10  # varied weights
+    pq.write_table(pa.table({"doc_id": ids, "text": ["x"] * n,
+                             "n_chars": w}), tmp_path / "documents.parquet")
+
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+    got = QUERIES["weighted_sample_es"](str(tmp_path))
+    got_pairs = list(zip(got["doc_id"], got["key"]))
+
+    M = float(1 << 52)
+    keys = {}
+    for d, wi in zip(ids, w):
+        m = int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
+        keys[int(d)] = int(np.round(
+            1_000_000 * np.log((m + 0.5) / M) / wi))
+    want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got_pairs == want
+
+    # ∝-weight bias: the sample's mean weight exceeds the corpus mean
+    sample_w = w[np.isin(ids, got["doc_id"].to_numpy())]
+    assert sample_w.mean() > w.mean() * 1.2
+
+
+def test_weighted_sample_es_block_split_invariant(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(6)
+    n = 300
+    tbl = pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                    "text": ["x"] * n,
+                    "n_chars": rng.integers(1, 5000, n).astype(np.int64)})
+    # one row group vs many: the per-block top-k must merge identically
+    pq.write_table(tbl, tmp_path / "documents.parquet", row_group_size=40)
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+    a = QUERIES["weighted_sample_es"](str(tmp_path))
+    (tmp_path / "documents.parquet").unlink()
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    b = QUERIES["weighted_sample_es"](str(tmp_path))
+    assert a.equals(b)
