@@ -4781,6 +4781,98 @@ def weighted_sample_es(sf_dir: str) -> pd.DataFrame:
     return top.reset_index(drop=True)
 
 
+@query("crawl_daily_pipeline")  # non-SQL: composed crawl+revisit+IVM
+def crawl_daily_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The daily-production composition: crawl day 0 → fold offers into
+    an incrementally-maintained per-city aggregate → day 1 is a
+    conditional-GET revisit (unchanged pages 304, changed subset
+    re-parsed) → the aggregate is updated by RETRACTING the changed
+    pages' old rows (negative partials) and adding their new rows —
+    incremental view maintenance, never a recompute over the corpus.
+    The final state must equal a from-scratch aggregate of day 1's full
+    offer table (asserted here; the query returns the maintained
+    aggregate)."""
+    import shutil
+    import tempfile
+    import zlib
+
+    from ..config import CrawlConfig, PortalConfig
+    from ..stages.incremental import IncrementalGroupSum
+    from .crawl import run_crawl
+
+    def offers_parsed_only(res) -> pa.Table:
+        # fragments from numeric generations = rows parsed THIS run
+        # (gen-zcarry holds the 304 carry-over)
+        parts = [pq_mod.read_table(f) for f in res._gen_files("offers")
+                 if "gen-zcarry" not in f]
+        return (pa.concat_tables(parts, promote_options="default")
+                if parts else None)
+
+    import pyarrow.parquet as pq_mod
+
+    pcfg0 = PortalConfig(regions=("pomorskie", "mazowieckie"),
+                         base_pages=2, page_size_scale=0.1)
+    pcfg1 = PortalConfig(regions=("pomorskie", "mazowieckie"),
+                         base_pages=2, page_size_scale=0.1,
+                         content_version=1, changed_per_mille=250)
+    ccfg = CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 14,
+                       fetch_batch_size=64, validators=True)
+    wd_a = tempfile.mkdtemp(prefix="rsr_daily_a_", dir="/tmp")
+    wd_b = tempfile.mkdtemp(prefix="rsr_daily_b_", dir="/tmp")
+    sdir = tempfile.mkdtemp(prefix="rsr_daily_state_", dir="/tmp")
+
+    def partials(sign: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cents = np.round(t["price_amount"].to_numpy()
+                             * 100).astype(np.int64) * sign
+            ch = np.array([zlib.crc32(c.encode()) for c in
+                           t["city"].to_pylist()], dtype=np.int64)
+            g = pa.table({"city_hash": ch, "city": t["city"],
+                          "n": np.full(len(t), sign, np.int64),
+                          "s": cents}) \
+                .group_by(["city_hash", "city"]) \
+                .aggregate([("n", "sum"), ("s", "sum")])
+            return g.rename_columns(["city_hash", "city", "n", "s"])
+        return fn
+
+    state = IncrementalGroupSum(sdir, key_cols=["city_hash", "city"],
+                                int_key="city_hash")
+
+    res_a = run_crawl(pcfg0, ccfg, wd_a)
+    day0 = rd.from_arrow(res_a.table("offers"))
+    state.update(day0, "day-0", partials(+1))
+
+    cfg_b = CrawlConfig(**{**ccfg.__dict__, "validators_from": wd_a})
+    res_b = run_crawl(pcfg1, cfg_b, wd_b)
+    reparsed = offers_parsed_only(res_b)
+    if reparsed is not None and reparsed.num_rows:
+        changed_urls = reparsed["url"].combine_chunks()
+        a_off = res_a.table("offers")
+        retract = a_off.filter(pc.is_in(a_off["url"],
+                                        value_set=changed_urls))
+        state.update(rd.from_arrow(retract), "day-1-retract",
+                     partials(-1))
+        state.update(rd.from_arrow(reparsed), "day-1-add", partials(+1))
+
+    out = pa.Table.from_pylist(state.read().take_all()).to_pandas()
+    out = out[out["n"] > 0]  # cities fully retracted drop out
+
+    # invariant: the maintained view equals a from-scratch aggregate of
+    # day 1's complete offer table
+    full = res_b.table("offers").to_pandas()
+    full["s"] = np.round(full["price_amount"] * 100).astype(np.int64)
+    want = (full.groupby("city", as_index=False)
+            .agg(n=("url", "size"), s=("s", "sum")))
+    got = out[["city", "n", "s"]].sort_values("city").reset_index(drop=True)
+    want = want.sort_values("city").reset_index(drop=True)
+    if not got.astype({"n": "int64", "s": "int64"}).equals(
+            want.astype({"n": "int64", "s": "int64"})):
+        raise RuntimeError("incremental view diverged from recompute")
+    for d in (wd_a, wd_b, sdir):
+        shutil.rmtree(d, ignore_errors=True)
+    return got
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

@@ -123,3 +123,14 @@ def test_revisit_chain_and_rerun_no_duplicates(first_run,
     # re-run the SAME revisit workdir: carry must replace, not append
     res_c2 = run_crawl(_pcfg(), cfg_c, wd_c)
     assert res_c2.table("offers").num_rows == res_a.table("offers").num_rows
+
+
+def test_daily_pipeline_incremental_view(ray_session):
+    """Composed capstone: crawl → incremental per-city aggregate →
+    revisit (304 + changed re-parse) → retraction + add keeps the view
+    equal to a from-scratch recompute (the query raises on divergence,
+    so calling it IS the assertion; here we also sanity-check shape)."""
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+    out = QUERIES["crawl_daily_pipeline"]("/root/testdata/sf0.001")
+    assert set(out.columns) == {"city", "n", "s"}
+    assert len(out) == 2 and (out["n"] > 0).all()
