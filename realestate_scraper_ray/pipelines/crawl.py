@@ -43,7 +43,7 @@ import os
 import shutil
 import threading
 import uuid
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, replace
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -477,8 +477,23 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
     state: dict[tuple[str, str], RegionState] = {
         (s, r): RegionState() for s in portal_cfg.sources for r in portal_cfg.regions
     }
+    if cfg.validators_from and (os.path.realpath(cfg.validators_from)
+                                == os.path.realpath(workdir)):
+        # an in-place revisit would rmtree its own validator source
+        # below and silently degrade to a full re-crawl
+        raise ValueError("validators_from must point at a DIFFERENT "
+                         "workdir than the revisit's own")
+    marker = os.path.join(workdir, "revisit.json")
     if resume:
         gen = _restore_checkpoint(workdir, state, urlseen, politeness)
+        if cfg.validators_from is None and os.path.exists(marker):
+            # the original run was a revisit: restore validators_from so
+            # the resumed run's fetch still 304s and — critically — the
+            # completion carry rebuilds the gen-zcarry fragments that
+            # _clean_partial drops below (a resume without the flag
+            # would otherwise silently lose every 304-carried row)
+            with open(marker) as f:
+                cfg = replace(cfg, validators_from=json.load(f)["from"])
         _clean_partial(workdir, gen)
         _append_retry_rows(portal, state, _frontier_dir(workdir, gen), cfg,
                            workdir)
@@ -487,6 +502,11 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
                      "validators", "frontier", "checkpoint"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
         os.makedirs(workdir, exist_ok=True)
+        if cfg.validators_from:
+            with open(marker, "w") as f:
+                json.dump({"from": cfg.validators_from}, f)
+        elif os.path.exists(marker):
+            os.unlink(marker)
         gen = 0
         d = _frontier_dir(workdir, 0)
         os.makedirs(d)
@@ -558,7 +578,7 @@ def _carry_not_modified(workdir: str, prior_workdir: str) -> None:
     re-parsed."""
     # replace-on-rerun: a completed revisit that runs again must not
     # append a second carry generation
-    for name in ("offers", "photos"):
+    for name in ("offers", "photos", "media"):
         shutil.rmtree(os.path.join(workdir, name, "gen-zcarry"),
                       ignore_errors=True)
     vres = CrawlResult(workdir=workdir, generations=0)
@@ -575,13 +595,14 @@ def _carry_not_modified(workdir: str, prior_workdir: str) -> None:
         carried = po.filter(pc.is_in(po["url"], value_set=urls))
         _write_fragment(carried,
                         os.path.join(workdir, "offers", "gen-zcarry"))
-        pp = prior._read_gen_dirs("photos")
-        if pp is not None and carried.num_rows:
-            _write_fragment(
-                pp.filter(pc.is_in(pp["offer_id"],
-                                   value_set=carried["offer_id"]
-                                   .combine_chunks())),
-                os.path.join(workdir, "photos", "gen-zcarry"))
+        if carried.num_rows:
+            kept = carried["offer_id"].combine_chunks()
+            for name in ("photos", "media"):  # media: downloaded payloads
+                pt = prior._read_gen_dirs(name)
+                if pt is not None:
+                    _write_fragment(
+                        pt.filter(pc.is_in(pt["offer_id"], value_set=kept)),
+                        os.path.join(workdir, name, "gen-zcarry"))
 
 
 def _seed_table(portal: Portal, cfg: CrawlConfig) -> pa.Table:

@@ -4713,34 +4713,41 @@ def crawl_revisit(sf_dir: str) -> pd.DataFrame:
                         page_size_scale=0.1)
     ccfg = CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 14,
                        fetch_batch_size=64, validators=True)
+    import dataclasses
+    import shutil
+
     wd_a = tempfile.mkdtemp(prefix="rsr_revisit_a_", dir="/tmp")
     wd_b = tempfile.mkdtemp(prefix="rsr_revisit_b_", dir="/tmp")
-    res_a = run_crawl(pcfg, ccfg, wd_a)
-    cfg_b = CrawlConfig(**{**ccfg.__dict__, "validators_from": wd_a})
-    res_b = run_crawl(pcfg, cfg_b, wd_b)
+    try:
+        res_a = run_crawl(pcfg, ccfg, wd_a)
+        cfg_b = dataclasses.replace(ccfg, validators_from=wd_a)
+        res_b = run_crawl(pcfg, cfg_b, wd_b)
 
-    v = res_b._read_gen_dirs("validators")
-    counts = {s: n for s, n in zip(*map(
-        lambda a: a.to_pylist(),
-        v.group_by("status").aggregate([("url", "count")]).columns))}
-    a_off = res_a.table("offers").to_pandas().sort_values("url") \
-        .reset_index(drop=True)
-    b_off = res_b.table("offers").to_pandas().sort_values("url") \
-        .reset_index(drop=True)
-    return pd.DataFrame([{
-        "n_not_modified": int(counts.get("not_modified", 0)),
-        "n_parsed_detail": int(counts.get("ok", 0)),
-        "offers_first": len(a_off), "offers_revisit": len(b_off),
-        "tables_equal": bool(a_off.equals(b_off)),
-        "revisit_parsed_offers": int(res_b.offers),
-    }])
+        v = res_b._read_gen_dirs("validators")
+        counts = {s: n for s, n in zip(*map(
+            lambda a: a.to_pylist(),
+            v.group_by("status").aggregate([("url", "count")]).columns))}
+        a_off = res_a.table("offers").to_pandas().sort_values("url") \
+            .reset_index(drop=True)
+        b_off = res_b.table("offers").to_pandas().sort_values("url") \
+            .reset_index(drop=True)
+        return pd.DataFrame([{
+            "n_not_modified": int(counts.get("not_modified", 0)),
+            "n_parsed_detail": int(counts.get("ok", 0)),
+            "offers_first": len(a_off), "offers_revisit": len(b_off),
+            "tables_equal": bool(a_off.equals(b_off)),
+            "revisit_parsed_offers": int(res_b.offers),
+        }])
+    finally:  # no /tmp leak, success or failure
+        shutil.rmtree(wd_a, ignore_errors=True)
+        shutil.rmtree(wd_b, ignore_errors=True)
 
 
 _WEIGHTED_SAMPLE_SQL = """
 WITH k AS (SELECT doc_id,
-   CAST(ROUND(1000000 * ln((( ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+   CAST(TRUNC(1000000 * ln((( ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                             1, 13))::BIGINT + 0.5)
-                            / 4503599627370496.0)) / n_chars, 0) AS BIGINT)
+                            / 4503599627370496.0)) / n_chars) AS BIGINT)
      AS key
  FROM documents WHERE n_chars > 0)
 SELECT doc_id, key FROM k ORDER BY key DESC, doc_id LIMIT 50
@@ -4769,7 +4776,9 @@ def weighted_sample_es(sf_dir: str) -> pd.DataFrame:
         m = np.array([int(h[:13], 16) for h in fp.to_pylist()],
                      dtype=np.float64)
         u = (m + 0.5) / M
-        key = np.round(1_000_000 * np.log(u)
+        # trunc, not round: np.round is half-to-even while SQL ROUND
+        # is half-away — truncation has no tie semantics to disagree on
+        key = np.trunc(1_000_000 * np.log(u)
                        / t["n_chars"].to_numpy()).astype(np.int64)
         order = np.lexsort((t["doc_id"].to_numpy(), -key))[:K]
         return pa.table({"doc_id": t["doc_id"].take(pa.array(order)),
@@ -4800,16 +4809,6 @@ def crawl_daily_pipeline(sf_dir: str) -> pd.DataFrame:
     from ..stages.incremental import IncrementalGroupSum
     from .crawl import run_crawl
 
-    def offers_parsed_only(res) -> pa.Table:
-        # fragments from numeric generations = rows parsed THIS run
-        # (gen-zcarry holds the 304 carry-over)
-        parts = [pq_mod.read_table(f) for f in res._gen_files("offers")
-                 if "gen-zcarry" not in f]
-        return (pa.concat_tables(parts, promote_options="default")
-                if parts else None)
-
-    import pyarrow.parquet as pq_mod
-
     pcfg0 = PortalConfig(regions=("pomorskie", "mazowieckie"),
                          base_pages=2, page_size_scale=0.1)
     pcfg1 = PortalConfig(regions=("pomorskie", "mazowieckie"),
@@ -4820,6 +4819,28 @@ def crawl_daily_pipeline(sf_dir: str) -> pd.DataFrame:
     wd_a = tempfile.mkdtemp(prefix="rsr_daily_a_", dir="/tmp")
     wd_b = tempfile.mkdtemp(prefix="rsr_daily_b_", dir="/tmp")
     sdir = tempfile.mkdtemp(prefix="rsr_daily_state_", dir="/tmp")
+    try:
+        return _daily_pipeline_body(pcfg0, pcfg1, ccfg, wd_a, wd_b, sdir)
+    finally:  # no /tmp leak — including on the divergence error path
+        for d in (wd_a, wd_b, sdir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _daily_pipeline_body(pcfg0, pcfg1, ccfg, wd_a, wd_b, sdir
+                         ) -> pd.DataFrame:
+    import dataclasses
+    import zlib
+
+    import pyarrow.parquet as pq_mod
+
+    from ..stages.incremental import IncrementalGroupSum
+    from .crawl import run_crawl
+
+    def offers_parsed_only(res) -> pa.Table:
+        parts = [pq_mod.read_table(f) for f in res._gen_files("offers")
+                 if "gen-zcarry" not in f]
+        return (pa.concat_tables(parts, promote_options="default")
+                if parts else None)
 
     def partials(sign: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -4842,7 +4863,7 @@ def crawl_daily_pipeline(sf_dir: str) -> pd.DataFrame:
     day0 = rd.from_arrow(res_a.table("offers"))
     state.update(day0, "day-0", partials(+1))
 
-    cfg_b = CrawlConfig(**{**ccfg.__dict__, "validators_from": wd_a})
+    cfg_b = dataclasses.replace(ccfg, validators_from=wd_a)
     res_b = run_crawl(pcfg1, cfg_b, wd_b)
     reparsed = offers_parsed_only(res_b)
     if reparsed is not None and reparsed.num_rows:
@@ -4868,8 +4889,6 @@ def crawl_daily_pipeline(sf_dir: str) -> pd.DataFrame:
     if not got.astype({"n": "int64", "s": "int64"}).equals(
             want.astype({"n": "int64", "s": "int64"})):
         raise RuntimeError("incremental view diverged from recompute")
-    for d in (wd_a, wd_b, sdir):
-        shutil.rmtree(d, ignore_errors=True)
     return got
 
 

@@ -242,11 +242,26 @@ class Portal:
             return f"{d.day:02d}.{d.month:02d}.{d.year} 12:30"
         return f"{d.isoformat()}T12:30:00"
 
-    def content_ver(self, oid: str) -> int:
-        """The content version of one offer page: 0 unless the config's
-        version bump selected this page into the changed subset."""
+    def _dup_base(self, region: str, k: int, oid: str) -> str:
+        """The shared fact key of a cross-source dup pair (the physical
+        property); the page's own oid when it is not a dup member."""
         c = self.cfg
-        if c.content_version > 0 and self._bucket("chg", oid) < c.changed_per_mille:
+        spatial_dup = (_h64(c.seed, "spatialdup", region, k) % 1000
+                       < c.spatial_dup_per_mille)
+        return f"dupbase|{region}|{k}" if spatial_dup else oid
+
+    def content_ver(self, source: str, region: str, k: int) -> int:
+        """The content version of one offer page: 0 unless the version
+        bump selected this page.  The change bucket keys on the dup
+        BASE (the physical property), so every portal copy of a
+        cross-source dup pair changes together — a version bump must
+        never break the ≤30 m / ±90-price spatial-dup invariant the
+        geo dedup stage verifies."""
+        c = self.cfg
+        if c.content_version <= 0:
+            return 0
+        base = self._dup_base(region, k, self.oid(source, region, k))
+        if self._bucket("chg", base) < c.changed_per_mille:
             return c.content_version
         return 0
 
@@ -260,7 +275,7 @@ class Portal:
         if ref.kind not in ("offer", "blocked"):
             return None
         oid = self.oid(ref.source, ref.region, ref.k)
-        ver = self.content_ver(oid)
+        ver = self.content_ver(ref.source, ref.region, ref.k)
         return f"{_h64(self.cfg.seed, 'etag', oid, ver):016x}"
 
     def offer_facts(self, source: str, region: str, k: int) -> dict:
@@ -271,7 +286,7 @@ class Portal:
         # of the changed subset (page structure, posted date and the
         # spatial-dup pairing stay stable — a price edit does not move
         # a listing to a different page shape)
-        sd = c.seed + self.content_ver(oid) * 1_000_003
+        sd = c.seed + self.content_ver(source, region, k) * 1_000_003
         u = lambda tag: _unit(sd, tag, oid)  # noqa: E731
         # cross-source near-duplicates: the same physical listing posted
         # on several portals with tiny price/coordinate drift — the case

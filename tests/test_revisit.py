@@ -4,6 +4,8 @@ no parse) yet produces output tables identical to a full re-crawl —
 including when a content-version bump changes a deterministic subset of
 pages."""
 
+import dataclasses
+
 import pandas as pd
 import pyarrow.compute as pc
 import pytest
@@ -47,7 +49,7 @@ def first_run(tmp_path_factory, ray_session):
 def test_unchanged_revisit_is_all_304(first_run, tmp_path_factory,
                                       ray_session):
     wd_a, res_a = first_run
-    cfg = CrawlConfig(**{**CRAWL.__dict__, "validators_from": wd_a})
+    cfg = dataclasses.replace(CRAWL, validators_from=wd_a)
     wd_b = str(tmp_path_factory.mktemp("revisit_b"))
     res_b = run_crawl(_pcfg(), cfg, wd_b)
 
@@ -74,7 +76,7 @@ def test_changed_subset_reparsed_rest_304(first_run, tmp_path_factory,
     wd_c = str(tmp_path_factory.mktemp("revisit_c"))
     res_c = run_crawl(v1, CRAWL, wd_c)
     # revisit: v0 validators against the v1 portal
-    cfg = CrawlConfig(**{**CRAWL.__dict__, "validators_from": wd_a})
+    cfg = dataclasses.replace(CRAWL, validators_from=wd_a)
     wd_d = str(tmp_path_factory.mktemp("revisit_d"))
     res_d = run_crawl(v1, cfg, wd_d)
 
@@ -110,10 +112,10 @@ def test_revisit_chain_and_rerun_no_duplicates(first_run,
     validator), and re-running a completed revisit in the same workdir
     replaces the carry fragments instead of appending."""
     wd_a, res_a = first_run
-    cfg_b = CrawlConfig(**{**CRAWL.__dict__, "validators_from": wd_a})
+    cfg_b = dataclasses.replace(CRAWL, validators_from=wd_a)
     wd_b = str(tmp_path_factory.mktemp("revisit_chain_b"))
     run_crawl(_pcfg(), cfg_b, wd_b)
-    cfg_c = CrawlConfig(**{**CRAWL.__dict__, "validators_from": wd_b})
+    cfg_c = dataclasses.replace(CRAWL, validators_from=wd_b)
     wd_c = str(tmp_path_factory.mktemp("revisit_chain_c"))
     res_c = run_crawl(_pcfg(), cfg_c, wd_c)
     pd.testing.assert_frame_equal(_sorted_tbl(res_a, "offers", ["url"]),
@@ -134,3 +136,44 @@ def test_daily_pipeline_incremental_view(ray_session):
     out = QUERIES["crawl_daily_pipeline"]("/root/testdata/sf0.001")
     assert set(out.columns) == {"city", "n", "s"}
     assert len(out) == 2 and (out["n"] > 0).all()
+
+
+def test_resume_of_revisit_keeps_carry(first_run, tmp_path_factory,
+                                       ray_session):
+    """Resuming a killed revisit WITHOUT re-passing validators_from must
+    not lose the 304-carried rows: the revisit marker persisted in the
+    workdir restores the validator source, so the completion carry
+    rebuilds gen-zcarry (a silent-data-loss regression guard)."""
+    wd_a, res_a = first_run
+    cfg = dataclasses.replace(CRAWL, validators_from=wd_a)
+    wd_b = str(tmp_path_factory.mktemp("revisit_resume"))
+    run_crawl(_pcfg(), cfg, wd_b, stop_after_generations=2)  # "killed"
+    # resume with the PLAIN config — validators_from intentionally unset
+    res = run_crawl(_pcfg(), CRAWL, wd_b, resume=True)
+    pd.testing.assert_frame_equal(_sorted_tbl(res_a, "offers", ["url"]),
+                                  _sorted_tbl(res, "offers", ["url"]))
+    assert _meta_status_counts(res).get("not_modified", 0) > 0
+
+
+def test_in_place_revisit_rejected(first_run, ray_session):
+    wd_a, _ = first_run
+    cfg = dataclasses.replace(CRAWL, validators_from=wd_a)
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        run_crawl(_pcfg(), cfg, wd_a)
+
+
+def test_revisit_carries_media_rows(tmp_path_factory, ray_session):
+    """media_fetch + revisit: 304 pages' downloaded-media rows carry
+    forward like offers/photos — the media table equals a full crawl's."""
+    mcfg = dataclasses.replace(CRAWL, media_fetch=True)
+    pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                        page_size_scale=0.12)
+    wd_a = str(tmp_path_factory.mktemp("media_a"))
+    res_a = run_crawl(pcfg, mcfg, wd_a)
+    assert res_a.table("media").num_rows > 0
+    cfg_b = dataclasses.replace(mcfg, validators_from=wd_a)
+    wd_b = str(tmp_path_factory.mktemp("media_b"))
+    res_b = run_crawl(pcfg, cfg_b, wd_b)
+    pd.testing.assert_frame_equal(
+        _sorted_tbl(res_a, "media", ["offer_id", "seq"]),
+        _sorted_tbl(res_b, "media", ["offer_id", "seq"]))

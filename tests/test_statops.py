@@ -185,7 +185,7 @@ def test_weighted_sample_es_bruteforce_and_bias(ray_session, tmp_path):
     keys = {}
     for d, wi in zip(ids, w):
         m = int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
-        keys[int(d)] = int(np.round(
+        keys[int(d)] = int(np.trunc(
             1_000_000 * np.log((m + 0.5) / M) / wi))
     want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert got_pairs == want
