@@ -4892,6 +4892,100 @@ def _daily_pipeline_body(pcfg0, pcfg1, ccfg, wd_a, wd_b, sdir
     return got
 
 
+_CORR_SQL = """
+WITH c AS (SELECT event_type,
+                  epoch_us(ts) // 1000000
+                    - (SELECT MIN(epoch_us(ts) // 1000000) FROM events) AS x,
+                  CAST(ROUND(value*100,0) AS BIGINT) AS y
+           FROM events),
+m AS (SELECT event_type, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx,
+             SUM(y)::HUGEINT AS sy, SUM(x::HUGEINT*y) AS sxy,
+             SUM(x::HUGEINT*x) AS sxx, SUM(y::HUGEINT*y) AS syy
+      FROM c GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0
+       ELSE TRUNC(1000000 * (n*sxy - sx*sy) /
+                  sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                       * CAST(n*syy - sy*sy AS DOUBLE)))
+       END AS BIGINT) AS r_micro
+FROM m
+"""
+
+
+@query("events_corr_value_time", _CORR_SQL)
+def events_corr_value_time(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation of value vs event time — the third
+    member of the mergeable-sufficient-statistics family (moments →
+    outliers, OLS → slope, here the 6-tuple (n, Σx, Σy, Σxy, Σx², Σy²)
+    → r).  Integer sums fold exactly on the driver; only the final
+    normalization touches floats, fixed-pointed to micro units with
+    truncation (zero-variance groups define r = 0)."""
+    import math
+
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+    t0 = ds.aggregate(Min("ts"))["min(ts)"]
+    x0 = int(pd.Timestamp(t0).value // 10**9)
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = (t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+             - x0)
+        y = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        mx = max(int(np.abs(x).max(initial=0)),
+                 int(np.abs(y).max(initial=0)))
+        if mx * mx * max(len(x), 1) > (1 << 62):
+            # same extreme-magnitude escape hatch as events_ols_trend:
+            # exact Python ints shipped as a JSON string
+            import json as _json
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            rows = []
+            for tp in np.unique(et):
+                m = et == tp
+                xi = [int(v) for v in x[m]]
+                yi = [int(v) for v in y[m]]
+                rows.append({
+                    "event_type": str(tp), "n": len(xi), "sx": 0,
+                    "sy": 0, "sxy": 0, "sxx": 0, "syy": 0,
+                    "hi": _json.dumps(
+                        [sum(xi), sum(yi),
+                         sum(a * b for a, b in zip(xi, yi)),
+                         sum(a * a for a in xi),
+                         sum(b * b for b in yi)])})
+            return pa.Table.from_pylist(rows)
+        g = pa.table({"event_type": t["event_type"],
+                      "n": np.ones(len(t), np.int64),
+                      "sx": x, "sy": y, "sxy": x * y,
+                      "sxx": x * x, "syy": y * y}) \
+            .group_by("event_type").aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]) \
+            .rename_columns(["event_type", "n", "sx", "sy",
+                             "sxy", "sxx", "syy"])
+        return g.append_column("hi", pa.array([""] * len(g), pa.string()))
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["event_type"], [0, 0, 0, 0, 0, 0])
+        a[0] += int(r["n"])
+        if r["hi"]:
+            import json as _json
+            sx, sy, sxy, sxx, syy = _json.loads(r["hi"])
+            for i, v in enumerate((sx, sy, sxy, sxx, syy), start=1):
+                a[i] += v
+        else:
+            for i, k in enumerate(("sx", "sy", "sxy", "sxx", "syy"),
+                                  start=1):
+                a[i] += int(r[k])
+    rows = []
+    for tp in sorted(acc):
+        n, sx, sy, sxy, sxx, syy = acc[tp]
+        num = n * sxy - sx * sy
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        r_micro = 0 if dx == 0 or dy == 0 else int(np.trunc(
+            1_000_000 * num / math.sqrt(float(dx) * float(dy))))
+        rows.append({"event_type": tp, "n": n, "r_micro": r_micro})
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

@@ -211,3 +211,31 @@ def test_weighted_sample_es_block_split_invariant(ray_session, tmp_path):
     pq.write_table(tbl, tmp_path / "documents.parquet")
     b = QUERIES["weighted_sample_es"](str(tmp_path))
     assert a.equals(b)
+
+
+def test_corr_value_time_matches_scipy_free_pearson(ray_session, tmp_path):
+    """Engine r vs a numpy corrcoef twin (within the micro fixed-point
+    grid), planted positive / negative / zero-variance groups."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    base = np.datetime64("2024-01-01T00:00:00", "s")
+    ts = base + rng.integers(0, 30 * 86400, n).astype("timedelta64[s]")
+    x = ts.astype(np.int64).astype(np.float64)
+    types = rng.choice(["pos", "neg", "flat"], n)
+    vals = np.where(types == "pos", x * 1e-5, -x * 1e-5)
+    vals = np.round(vals + rng.normal(0, 1.0, n), 2)
+    vals[types == "flat"] = 7.0  # zero variance → r defined as 0
+    pq.write_table(pa.table({"event_type": types,
+                             "ts": ts.astype("datetime64[us]"),
+                             "value": vals}), tmp_path / "events.parquet")
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+    got = {r.event_type: r.r_micro for r in
+           QUERIES["events_corr_value_time"](str(tmp_path)).itertuples()}
+    for tp in ("pos", "neg"):
+        m = types == tp
+        want = np.corrcoef(x[m], np.round(vals[m] * 100))[0, 1]
+        assert abs(got[tp] / 1e6 - want) < 1e-3
+    assert got["pos"] > 500_000 and got["neg"] < -500_000
+    assert got["flat"] == 0
