@@ -302,10 +302,5 @@ def pagerank(edges: rd.Dataset, *, n_iter: int = 10,
                  .union(zero_rows)
                  .groupby("node").aggregate(Sum("c", alias_name="c"))
                  .map_batches(fold, batch_format="pyarrow")
-                 # pin the node-scale table to a fixed block count —
-                 # same lesson as connected_components: union+shuffle
-                 # otherwise multiplies tiny blocks every round and
-                 # scheduling overhead dominates the iteration
-                 .repartition(8)
                  .materialize())
     return ranks
