@@ -161,3 +161,40 @@ def test_incremental_dedup_retry_exactly_once(ray_session, tmp_path):
     # and a later delta still sees d1's fingerprints
     s2 = st.ingest(_docs([9], ["c"]), "d2", "text", "doc_id")
     assert s2.take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# property: ANY delta partitioning folds to the recompute (hypothesis)
+# ---------------------------------------------------------------------------
+
+def test_incremental_any_split_equals_recompute(ray_session, tmp_path):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    runs = [0]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.tuples(st.integers(0, 30),          # key
+                              st.sampled_from(["x", "y"]),  # grp
+                              st.integers(-100, 100)),      # value
+                    min_size=1, max_size=60),
+           st.integers(1, 4))                               # delta count
+    def check(rows, n_deltas):
+        runs[0] += 1
+        sd = tmp_path / f"st{runs[0]}"
+        stt = IncrementalGroupSum(str(sd), ["k", "grp"], "k",
+                                  n_buckets=4)
+        chunks = [rows[i::n_deltas] for i in range(n_deltas)]
+        tables = []
+        for i, ch in enumerate(chunks):
+            if not ch:
+                continue
+            t = pa.table({"k": np.array([r[0] for r in ch], np.int64),
+                          "grp": [r[1] for r in ch],
+                          "v": np.array([r[2] for r in ch], np.int64)})
+            tables.append(t)
+            stt.update(rd.from_arrow(t), f"d{i}", _partials)
+        assert _state_dict(stt) == _expect(tables)
+
+    check()
