@@ -50,7 +50,10 @@ HEADLINE_QUERIES = [
     "gopher_quality_filter", "dsir_importance_weights",
     "graph_pagerank", "events_incremental_hourly",
     "interleaved_span_dedup", "events_outlier_zscore",
-    "embedding_rp_project",
+    "embedding_rp_project", "documents_incremental_dedup",
+    "weighted_sample_es", "events_corr_value_time",
+    "cms_point_frequency", "approx_distinct_per_type",
+    "text_normalize", "documents_jsonl_roundtrip",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a
