@@ -52,7 +52,7 @@ HEADLINE_QUERIES = [
     "interleaved_span_dedup", "events_outlier_zscore",
     "embedding_rp_project", "documents_incremental_dedup",
     "weighted_sample_es", "events_corr_value_time",
-    "cms_point_frequency", "approx_distinct_per_type",
+    "cms_point_frequency",
     "text_normalize", "documents_jsonl_roundtrip",
 ]
 

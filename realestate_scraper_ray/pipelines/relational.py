@@ -4141,61 +4141,10 @@ def events_ols_trend(sf_dir: str) -> pd.DataFrame:
     time) fitted distributively via mergeable sufficient statistics —
     the closed-form OLS decomposition (n, Σx, Σy, Σxy, Σx²) that turns
     model fitting into the same combiner-then-tiny-merge shape as a
-    grouped sum.  x is rebased to the global min timestamp so per-batch
-    Σx² stays inside int64; the driver folds partials with Python ints
-    (exact at any scale) and emits a fixed-point micro-slope with
+    grouped sum (`_grouped_xy_sums`).  Fixed-point micro-slope with
     truncation-toward-zero division (matching SQL's `//` on HUGEINT).
     Slope per 100 TB: partials are 5 ints per (block, group)."""
-    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
-    t0 = ds.aggregate(Min("ts"))["min(ts)"]
-    x0 = int(pd.Timestamp(t0).value // 10**9)  # trunc to whole seconds
-
-    def partials(t: pa.Table) -> pa.Table:
-        x = (t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
-             - x0)
-        y = np.round(t["value"].to_numpy() * 100).astype(np.int64)
-        mx = max(int(np.abs(x).max(initial=0)),
-                 int(np.abs(y).max(initial=0)))
-        if mx * mx * max(len(x), 1) <= (1 << 62):
-            g = pa.table({"event_type": t["event_type"],
-                          "n": np.ones(len(t), np.int64),
-                          "sx": x, "sy": y, "sxy": x * y, "sxx": x * x}) \
-                .group_by("event_type").aggregate(
-                    [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
-                     ("sxy", "sum"), ("sxx", "sum")])
-            return g.rename_columns(["event_type", "n", "sx", "sy",
-                                     "sxy", "sxx"]).append_column(
-                "hi", pa.array([""] * len(g), pa.string()))
-        # decades-long x ranges (or huge values): the int64 batch sums
-        # of x² / x·y could wrap — exact Python-int fold, the big sums
-        # shipped as decimal strings (the driver folds Python ints
-        # anyway; the hot path above never takes this branch)
-        import json as _json
-        et = t["event_type"].to_numpy(zero_copy_only=False)
-        rows = []
-        for tp in np.unique(et):
-            m = et == tp
-            xi = [int(v) for v in x[m]]
-            yi = [int(v) for v in y[m]]
-            rows.append({
-                "event_type": str(tp), "n": len(xi), "sx": 0, "sy": 0,
-                "sxy": 0, "sxx": 0,
-                "hi": _json.dumps([sum(xi), sum(yi),
-                                   sum(a * b for a, b in zip(xi, yi)),
-                                   sum(a * a for a in xi)])})
-        return pa.Table.from_pylist(rows)
-
-    acc: dict[str, list[int]] = {}
-    for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
-        a = acc.setdefault(r["event_type"], [0, 0, 0, 0, 0])
-        a[0] += int(r["n"])
-        if r["hi"]:
-            import json as _json
-            sx, sy, sxy, sxx = _json.loads(r["hi"])
-            a[1] += sx; a[2] += sy; a[3] += sxy; a[4] += sxx
-        else:
-            for i, k in enumerate(("sx", "sy", "sxy", "sxx"), start=1):
-                a[i] += int(r[k])
+    acc = _grouped_xy_sums(sf_dir, with_syy=False)
     rows = []
     for tp in sorted(acc):
         n, sx, sy, sxy, sxx = acc[tp]
@@ -4206,6 +4155,73 @@ def events_ols_trend(sf_dir: str) -> pd.DataFrame:
             (1 if num >= 0 else -1) * (abs(1_000_000 * num) // den)
         rows.append({"event_type": tp, "n": n, "slope_micro": slope})
     return pd.DataFrame(rows)
+
+
+def _grouped_xy_sums(sf_dir: str, *, with_syy: bool
+                     ) -> dict[str, list[int]]:
+    """The shared sufficient-statistics fold of the OLS/correlation
+    family: exact per-event_type integer sums of
+    (n, Σx, Σy, Σxy, Σx²[, Σy²]) with x = seconds since the global min
+    timestamp and y = value cents.  Vectorized int64 combiners per
+    batch; a batch whose magnitudes could wrap int64 falls back to
+    exact Python ints shipped as a JSON string (the driver folds Python
+    ints either way, so the result is exact at any scale)."""
+    names = ["sx", "sy", "sxy", "sxx"] + (["syy"] if with_syy else [])
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+    t0 = ds.aggregate(Min("ts"))["min(ts)"]
+    x0 = int(pd.Timestamp(t0).value // 10**9)  # trunc to whole seconds
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = (t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+             - x0)
+        y = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        prods = {"sx": x, "sy": y, "sxy": x * y, "sxx": x * x}
+        if with_syy:
+            prods["syy"] = y * y
+        mx = max(int(np.abs(x).max(initial=0)),
+                 int(np.abs(y).max(initial=0)))
+        if mx * mx * max(len(x), 1) <= (1 << 62):
+            g = pa.table({"event_type": t["event_type"],
+                          "n": np.ones(len(t), np.int64), **prods}) \
+                .group_by("event_type").aggregate(
+                    [("n", "sum")] + [(k, "sum") for k in names])
+            return g.rename_columns(["event_type", "n", *names]) \
+                .append_column("hi", pa.array([""] * len(g), pa.string()))
+        # decades-long x ranges (or huge values): the int64 batch sums
+        # of the products could wrap — exact Python-int fold, the big
+        # sums shipped as decimal strings (this branch never runs on
+        # realistic magnitudes)
+        import json as _json
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        rows = []
+        for tp in np.unique(et):
+            m = et == tp
+            xi = [int(v) for v in x[m]]
+            yi = [int(v) for v in y[m]]
+            sums = [sum(xi), sum(yi),
+                    sum(a * b for a, b in zip(xi, yi)),
+                    sum(a * a for a in xi)]
+            if with_syy:
+                sums.append(sum(b * b for b in yi))
+            rows.append({"event_type": str(tp), "n": len(xi),
+                         **{k: 0 for k in names},
+                         "hi": _json.dumps(sums)})
+        return pa.Table.from_pylist(rows)
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["event_type"], [0] * (1 + len(names)))
+        a[0] += int(r["n"])
+        vals = (_json_loads(r["hi"]) if r["hi"]
+                else [int(r[k]) for k in names])
+        for i, v in enumerate(vals, start=1):
+            a[i] += v
+    return acc
+
+
+def _json_loads(s: str):
+    import json as _json
+    return _json.loads(s)
 
 
 _RP_SQL = """
@@ -4917,64 +4933,12 @@ def events_corr_value_time(sf_dir: str) -> pd.DataFrame:
     """Per-group Pearson correlation of value vs event time — the third
     member of the mergeable-sufficient-statistics family (moments →
     outliers, OLS → slope, here the 6-tuple (n, Σx, Σy, Σxy, Σx², Σy²)
-    → r).  Integer sums fold exactly on the driver; only the final
-    normalization touches floats, fixed-pointed to micro units with
-    truncation (zero-variance groups define r = 0)."""
+    → r) — the shared `_grouped_xy_sums` fold with Σy² on.  Only the
+    final normalization touches floats, fixed-pointed to micro units
+    with truncation (zero-variance groups define r = 0)."""
     import math
 
-    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
-    t0 = ds.aggregate(Min("ts"))["min(ts)"]
-    x0 = int(pd.Timestamp(t0).value // 10**9)
-
-    def partials(t: pa.Table) -> pa.Table:
-        x = (t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
-             - x0)
-        y = np.round(t["value"].to_numpy() * 100).astype(np.int64)
-        mx = max(int(np.abs(x).max(initial=0)),
-                 int(np.abs(y).max(initial=0)))
-        if mx * mx * max(len(x), 1) > (1 << 62):
-            # same extreme-magnitude escape hatch as events_ols_trend:
-            # exact Python ints shipped as a JSON string
-            import json as _json
-            et = t["event_type"].to_numpy(zero_copy_only=False)
-            rows = []
-            for tp in np.unique(et):
-                m = et == tp
-                xi = [int(v) for v in x[m]]
-                yi = [int(v) for v in y[m]]
-                rows.append({
-                    "event_type": str(tp), "n": len(xi), "sx": 0,
-                    "sy": 0, "sxy": 0, "sxx": 0, "syy": 0,
-                    "hi": _json.dumps(
-                        [sum(xi), sum(yi),
-                         sum(a * b for a, b in zip(xi, yi)),
-                         sum(a * a for a in xi),
-                         sum(b * b for b in yi)])})
-            return pa.Table.from_pylist(rows)
-        g = pa.table({"event_type": t["event_type"],
-                      "n": np.ones(len(t), np.int64),
-                      "sx": x, "sy": y, "sxy": x * y,
-                      "sxx": x * x, "syy": y * y}) \
-            .group_by("event_type").aggregate(
-                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
-                 ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]) \
-            .rename_columns(["event_type", "n", "sx", "sy",
-                             "sxy", "sxx", "syy"])
-        return g.append_column("hi", pa.array([""] * len(g), pa.string()))
-
-    acc: dict[str, list[int]] = {}
-    for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
-        a = acc.setdefault(r["event_type"], [0, 0, 0, 0, 0, 0])
-        a[0] += int(r["n"])
-        if r["hi"]:
-            import json as _json
-            sx, sy, sxy, sxx, syy = _json.loads(r["hi"])
-            for i, v in enumerate((sx, sy, sxy, sxx, syy), start=1):
-                a[i] += v
-        else:
-            for i, k in enumerate(("sx", "sy", "sxy", "sxx", "syy"),
-                                  start=1):
-                a[i] += int(r[k])
+    acc = _grouped_xy_sums(sf_dir, with_syy=True)
     rows = []
     for tp in sorted(acc):
         n, sx, sy, sxy, sxx, syy = acc[tp]
@@ -4984,61 +4948,6 @@ def events_corr_value_time(sf_dir: str) -> pd.DataFrame:
             1_000_000 * num / math.sqrt(float(dx) * float(dy))))
         rows.append({"event_type": tp, "n": n, "r_micro": r_micro})
     return pd.DataFrame(rows)
-
-
-_HLL_GROUPED_SQL = """
-SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
-       TRUE AS within_5pct
-FROM events GROUP BY event_type
-"""
-
-
-@query("approx_distinct_per_type", _HLL_GROUPED_SQL)
-def approx_distinct_per_type(sf_dir: str) -> pd.DataFrame:
-    """GROUPED HyperLogLog: per-(block, group) register partials ride a
-    group-key exchange and max-merge inside ``map_groups`` — the
-    per-group COUNT(DISTINCT) shape where the global sketch
-    (`approx_distinct_users`) doesn't apply.  Each partial is a fixed
-    4 KiB regardless of block size, so the exchange is
-    O(groups × blocks), never O(rows).  Gated: every group's estimate
-    must land within 5 % of the exact distinct count (HLL standard
-    error at 2^12 registers is ~1.6 %)."""
-    from ..functions.sketches import hll_estimate, hll_merge, hll_partial
-    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
-
-    def partials(t: pa.Table) -> pa.Table:
-        et = t["event_type"].to_numpy(zero_copy_only=False)
-        uid = t["user_id"].to_numpy()
-        types = np.unique(et)
-        return pa.table({
-            "event_type": pa.array(list(types)),
-            "reg": pa.array([hll_partial(uid[et == tp]).tobytes()
-                             for tp in types], pa.binary())})
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        regs = [np.frombuffer(b, dtype=np.uint8) for b in g["reg"]]
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "est": [hll_estimate(hll_merge(regs))]})
-
-    est = (ds.map_batches(partials, batch_format="pyarrow")
-           .groupby("event_type").map_groups(merge, batch_format="pandas")
-           .to_pandas())
-
-    def exact_partial(t: pa.Table) -> pa.Table:
-        return (t.group_by(["event_type", "user_id"]).aggregate([])
-                if t.num_rows else t)
-
-    exact = (ds.map_batches(exact_partial, batch_format="pyarrow")
-             .groupby(["event_type", "user_id"])
-             .aggregate(Count(alias_name="_c"))
-             .groupby("event_type").aggregate(Count(alias_name="n_exact"))
-             .to_pandas())
-    out = exact.merge(est, on="event_type")
-    out["n_exact"] = out["n_exact"].astype("int64")
-    out["within_5pct"] = (abs(out["est"] - out["n_exact"])
-                          <= 0.05 * out["n_exact"])
-    return (out[["event_type", "n_exact", "within_5pct"]]
-            .sort_values("event_type").reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
