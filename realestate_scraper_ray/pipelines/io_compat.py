@@ -380,3 +380,74 @@ def read_jsonl_shards(out_dir: str) -> "rd.Dataset":
     if not paths:
         return rd.from_items([])
     return rd.read_json(paths)
+
+
+def compact_fragments(src_dir: str, out_dir: str,
+                      target_bytes: int = 64 << 20) -> dict:
+    """Small-file compaction for a fragment tree (``{src}/gen-*/
+    part-*.parquet`` — the crawl's offer/photo/frontier layout): bins
+    the fragment FILES by cumulative size into ~``target_bytes`` chunks
+    (driver sees only the file listing, never rows), then one map task
+    per bin reads its files and writes one consolidated parquet
+    (atomic tmp+rename).  Bin outputs are named by the md5 of the
+    bin's file list, so a re-run — or a resumed run — skips bins whose
+    output already exists instead of rewriting them.  Returns
+    {files_in, files_out, rows, skipped}.
+
+    This is the lakehouse maintenance pass a long crawl needs: waves
+    write one fragment per (task, batch) for atomicity and resume
+    granularity, which is exactly wrong for later full-table scans —
+    compaction trades fragment-level lineage (no longer needed once a
+    run is complete) for scan-sized files."""
+    import hashlib as _hashlib
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    files = []
+    for gen in sorted(_os.listdir(src_dir)):
+        d = _os.path.join(src_dir, gen)
+        if _os.path.isdir(d):
+            files.extend(_os.path.join(d, f) for f in sorted(_os.listdir(d))
+                         if f.endswith(".parquet"))
+    _os.makedirs(out_dir, exist_ok=True)
+    bins: list[list[str]] = [[]]
+    acc = 0
+    for f in files:
+        sz = _os.path.getsize(f)
+        if bins[-1] and acc + sz > target_bytes:
+            bins.append([])
+            acc = 0
+        bins[-1].append(f)
+        acc += sz
+    bins = [b for b in bins if b]
+
+    def compact_bin(t: pa.Table) -> pa.Table:
+        out_rows, skipped = 0, 0
+        for row in t.to_pylist():
+            bin_files = row["files"]
+            digest = _hashlib.md5(
+                "\n".join(bin_files).encode()).hexdigest()[:12]
+            path = _os.path.join(out_dir, f"compact-{digest}.parquet")
+            if _os.path.exists(path):
+                skipped += 1
+                continue
+            merged = pa.concat_tables(
+                [_pq.read_table(f) for f in bin_files],
+                promote_options="default")
+            tmp = path + f".tmp-{_uuid.uuid4().hex}"
+            _pq.write_table(merged, tmp)
+            _os.replace(tmp, path)
+            out_rows += merged.num_rows
+        return pa.table({"rows": pa.array([out_rows], pa.int64()),
+                         "skipped": pa.array([skipped], pa.int64())})
+
+    parts = (_rd.from_items([{"files": b} for b in bins])
+             .map_batches(compact_bin, batch_size=1,
+                          batch_format="pyarrow")
+             .take_all())
+    return {"files_in": len(files), "files_out": len(bins),
+            "rows": int(sum(r["rows"] for r in parts)),
+            "skipped": int(sum(r["skipped"] for r in parts))}

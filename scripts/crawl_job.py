@@ -67,6 +67,10 @@ def main() -> int:
     # --revisit-from at a previous run's workdir to 304-skip unchanged
     # detail pages (no transfer, no parse; rows carry forward)
     ap.add_argument("--revisit-from", metavar="WORKDIR", default=None)
+    ap.add_argument("--compact", action="store_true",
+                    help="after the crawl, consolidate the per-batch "
+                         "offer/photo fragments into scan-sized files "
+                         "under {workdir}/compacted/")
     args = ap.parse_args()
 
     import ray
@@ -112,6 +116,15 @@ def main() -> int:
         from realestate_scraper_ray.pipelines.io_compat import (
             export_offer_notifications)
         exports["notified"] = export_offer_notifications(res, args.notify)
+    if args.compact:
+        from realestate_scraper_ray.pipelines.io_compat import (
+            compact_fragments)
+        exports["compacted"] = {
+            name: compact_fragments(
+                os.path.join(args.workdir, name),
+                os.path.join(args.workdir, "compacted", name))
+            for name in ("offers", "photos")
+            if os.path.isdir(os.path.join(args.workdir, name))}
     pages = res.pages_fetched + res.pages_failed
     print(json.dumps({
         **({"exports": exports} if exports else {}),

@@ -19,7 +19,7 @@ def test_crawl_job_cli_with_exports(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "crawl_job.py"),
          "--workdir", wd, "--regions", "pomorskie", "--base-pages", "2",
          "--num-cpus", "4", "--export-csv", csvd, "--export-log", log,
-         "--notify", notify],
+         "--notify", notify, "--compact"],
         capture_output=True, text=True, timeout=420,
         env={**os.environ, "RAY_DEDUP_LOGS": "0"})
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -35,6 +35,11 @@ def test_crawl_job_cli_with_exports(tmp_path):
     assert all(set(r) == {"apartment_id"} for r in rows)
     # state checkpoint on disk -> --resume is a no-op continuation
     assert os.path.isdir(os.path.join(wd, "checkpoint"))
+    # --compact consolidated the fragment trees into scan-sized files
+    comp = summary["exports"]["compacted"]
+    assert comp["offers"]["rows"] == summary["offers"]
+    assert comp["offers"]["files_out"] <= comp["offers"]["files_in"]
+    assert os.path.isdir(os.path.join(wd, "compacted", "offers"))
 
 
 def test_crawl_job_cli_revisit(tmp_path):

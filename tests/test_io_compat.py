@@ -262,3 +262,35 @@ def test_jsonl_shards_roundtrip_and_rerun_overwrites(ray_session, tmp_path):
     assert len(os.listdir(out)) == n_files
     assert sorted(read_jsonl_shards(out).take_all(),
                   key=lambda r: r["doc_id"]) == want
+
+
+def test_compact_fragments_roundtrip_and_resume(ray_session, tmp_path):
+    """Fragment compaction: rows survive exactly, file count collapses,
+    a re-run skips already-compacted bins."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realestate_scraper_ray.pipelines.io_compat import compact_fragments
+
+    src = tmp_path / "offers"
+    rows = 0
+    for gen in range(3):
+        d = src / f"gen-{gen}"
+        d.mkdir(parents=True)
+        for i in range(10):
+            n = 20 + i
+            t = pa.table({"id": np.arange(rows, rows + n, dtype=np.int64),
+                          "v": np.full(n, gen, dtype=np.int64)})
+            pq.write_table(t, d / f"part-{i:03d}.parquet")
+            rows += n
+    out = tmp_path / "compacted"
+    stats = compact_fragments(str(src), str(out), target_bytes=8_000)
+    assert stats["files_in"] == 30 and stats["rows"] == rows
+    assert stats["files_out"] < 30
+    got = pq.read_table(sorted(str(p) for p in out.glob("*.parquet")))
+    assert got.num_rows == rows
+    assert sorted(got["id"].to_pylist()) == list(range(rows))
+    # resume: identical re-run rewrites nothing
+    again = compact_fragments(str(src), str(out), target_bytes=8_000)
+    assert again["skipped"] == stats["files_out"] and again["rows"] == 0
