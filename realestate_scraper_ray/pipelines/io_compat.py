@@ -423,6 +423,8 @@ def compact_fragments(src_dir: str, out_dir: str,
         bins[-1].append(f)
         acc += sz
     bins = [b for b in bins if b]
+    if not bins:  # empty fragment tree: nothing to do
+        return {"files_in": 0, "files_out": 0, "rows": 0, "skipped": 0}
 
     def compact_bin(t: pa.Table) -> pa.Table:
         out_rows, skipped = 0, 0
