@@ -4950,6 +4950,59 @@ def events_corr_value_time(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+_TOP_PER_SOURCE_SQL = """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE term <> '' GROUP BY source, term),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n DESC, term) AS rnk FROM c)
+SELECT source, term, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5
+"""
+
+
+@query("corpus_top_terms_per_source", _TOP_PER_SOURCE_SQL)
+def corpus_top_terms_per_source(sf_dir: str) -> pd.DataFrame:
+    """Per-GROUP top-k frequent items over a high-cardinality item
+    space: per-batch (source, term) count partials → one (source, term)
+    exchange → block-local top-k per source on the SUMMED table (only
+    sound after the full sum — a pre-sum top-k would drop terms whose
+    count is spread across blocks) → ≤ k·blocks rows to the driver.
+    The vocabulary never reaches the driver, unlike a naive per-group
+    sort."""
+    K = 5
+    ds = _pq(sf_dir, "documents", ["source", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "source": pl.Series(t["source"].to_pylist(), dtype=pl.Utf8),
+            "term": pl.Series([s or "" for s in t["text"].to_pylist()],
+                              dtype=pl.Utf8).str.split(" ")})
+        g = (df.explode("term").filter(pl.col("term") != "")
+             .group_by(["source", "term"]).len()
+             .rename({"len": "n"}))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("term", pa.string()),
+            ("n", pa.int64())]))
+
+    summed = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["source", "term"]).aggregate(Sum("n", alias_name="n")))
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["n", "term"], ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby("source").head(K),
+                                    preserve_index=False)
+
+    cand = summed.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["source", "n", "term"],
+                            ascending=[True, False, True])
+    top = cand.groupby("source").head(K).copy()
+    top["rnk"] = top.groupby("source").cumcount() + 1
+    top["n"] = top["n"].astype("int64")
+    return top.reset_index(drop=True)[["source", "term", "n", "rnk"]]
+
+
 # ---------------------------------------------------------------------------
 # Canonical registry order.
 #

@@ -293,3 +293,42 @@ def test_dsir_weights_match_brute_force_and_rank_target_up():
         assert got == expect, (i, got, expect)
     s = model.set_index("doc_id")["dsir_micro_sum"]
     assert min(s[1], s[2]) > s[4] > s[3]  # target > mixed > off-domain
+
+
+def test_top_terms_per_source_bruteforce_and_split_invariant(
+        ray_session, tmp_path):
+    """Per-source top-k: brute-force equality on synthetic data with a
+    term whose count is SPLIT across blocks (a pre-sum local top-k
+    would drop it) + cross-block ties broken lexicographically."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = []
+    # 'rare-but-global' appears once per doc across MANY docs of source
+    # a (never a within-block heavy hitter), competing with per-doc
+    # repeated terms
+    for i in range(40):
+        docs.append(("a", "rare-but-global common common"))
+    docs.append(("a", " ".join(["burst"] * 35)))
+    for i in range(10):
+        docs.append(("b", f"tie-{i % 2} zz"))
+    t = pa.table({"doc_id": np.arange(len(docs), dtype=np.int64),
+                  "source": [s for s, _ in docs],
+                  "text": [x for _, x in docs]})
+    pq.write_table(t, tmp_path / "documents.parquet", row_group_size=5)
+
+    from realestate_scraper_ray.pipelines.relational import QUERIES
+    got = QUERIES["corpus_top_terms_per_source"](str(tmp_path))
+
+    want = collections.defaultdict(collections.Counter)
+    for s, x in docs:
+        want[s].update(w for w in x.split(" ") if w)
+    for s, grp in got.groupby("source"):
+        exp = sorted(want[s].items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert list(zip(grp["term"], grp["n"])) == exp
+    a = got[got["source"] == "a"]
+    assert set(a["term"]) == {"common", "rare-but-global", "burst"}
+    assert int(a[a["term"] == "rare-but-global"]["n"].iloc[0]) == 40
