@@ -409,7 +409,9 @@ def compact_fragments(src_dir: str, out_dir: str,
     files = []
     for gen in sorted(_os.listdir(src_dir)):
         d = _os.path.join(src_dir, gen)
-        if _os.path.isdir(d):
+        # gen- prefix filter: a crashed atomic dir-rename (".tmp-gen-N")
+        # or any foreign subdirectory must never be compacted in
+        if gen.startswith("gen-") and _os.path.isdir(d):
             files.extend(_os.path.join(d, f) for f in sorted(_os.listdir(d))
                          if f.endswith(".parquet"))
     _os.makedirs(out_dir, exist_ok=True)
@@ -426,12 +428,26 @@ def compact_fragments(src_dir: str, out_dir: str,
     if not bins:  # empty fragment tree: nothing to do
         return {"files_in": 0, "files_out": 0, "rows": 0, "skipped": 0}
 
+    def bin_digest(bin_files: list[str]) -> str:
+        # hash paths RELATIVE to src_dir: ./W and /abs/W spell the same
+        # bins, so a re-run under either skips instead of rewriting
+        rel = [_os.path.relpath(f, src_dir) for f in bin_files]
+        return _hashlib.md5("\n".join(rel).encode()).hexdigest()[:12]
+
+    # a changed source listing (resumed crawl added gens) re-bins the
+    # tail: stale compact files from the PREVIOUS binning would
+    # double-count their rows — clear anything not in the current bin
+    # set, plus orphaned tmp files from a killed task
+    keep = {f"compact-{bin_digest(b)}.parquet" for b in bins}
+    for f in _os.listdir(out_dir):
+        if (f.startswith("compact-") and f not in keep) or ".tmp-" in f:
+            _os.unlink(_os.path.join(out_dir, f))
+
     def compact_bin(t: pa.Table) -> pa.Table:
         out_rows, skipped = 0, 0
         for row in t.to_pylist():
             bin_files = row["files"]
-            digest = _hashlib.md5(
-                "\n".join(bin_files).encode()).hexdigest()[:12]
+            digest = bin_digest(bin_files)
             path = _os.path.join(out_dir, f"compact-{digest}.parquet")
             if _os.path.exists(path):
                 skipped += 1

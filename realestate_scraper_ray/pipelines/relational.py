@@ -4974,11 +4974,10 @@ def corpus_top_terms_per_source(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "documents", ["source", "text"])
 
     def partials(t: pa.Table) -> pa.Table:
-        df = pl.DataFrame({
-            "source": pl.Series(t["source"].to_pylist(), dtype=pl.Utf8),
-            "term": pl.Series([s or "" for s in t["text"].to_pylist()],
-                              dtype=pl.Utf8).str.split(" ")})
-        g = (df.explode("term").filter(pl.col("term") != "")
+        df = pl.from_arrow(t).with_columns(
+            pl.col("text").fill_null("").str.split(" ").alias("term"))
+        g = (df.drop("text").explode("term")
+             .filter(pl.col("term") != "")
              .group_by(["source", "term"]).len()
              .rename({"len": "n"}))
         return g.to_arrow().cast(pa.schema([
