@@ -122,6 +122,8 @@ class CrawlResult:
         if os.path.isdir(root):
             for gen in sorted(os.listdir(root)):
                 d = os.path.join(root, gen)
+                if not os.path.isdir(d):
+                    continue  # e.g. validators/meta.json
                 for f in sorted(os.listdir(d)):
                     if f.endswith(".parquet"):
                         parts.append(pq.read_table(os.path.join(d, f)))
@@ -142,6 +144,8 @@ class CrawlResult:
         if os.path.isdir(root):
             for gen in sorted(os.listdir(root)):
                 d = os.path.join(root, gen)
+                if not os.path.isdir(d):
+                    continue  # e.g. validators/meta.json
                 out.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
                            if f.endswith(".parquet"))
         return out
@@ -339,13 +343,26 @@ def make_wave_fn(portal_cfg: PortalConfig, cfg: CrawlConfig,
                 media_dir)
         # validator state (cfg.validators): every detail pagemeta row
         # carrying an etag — parsed pages AND 304s (so revisit chains
-        # A→B→C keep propagating validators without re-parsing)
+        # A→B→C keep propagating validators without re-parsing).
+        # Fragments are SHARDED by host bucket (filename b{bucket:04d}-
+        # prefix + validators/meta.json recording the partition params):
+        # a future revisit's fetch actor loads only the buckets its
+        # batches touch instead of the whole url→etag map (the
+        # per-actor-OOM scale hazard at 10^10 detail URLs).
         if cfg.validators or cfg.validators_from:
             pm = _filter_kind(t, "pagemeta")
-            _write_fragment(
-                pm.filter(pc.is_valid(pm["etag"]))
-                  .select(["url", "status", "etag"]),
-                validators_dir)
+            vt = (pm.filter(pc.is_valid(pm["etag"]))
+                    .select(["url", "status", "etag"]))
+            if vt.num_rows:
+                vb = _host_buckets(vt["url"], cfg)
+                vt = vt.take(pa.array(np.argsort(vb, kind="stable")))
+                vbs = np.sort(vb, kind="stable")
+                starts = np.flatnonzero(np.r_[True, vbs[1:] != vbs[:-1]])
+                bounds = np.r_[starts, len(vbs)]
+                for j in range(len(starts)):
+                    off, end = int(bounds[j]), int(bounds[j + 1])
+                    _write_fragment(vt.slice(off, end - off), validators_dir,
+                                    prefix=f"b{int(vbs[off]):04d}-")
         # quarantine: failed fetches persisted per generation — the
         # debug-sink analogue (detail.py:241-247) and the audit trail
         # behind the fetch_fail resume path
@@ -494,10 +511,12 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
             # would otherwise silently lose every 304-carried row)
             with open(marker) as f:
                 cfg = replace(cfg, validators_from=json.load(f)["from"])
+        _check_validator_source(cfg)
         _clean_partial(workdir, gen)
         _append_retry_rows(portal, state, _frontier_dir(workdir, gen), cfg,
                            workdir)
     else:
+        _check_validator_source(cfg)
         for name in ("offers", "photos", "media", "quarantine", "trapped",
                      "validators", "frontier", "checkpoint"):
             shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
@@ -507,6 +526,16 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
                 json.dump({"from": cfg.validators_from}, f)
         elif os.path.exists(marker):
             os.unlink(marker)
+        if cfg.validators or cfg.validators_from:
+            # layout marker + the partition params a future revisit
+            # needs to recompute each URL's validator shard (survives
+            # _clean_partial: that only removes gen-* dirs)
+            vroot = os.path.join(workdir, "validators")
+            os.makedirs(vroot, exist_ok=True)
+            with open(os.path.join(vroot, "meta.json"), "w") as f:
+                json.dump({"host_buckets": cfg.host_buckets,
+                           "skew_salts": [list(p) for p in cfg.skew_salts]},
+                          f)
         gen = 0
         d = _frontier_dir(workdir, 0)
         os.makedirs(d)
@@ -566,6 +595,20 @@ def run_crawl(portal_cfg: PortalConfig, crawl_cfg: CrawlConfig, workdir: str,
         res.pages_failed += st.failed
         res.offers += st.parsed
     return res
+
+
+def _check_validator_source(cfg: CrawlConfig) -> None:
+    """A revisit whose validator source vanished (prior workdir moved or
+    deleted) must fail loudly: an empty validator map would silently
+    degrade the run to a full re-crawl with an EMPTY 304 carry — i.e.
+    silent data loss in the output tables, not just wasted fetches."""
+    if cfg.validators_from and not os.path.isdir(
+            os.path.join(cfg.validators_from, "validators")):
+        raise ValueError(
+            f"validators_from={cfg.validators_from!r} has no validators/ "
+            "directory — the prior run's workdir is gone or was never a "
+            "validators=True run; refusing to silently degrade to a full "
+            "re-crawl with an empty carry")
 
 
 def _carry_not_modified(workdir: str, prior_workdir: str) -> None:

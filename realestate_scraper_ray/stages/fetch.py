@@ -31,9 +31,11 @@ spans with batch-vectorized numeric coercion (numpy / polars kernels):
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import re
 import time
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -533,6 +535,13 @@ def trap_like(url: str, cfg: CrawlConfig) -> bool:
             and head.count("/") - 2 > cfg.max_path_depth)
 
 
+# validator fragment names: part-b{bucket:04d}-{worker token}-… (only
+# trusted when the source dir carries meta.json, the new-layout marker
+# — a legacy uuid token could coincidentally spell b\d{4}-)
+_VFRAG_BUCKET_RE = re.compile(r"^part-b(\d{4,})-")
+_VCACHE_BUCKETS = 64  # resident url→etag bucket maps per actor (LRU)
+
+
 class FetchParse:
     def __init__(self, portal_cfg: PortalConfig, crawl_cfg: CrawlConfig,
                  politeness: PolitenessService | None = None):
@@ -553,28 +562,76 @@ class FetchParse:
             t = _pq.read_table(portal_cfg.documents_path)
             self._docs = dict(zip(t["doc_id"].to_pylist(),
                                   t["spans"].to_pylist()))
-        # conditional-GET revisit (cfg.validators_from): the prior run's
-        # url→etag validator map, loaded once per actor. Test-scale
-        # loads the whole map; the cluster-scale path shards validator
-        # fragments by host bucket (the same key the frontier writer
-        # already sorts detail fragments by) so an actor pulls only the
-        # buckets its batches contain.
-        self._validators: dict[str, str] | None = None
+        # conditional-GET revisit (cfg.validators_from): validator
+        # fragments are written SHARDED by the same host bucket the
+        # frontier writer sorts detail fragments by (crawl.py wave()),
+        # so an actor loads only the buckets its batches actually touch
+        # — never the prior run's whole url→etag map (at 10^10 detail
+        # URLs that map is tens of GB per actor; a fetch batch covers
+        # 1–2 buckets because frontier fragments are bucket-contiguous).
+        # Lookups recompute buckets with the WRITER's partitioning
+        # params (validators/meta.json), so a revisit configured with
+        # different host_buckets/skew_salts still routes correctly.
+        # A source with no meta.json is the legacy unbucketed layout:
+        # its fragments load eagerly (back-compat, small scale only).
+        self._validators_on = False
+        self._vbase: dict[str, str] = {}          # legacy eager-loaded map
+        self._vindex: dict[int, list[str]] = {}   # bucket → paths, gen order
+        self._vcache: "OrderedDict[int, dict[str, str]]" = OrderedDict()
+        self._vcfg = crawl_cfg                    # writer partition params
+        self.validator_files_read: list[str] = [] # observability (tests)
         if crawl_cfg.validators_from:
+            import json as _json
             import os as _os
-
-            import pyarrow.parquet as _pq
-            self._validators = {}
+            self._validators_on = True
             root = _os.path.join(crawl_cfg.validators_from, "validators")
+            meta = _os.path.join(root, "meta.json")
+            bucketed = _os.path.isfile(meta)
+            if bucketed:
+                with open(meta) as f:
+                    m = _json.load(f)
+                self._vcfg = dataclasses.replace(
+                    crawl_cfg, host_buckets=int(m["host_buckets"]),
+                    skew_salts=tuple((s, int(n)) for s, n in m["skew_salts"]))
             if _os.path.isdir(root):
                 for gen in sorted(_os.listdir(root)):
                     d = _os.path.join(root, gen)
+                    if not _os.path.isdir(d):
+                        continue
                     for f in sorted(_os.listdir(d)):
-                        if f.endswith(".parquet"):
-                            vt = _pq.read_table(_os.path.join(d, f))
-                            self._validators.update(
-                                zip(vt["url"].to_pylist(),
-                                    vt["etag"].to_pylist()))
+                        if not f.endswith(".parquet"):
+                            continue
+                        mb = _VFRAG_BUCKET_RE.match(f) if bucketed else None
+                        p = _os.path.join(d, f)
+                        if mb is None:
+                            self._vbase.update(self._read_validator_frag(p))
+                        else:
+                            self._vindex.setdefault(
+                                int(mb.group(1)), []).append(p)
+
+    def _read_validator_frag(self, path: str):
+        import pyarrow.parquet as _pq
+        self.validator_files_read.append(path)
+        vt = _pq.read_table(path, columns=["url", "etag"])
+        return zip(vt["url"].to_pylist(), vt["etag"].to_pylist())
+
+    def _validator_map(self, bucket: int) -> dict[str, str]:
+        """url→etag map of ONE host bucket, LRU-cached per actor."""
+        m = self._vcache.get(bucket)
+        if m is not None:
+            self._vcache.move_to_end(bucket)
+            return m
+        m = {}
+        for p in self._vindex.get(bucket, ()):  # gen order: later wins
+            m.update(self._read_validator_frag(p))
+        self._vcache[bucket] = m
+        if len(self._vcache) > _VCACHE_BUCKETS:
+            self._vcache.popitem(last=False)
+        return m
+
+    def _validator_lookup(self, url: str, bucket: int) -> str | None:
+        known = self._validator_map(bucket).get(url)
+        return known if known is not None else self._vbase.get(url)
 
     # -- fetch (synthetic render + deterministic failure injection) ---------
 
@@ -612,6 +669,13 @@ class FetchParse:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.select(["url", "kind", "source", "region", "page_idx", "pos"]).to_pylist()
+
+        # revisit: one vectorized bucket pass per batch routes each
+        # detail URL to its validator shard (writer's partition params)
+        vbuckets: np.ndarray | None = None
+        if self._validators_on:
+            from ..pipelines.crawl import _host_buckets
+            vbuckets = _host_buckets(batch["url"], self._vcfg)
 
         # interleaved per-host pacing: book every host's slots in one
         # RPC round, derive each request's due time (host's first slot
@@ -663,11 +727,11 @@ class FetchParse:
                 if wait > 0:
                     time.sleep(wait)
             is_detail = not (kind == "pagination" or kind.startswith("investment"))
-            if is_detail and self._validators is not None:
+            if is_detail and vbuckets is not None:
                 # conditional GET: the request was paced like any other
                 # (a 304 still hits the server), but a matching
                 # validator skips body transfer AND the parse chain
-                known = self._validators.get(url)
+                known = self._validator_lookup(url, int(vbuckets[i]))
                 if known is not None and known == self.portal.etag(url):
                     emit("pagemeta", url=url, source=r["source"],
                          region=r["region"], page_idx=r["page_idx"],
