@@ -255,6 +255,26 @@ class CrawlConfig:
     # surfaced via FetchParse.proxies for a real-HTTP backend.
     proxy_http: str | None = None
     proxy_https: str | None = None
+    # Real-HTTP transport (S1/S2, stages/http.py): when True the fetch
+    # stage issues actual GETs through one HttpSession per actor —
+    # UA + Accept-Language headers, redirect follow, exponential-jitter
+    # retry, Retry-After honoring on 429/503 feeding the politeness
+    # AIMD state, conditional GET via If-None-Match (reference
+    # core/http.py:34-78 semantics). Responses parse through the same
+    # html_to_spans extractor chain as html mode, so oracle equality is
+    # transport-independent.
+    http_fetch: bool = False
+    # gateway prefix: when set, a request for URL u goes to
+    # ``{http_rewrite_base}/{quote(u, safe='')}`` — lets tests and
+    # gateway deployments route portal URLs through a local endpoint
+    # without DNS for the portal hosts
+    http_rewrite_base: str | None = None
+    http_timeout_s: float = 20.0
+    http_user_agent: str = ("Mozilla/5.0 (X11; Linux x86_64) "
+                            "AppleWebKit/537.36")
+    # retry backoff envelope (http.py:51-62): exponential with jitter
+    http_backoff_initial: float = 1.0
+    http_backoff_max: float = 20.0
     # when True the wave downloads each photo's payload (synthetic
     # bytes), sniffs/hashes it and emits a media table row per photo —
     # the reference's image pipeline (core/images.py:48-91) wired into

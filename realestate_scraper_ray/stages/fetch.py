@@ -540,6 +540,7 @@ def trap_like(url: str, cfg: CrawlConfig) -> bool:
 # — a legacy uuid token could coincidentally spell b\d{4}-)
 _VFRAG_BUCKET_RE = re.compile(r"^part-b(\d{4,})-")
 _VCACHE_BUCKETS = 64  # resident url→etag bucket maps per actor (LRU)
+_NOT_MODIFIED = object()  # 304 sentinel from the real-HTTP fetch path
 
 
 class FetchParse:
@@ -552,6 +553,25 @@ class FetchParse:
         # session would be constructed with, one session per actor (ST3)
         self.proxies = build_proxies(crawl_cfg.proxy_http, crawl_cfg.proxy_https)
         self._robots: dict[str, list[str]] = {}  # host → Disallow prefixes
+        # real-HTTP transport (cfg.http_fetch): one session per actor
+        # (ST3) with the reference's retry + Retry-After envelope; an
+        # explicit server throttle (429/503 + Retry-After) is reported
+        # to the politeness shards so AIMD widens that host's interval
+        # for every task, not just the one that got throttled
+        self._http = None
+        if crawl_cfg.http_fetch:
+            from .http import HttpSession
+            on_throttle = None
+            if politeness is not None:
+                on_throttle = (
+                    lambda host, delay: politeness.report({host: (1, 0)}))
+            self._http = HttpSession(
+                crawl_cfg.http_user_agent,
+                timeout_s=crawl_cfg.http_timeout_s, proxies=self.proxies,
+                attempts=crawl_cfg.fetch_attempts,
+                backoff_initial=crawl_cfg.http_backoff_initial,
+                backoff_max=crawl_cfg.http_backoff_max,
+                on_throttle=on_throttle)
         # table-backed fetch (documents_path): load the interleaved-doc
         # table once per worker — the test-scale stand-in for a Lance
         # take by doc_id (SURVEY.md §7.1); at cluster scale this is a
@@ -657,12 +677,50 @@ class FetchParse:
                 return self.portal.render(url)
         return None
 
+    def _http_target(self, url: str) -> str:
+        """Gateway rewrite (cfg.http_rewrite_base): route portal URLs
+        through a local endpoint — no DNS for the portal hosts."""
+        if self.cfg.http_rewrite_base:
+            import urllib.parse as _up
+            return (self.cfg.http_rewrite_base.rstrip("/") + "/"
+                    + _up.quote(url, safe=""))
+        return url
+
+    def _http_fetch(self, url: str, etag: str | None):
+        """Real GET through the per-actor session: returns
+        ``(spans, live_etag)``, ``(_NOT_MODIFIED, etag)`` on a 304, or
+        ``(None, None)`` after the retry budget is exhausted (maps to a
+        fetch_fail row, exactly like the synthetic failure path). The
+        body parses through the same html_to_spans chain as html mode,
+        keyed by the ORIGINAL url (portal dialect dispatch is by host)."""
+        try:
+            resp = self._http.get(self._http_target(url), etag=etag)
+        except Exception:
+            return None, None
+        if resp.status == 304:
+            return _NOT_MODIFIED, etag
+        return html_to_spans(resp.text(), url), resp.etag
+
     def _disallowed(self, url: str) -> bool:
         if not self.cfg.robots:
             return False
         host = host_of(url)
         if host not in self._robots:
-            self._robots[host] = parse_robots(self.portal.robots_txt(host))
+            if self._http is not None:
+                # real robots.txt over the wire, cached per actor; an
+                # unreachable robots file allows all (reference has no
+                # robots handling at all — this guard is an addition)
+                import urllib.parse as _up
+                scheme = _up.urlsplit(url).scheme or "https"
+                try:
+                    txt = self._http.get(
+                        self._http_target(f"{scheme}://{host}/robots.txt")
+                    ).text()
+                except Exception:
+                    txt = ""
+            else:
+                txt = self.portal.robots_txt(host)
+            self._robots[host] = parse_robots(txt)
         return not path_allowed(url, self._robots[host])
 
     # -- the batch transform -------------------------------------------------
@@ -727,12 +785,16 @@ class FetchParse:
                 if wait > 0:
                     time.sleep(wait)
             is_detail = not (kind == "pagination" or kind.startswith("investment"))
+            known = None
             if is_detail and vbuckets is not None:
                 # conditional GET: the request was paced like any other
                 # (a 304 still hits the server), but a matching
-                # validator skips body transfer AND the parse chain
+                # validator skips body transfer AND the parse chain.
+                # Synthetic transport compares the validator locally;
+                # real HTTP sends If-None-Match and trusts the 304.
                 known = self._validator_lookup(url, int(vbuckets[i]))
-                if known is not None and known == self.portal.etag(url):
+                if (self._http is None and known is not None
+                        and known == self.portal.etag(url)):
                     emit("pagemeta", url=url, source=r["source"],
                          region=r["region"], page_idx=r["page_idx"],
                          pos=r["pos"], status="not_modified", n_links=0,
@@ -741,7 +803,20 @@ class FetchParse:
                         o = outcome.setdefault(hosts[i], [0, 0])
                         o[1] += 1
                     continue
-            spans = self._fetch(url)
+            live_etag = None
+            if self._http is not None:
+                spans, live_etag = self._http_fetch(url, known)
+                if spans is _NOT_MODIFIED:
+                    emit("pagemeta", url=url, source=r["source"],
+                         region=r["region"], page_idx=r["page_idx"],
+                         pos=r["pos"], status="not_modified", n_links=0,
+                         fetch_kind="detail", etag=known)
+                    if backoff_on:
+                        o = outcome.setdefault(hosts[i], [0, 0])
+                        o[1] += 1
+                    continue
+            else:
+                spans = self._fetch(url)
             if backoff_on:
                 o = outcome.setdefault(hosts[i], [0, 0])
                 o[0 if spans is None else 1] += 1
@@ -758,8 +833,9 @@ class FetchParse:
                 emit("pagemeta", url=url, source=r["source"], region=r["region"],
                      page_idx=r["page_idx"], pos=r["pos"], status="ok",
                      n_links=0, fetch_kind="detail",
-                     etag=(self.portal.etag(url) if self.cfg.validators
-                           else None))
+                     etag=((live_etag if self._http is not None
+                            else self.portal.etag(url))
+                           if self.cfg.validators else None))
 
         if backoff_on and outcome:
             self.politeness.report(
