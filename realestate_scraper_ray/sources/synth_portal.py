@@ -378,6 +378,17 @@ class Portal:
             # (backend.py:128)
             "long_desc": (380 <= b < 380 + c.prose_per_mille
                           and self._bucket("longdesc", oid) < 300),
+            # price published ONLY in the HTML banner header node
+            # (otodom's adPageHeader, otodom.py:111-118): the structured
+            # surfaces (LD+JSON, NEXT_DATA params) omit price_amount, so
+            # html mode must recover it via banner-price extraction
+            "banner_price": source == "otodom" and 600 <= b < 625,
+            # multi-unit investment/development ad page (otodom.py:86-87):
+            # pageProps carries paginatedUnits/developmentData and the
+            # banner shows a decoy "od ..." starting price that must NOT
+            # become price_amount (otodom.py:111-119); ground truth is
+            # ppm2-only (price derived like the ppm2_only band)
+            "multiunit": source == "otodom" and 625 <= b < 640,
             # posted_at in Polish 'dd.mm.yyyy HH:MM' format half the time
             "polish_date": b % 2 == 0,
         }
@@ -505,9 +516,11 @@ class Portal:
         text("title", f"Mieszkanie {f['city']} {f['rooms']} pok. {f['true_area']} m2")
         if f["inquiry"]:
             text("inquiry", 1)  # 'Zapytaj o cenę' → no price spans
-        elif f["ppm2_only"]:
+        elif f["ppm2_only"] or f["multiunit"]:
             # only the per-m² figure is published — the parser derives
-            # the total price (otodom.py:157-165)
+            # the total price (otodom.py:157-165); multi-unit pages
+            # additionally serve a decoy banner price in HTML mode that
+            # the extractor must suppress (otodom.py:111-119)
             text("price_per_m2", f"{f['ppm2']} zł/m2")
         elif f["zero_price"]:
             text("price_amount", "0 zł")
@@ -865,18 +878,45 @@ class Portal:
         ld_tag = _h64(self.cfg.seed, "ldtag", ref.oid) % 4  # 0/1 literal
         if ref.source == "otodom":
             import json as _json
-            ld_keys = [k for k in self._LD_CAPABLE if k in fields]
+            f = self.offer_facts(ref.source, ref.region, ref.k)
+            # banner bucket: price_amount leaves the structured surfaces
+            # and is served only in the page-header price node, so the
+            # extractor's banner path (otodom.py:111-118) must recover it
+            banner_only = f["banner_price"] and "price_amount" in fields
+            ld_keys = [k for k in self._LD_CAPABLE if k in fields
+                       and not (banner_only and k == "price_amount")]
             els.append(self._ld_block(fields, ld_keys, None, ld_tag))
-            ad = _json.dumps({"id": ref.oid,
-                              "params": [[k, v] for k, v in fields.items()],
+            params = [[k, v] for k, v in fields.items()
+                      if not (banner_only and k == "price_amount")]
+            ad = _json.dumps({"id": ref.oid, "params": params,
                               "images": images}, separators=(",", ":"))
+            # multi-unit marker: a truthy paginatedUnits/developmentData
+            # sibling of `ad` inside pageProps (otodom.py:86-87)
+            mu = ""
+            if f["multiunit"]:
+                mu = (',"paginatedUnits":[{"id":1},{"id":2}]'
+                      if h % 2 == 0 else
+                      ',"developmentData":{"name":"Osiedle Parkowe"}')
             # identical page bytes as serializing the whole payload at
             # once: the seo pad is page-independent, so its serialized
             # form is built once per portal and spliced in
             payload = ('{"props":{"pageProps":{"ad":' + ad[:-1]
-                       + ',"seo":' + self._seo_pad_json() + '}}}}')
+                       + ',"seo":' + self._seo_pad_json() + '}' + mu + '}}}')
             els.append('<script id="__NEXT_DATA__" type="application/json">'
                        + payload + "</script>")
+            if banner_only or f["multiunit"]:
+                if banner_only:
+                    grp = f"{int(f['price']):,}".replace(",", " ")
+                    ptxt = f"{grp} zł"
+                else:  # decoy "starting from" price on the multi-unit page
+                    ptxt = "od 999 000 zł"
+                v = _h64(self.cfg.seed, "bannersel", ref.oid) % 4
+                els.append((
+                    f'<div data-cy="adPageHeader-price">{ptxt}</div>',
+                    f'<div data-testid="ad-price">{ptxt}</div>',
+                    f'<span class="css-price-box">{ptxt}</span>',
+                    f"<div data-cy='adPageHeader-price' class='hdr'>{ptxt}</div>",
+                )[v])
             return self._html_doc(els)
         if ref.source == "trojmiasto":
             import json as _json

@@ -41,7 +41,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import REQ_FIELDS, CrawlConfig, PortalConfig
-from ..functions.urls import coerce_float, host_of
+from ..functions.urls import (PRICE_PERM2_RE, PRICE_TOTAL_RE, coerce_float,
+                              host_of)
 from ..sources.synth_portal import Portal
 from ..state.politeness import PolitenessService, parse_robots, path_allowed
 
@@ -168,6 +169,58 @@ def _next_data_images(block: str) -> list:
     if isinstance(val, list):
         return val
     return _next_data_ad(block).get("images", [])
+
+
+def _next_data_multi_units(block: str) -> bool:
+    """Multi-unit (investment/development) page detection, the reference's
+    ``bool(pp.get("paginatedUnits")) or bool(pp.get("developmentData"))``
+    (otodom.py:86-87). Partial parse at key position; ambiguous probe →
+    full ``json.loads`` of pageProps."""
+    import json as _json
+    for key in ('"paginatedUnits":', '"developmentData":'):
+        if key.strip('":') not in block:
+            continue
+        val = _raw_decode_at(block, key)
+        if val:
+            return True
+        if val is None:
+            try:
+                pp = (_json.loads(block).get("props", {})
+                      .get("pageProps", {}))
+            except ValueError:
+                return False
+            return bool(pp.get("paginatedUnits")) or bool(
+                pp.get("developmentData"))
+    return False
+
+
+# Banner price-node selectors, the reference's otodom header chain
+# (otodom.py:112-116: [data-cy='adPageHeader-price'] >
+# [data-testid='ad-price'] > .price/.price-box/[class*='price']),
+# attribute-order- and quote-insensitive, first match wins per selector
+_BANNER_RES = (
+    re.compile(r"<[a-z]+[^>]*data-cy=[\"']?adPageHeader-price[\"']?"
+               r"[^>]*>([^<]*)<"),
+    re.compile(r"<[a-z]+[^>]*data-testid=[\"']?ad-price[\"']?[^>]*>([^<]*)<"),
+    re.compile(r"<[a-z]+[^>]*class=[\"'][^\"']*price[^\"']*[\"'][^>]*>"
+               r"([^<]*)<"),
+)
+
+
+def _banner_price_text(html: str) -> str | None:
+    """Inner text of the first page-header price node, selector-priority
+    order (otodom.py:112-116)."""
+    for i, rex in enumerate(_BANNER_RES):
+        # memchr gates for the two attribute selectors; the class
+        # selector has no cheap gate (reference scans [class*='price'])
+        if i == 0 and "adPageHeader-price" not in html:
+            continue
+        if i == 1 and "ad-price" not in html:
+            continue
+        m = rex.search(html)
+        if m and m.group(1).strip():
+            return m.group(1)
+    return None
 
 
 def _iter_script_blocks(html: str, open_tag: str):
@@ -424,6 +477,27 @@ def html_to_spans(html: str, url: str | None = None) -> list[dict]:
             for k, v in _next_data_params(block):
                 fields.setdefault(k, str(v))
             next_images = [str(u) for u in _next_data_images(block)]
+    if source == "otodom":
+        # header banner price (otodom.py:111-119): NEVER set price_amount
+        # from the banner on multi-unit (paginatedUnits/developmentData)
+        # pages — the banner there is a development's "starting from"
+        # price, not this offer's; the per-m² figure may still be taken.
+        # Structured surfaces (LD / NEXT params) win first (setdefault).
+        multi_units = (_next_data_multi_units(block)
+                       if block is not None else False)
+        btxt = _banner_price_text(html)
+        if btxt:
+            mt = PRICE_TOTAL_RE.search(btxt)
+            if mt and not multi_units and "price_amount" not in fields:
+                v = coerce_float(mt.group(1))
+                if v is not None:
+                    fields["price_amount"] = str(v)
+            else:
+                mp = PRICE_PERM2_RE.search(btxt)
+                if mp and "price_per_m2" not in fields:
+                    v = coerce_float(mp.group(1))
+                    if v is not None:
+                        fields["price_per_m2"] = str(v)
     if "propertyNumber" in html:
         pn = property_number(html)
         if pn:

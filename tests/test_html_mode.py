@@ -51,6 +51,79 @@ def test_html_roundtrip_all_sources_and_kinds():
     assert _norm(span_p.render(inv)) == _norm(html_to_spans(html_p.render_html(inv), inv))
 
 
+def _facts_scan(portal, flag, n=1200):
+    for k in range(n):
+        f = portal.offer_facts("otodom", "pomorskie", k)
+        if f[flag]:
+            yield k, f
+
+
+def test_banner_price_recovered_on_regular_pages():
+    """otodom banner-price path (otodom.py:111-118): price_amount absent
+    from LD+JSON and NEXT params, served only in the header price node —
+    the extractor must recover it (and the parsed offer must equal span
+    mode)."""
+    span_p, html_p = Portal(SPAN_CFG), Portal(HTML_CFG)
+    from realestate_scraper_ray.pipelines.oracle import parse_offer_spans
+    seen = 0
+    for k, f in _facts_scan(span_p, "banner_price"):
+        u = span_p.offer_url("otodom", "pomorskie", k)
+        html = html_p.render_html(u)
+        # price really absent from the structured surfaces
+        assert f'"price_amount","{f["price"]:.0f} zł"' not in html
+        got = parse_offer_spans(html_to_spans(html, u))
+        assert got == parse_offer_spans(span_p.render(u))
+        assert got[0]["price_amount"] == f["price"]
+        seen += 1
+    assert seen > 3
+
+
+def test_multiunit_banner_price_suppressed():
+    """M9 multi-unit guard (otodom.py:86-87,111-119): pages with
+    paginatedUnits/developmentData in pageProps must never take
+    price_amount from the banner's decoy 'od ... zł' figure; the offer
+    falls back to the derived (ppm2-based) price like ppm2_only."""
+    span_p, html_p = Portal(SPAN_CFG), Portal(HTML_CFG)
+    from realestate_scraper_ray.pipelines.oracle import parse_offer_spans
+    seen = 0
+    for k, f in _facts_scan(span_p, "multiunit"):
+        u = span_p.offer_url("otodom", "pomorskie", k)
+        html = html_p.render_html(u)
+        assert "paginatedUnits" in html or "developmentData" in html
+        assert "od 999 000 zł" in html  # the decoy banner is present
+        spans = html_to_spans(html, u)
+        fields = dict(s["text"].split("=", 1)
+                      for s in spans if s["kind"] == "text")
+        assert "price_amount" not in fields  # banner suppressed
+        got = parse_offer_spans(spans)
+        assert got == parse_offer_spans(span_p.render(u))
+        assert got[0]["price_amount"] != 999000.0
+        seen += 1
+    assert seen > 3
+
+
+def test_banner_without_multiunit_marker_is_taken():
+    """Control for the guard: the same decoy banner WITHOUT the
+    multi-unit marker would set price_amount — proving the suppression
+    comes from the pageProps markers, not from ignoring banners."""
+    html = ('<html><body>'
+            '<script id="__NEXT_DATA__" type="application/json">'
+            '{"props":{"pageProps":{"ad":{"id":"x","params":[],"images":[]}}}}'
+            '</script>'
+            '<div data-cy="adPageHeader-price">od 999 000 zł</div>'
+            '</body></html>')
+    u = "https://www.otodom.pl/pl/oferta/mieszkanie-x-ID1"
+    fields = dict(s["text"].split("=", 1)
+                  for s in html_to_spans(html, u) if s["kind"] == "text")
+    assert fields.get("price_amount") == "999000.0"
+    # and with the marker, the identical page suppresses it
+    html_mu = html.replace(
+        ',"images":[]}', ',"images":[]},"paginatedUnits":[{"id":1}]')
+    fields = dict(s["text"].split("=", 1)
+                  for s in html_to_spans(html_mu, u) if s["kind"] == "text")
+    assert "price_amount" not in fields
+
+
 def test_next_data_path_used_for_otodom():
     html_p = Portal(HTML_CFG)
     u = html_p.offer_url("otodom", "pomorskie", 1)
