@@ -427,22 +427,55 @@ SELECT user_id,
 FROM o GROUP BY user_id
 """
 
+# The per-user window family (sessionize / top-k / lag / running total /
+# moving avg / as-of / range join) shares ONE exchange shape: shuffle on
+# a coarse hash bucket of user_id, then a single vectorized polars (or
+# pandas merge_asof) pass per bucket. A per-key groupby.map_groups pays
+# pandas/Python dispatch once per USER (~10²-row groups → the dispatch
+# dominates, the tiny-group pathology measured on tfidf); per-BUCKET
+# dispatch amortizes it over ~|users|/nb keys while the shuffle moves
+# the identical byte volume. Keys are never split across buckets.
+_WINDOW_BUCKETS = 64
+
+
+def _bucketed_groups(ds: rd.Dataset, key: str, fn,
+                     nb: int = _WINDOW_BUCKETS) -> rd.Dataset:
+    """One coarse-bucket shuffle + one vectorized ``fn`` call per bucket.
+    ``fn`` receives a pyarrow Table holding ALL rows of the bucket's
+    keys and must be key-vectorized internally (``group_by``/``over``
+    exprs, ``merge_asof``), never a Python loop over keys."""
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((k * mult) >> np.uint64(40)) % np.uint64(nb)
+        return t.append_column("_bkt", pa.array(b.astype(np.int64)))
+
+    def run(t: pa.Table) -> pa.Table:
+        return fn(t.drop_columns(["_bkt"]))
+
+    return (ds.map_batches(add_bkt, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(run, batch_format="pyarrow"))
+
 
 @query("events_sessionize", _SESSION_SQL)
 def events_sessionize(sf_dir: str) -> rd.Dataset:
-    """Session windows (30-min gap): groupby(user).map_groups over the
-    ts-sorted group — the documented Ray Data pattern for stateful
-    stream semantics on bounded input. Ordering assumption: events of
-    one user fit one group and are sorted by (ts, event_id)."""
+    """Session windows (30-min gap): bucketed exchange + one polars
+    diff-over-user pass per bucket (integer-µs gap compare, exactly the
+    float-seconds > 1800 boundary of the oracle)."""
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        n = int((gaps.isna() | (gaps > 1800)).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+    def sessions(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .with_columns(pl.col("ts").cast(pl.Int64))
+              .sort(["user_id", "ts", "event_id"]))
+        g = (df.with_columns(pl.col("ts").diff().over("user_id").alias("g"))
+             .group_by("user_id")
+             .agg((pl.col("g").is_null() | (pl.col("g") > 1_800_000_000))
+                  .sum().cast(pl.Int64).alias("n_sessions")))
+        return g.to_arrow()
 
-    return _as_arrow(ds.groupby("user_id").map_groups(sessions, batch_format="pandas"))
+    return _as_arrow(_bucketed_groups(ds, "user_id", sessions))
 
 
 _SEMI_SQL = """
@@ -536,18 +569,21 @@ FROM r WHERE rnk <= 3
 
 @query("events_topk_per_user", _TOPK_SQL)
 def events_topk_per_user(sf_dir: str) -> rd.Dataset:
-    """Grouped top-k (rank window): per-group vectorized argsort inside
-    map_groups — k rows leave each group, so the post-shuffle volume is
-    k·|groups|, not the input size."""
+    """Grouped top-k (rank window): bucketed exchange, then one polars
+    sort + rank-over-user + filter pass per bucket — k rows per key
+    leave the pass, so downstream volume is k·|groups|."""
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "value"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"],
-                          ascending=[False, True]).head(3)
-        g = g.assign(rnk=np.arange(1, len(g) + 1))
-        return g[["user_id", "event_id", "value", "rnk"]]
+    def topk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["value", "event_id"],
+                                   descending=[True, False])
+        out = (df.with_columns(
+                   (pl.int_range(pl.len()) + 1).over("user_id").alias("rnk"))
+               .filter(pl.col("rnk") <= 3)
+               .select(["user_id", "event_id", "value", "rnk"]))
+        return out.to_arrow()
 
-    return _as_arrow(ds.groupby("user_id").map_groups(topk, batch_format="pandas"))
+    return _as_arrow(_bucketed_groups(ds, "user_id", topk))
 
 
 _LAG_SQL = """
@@ -559,17 +595,19 @@ FROM events
 
 @query("events_lag", _LAG_SQL)
 def events_lag(sf_dir: str) -> rd.Dataset:
-    """LAG window (the as-of-previous-row shape): shift over the
-    (ts, event_id)-sorted group."""
+    """LAG window (the as-of-previous-row shape): bucketed exchange +
+    one polars shift-over-user pass per bucket."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        return pd.DataFrame({"event_id": g["event_id"],
-                             "user_id": g["user_id"],
-                             "prev_value": g["value"].shift(1)})
+    def lag(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        out = (df.with_columns(
+                   pl.col("value").shift(1).over("user_id")
+                   .alias("prev_value"))
+               .select(["event_id", "user_id", "prev_value"]))
+        return out.to_arrow()
 
-    return _as_arrow(ds.groupby("user_id").map_groups(lag, batch_format="pandas"))
+    return _as_arrow(_bucketed_groups(ds, "user_id", lag))
 
 
 _RUNNING_SQL = """
@@ -582,18 +620,29 @@ FROM events
 
 @query("events_running_total", _RUNNING_SQL)
 def events_running_total(sf_dir: str) -> rd.Dataset:
-    """Per-key running aggregate: map_groups cumulative sum over the
-    sorted group (integer-scaled for determinism)."""
+    """Per-key running aggregate: bucketed exchange + one polars
+    cum_sum-over-user pass per bucket. Cents come from numpy round
+    (half-even, matching the previous engine output bit-for-bit);
+    the cumulative sum is integer, so combine order can't drift."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
-        return pd.DataFrame({"event_id": g["event_id"],
-                             "user_id": g["user_id"],
-                             "running_value": np.cumsum(cents) / 100.0})
+    def running(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        df = (pl.from_arrow(t.drop_columns(["value"])
+                            .append_column("c", pa.array(cents)))
+              .sort(["user_id", "ts", "event_id"]))
+        out = (df.with_columns(
+                   pl.col("c").cum_sum().over("user_id").alias("rc"))
+               .select(["event_id", "user_id", "rc"]).to_arrow())
+        # true IEEE division in numpy — polars rewrites x/const into a
+        # multiply by the reciprocal, which drifts the low-order bits
+        # off the SQL oracle's SUM(...)/100.0
+        rv = out["rc"].to_numpy() / 100.0
+        return (out.drop_columns(["rc"])
+                .append_column("running_value", pa.array(rv)))
 
-    return _as_arrow(ds.groupby("user_id").map_groups(running, batch_format="pandas"))
+    return _as_arrow(_bucketed_groups(ds, "user_id", running))
 
 
 _MOVING_AVG_SQL = """
@@ -611,23 +660,31 @@ WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
 @query("events_moving_avg", _MOVING_AVG_SQL)
 def events_moving_avg(sf_dir: str) -> rd.Dataset:
     """ROWS-frame window (moving average over the trailing 3 rows per
-    key): integer-cent cumulative sums make the windowed sum EXACT
-    (int64 cumsum differences lose nothing), so the double division
-    matches SQL bit-for-bit regardless of combine order."""
+    key): bucketed exchange + one polars pass per bucket. Integer-cent
+    cumulative sums make the windowed sum EXACT (int64 cumsum
+    differences lose nothing), so the double division matches SQL
+    bit-for-bit regardless of combine order."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def mavg(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
-        cum = np.cumsum(cents)
-        win = cum - np.concatenate([[0, 0, 0], cum[:-3]])[:len(cum)]
-        n = np.minimum(np.arange(1, len(cum) + 1), 3)
-        return pd.DataFrame({"event_id": g["event_id"],
-                             "user_id": g["user_id"],
-                             "avg3": (win / 100.0) / n})
+    def mavg(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        df = (pl.from_arrow(t.drop_columns(["value"])
+                            .append_column("c", pa.array(cents)))
+              .sort(["user_id", "ts", "event_id"]))
+        win = (pl.col("c").cum_sum()
+               - pl.col("c").cum_sum().shift(3).fill_null(0)).over("user_id")
+        n = pl.min_horizontal(
+            (pl.int_range(pl.len()) + 1).over("user_id"), pl.lit(3))
+        out = (df.with_columns(win.alias("w"), n.alias("n"))
+               .select(["event_id", "user_id", "w", "n"]).to_arrow())
+        # true IEEE divisions in numpy (polars' reciprocal-multiply
+        # rewrite of x/const drifts low-order bits off the oracle)
+        avg3 = (out["w"].to_numpy() / 100.0) / out["n"].to_numpy()
+        return (out.drop_columns(["w", "n"])
+                .append_column("avg3", pa.array(avg3)))
 
-    return _as_arrow(
-        ds.groupby("user_id").map_groups(mavg, batch_format="pandas"))
+    return _as_arrow(_bucketed_groups(ds, "user_id", mavg))
 
 
 _ASOF_SQL = """
@@ -647,29 +704,29 @@ def events_asof_purchase(sf_dir: str) -> rd.Dataset:
     hash-partition on the equality key (``groupby(user_id)``), then a
     vectorized ``searchsorted`` against the sorted right side inside
     ``map_groups`` — one shuffle, O(n log m) per group, no driver state.
-    Partitioning assumption: one user's events fit in a group (salt the
-    time axis into coarse buckets carrying the last right-row forward if
-    a key ever outgrows a block). Deterministic: (user_id, ts) is unique
-    in the events table, so the as-of row needs no tie-break."""
+    Composition: bucketed exchange on user_id, then ONE ``merge_asof``
+    (by=user_id, backward, strict — allow_exact_matches=False gives
+    p.ts < e.ts) per bucket: a single galloping pass over the
+    ts-sorted bucket instead of a pandas call per user. Partitioning
+    assumption: one user's events fit in a bucket (salt the time axis
+    into coarse buckets carrying the last right-row forward if a key
+    ever outgrows a block). Deterministic: (user_id, ts) is unique in
+    the events table, so the as-of row needs no tie-break."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value",
                                 "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        p = g[g["event_type"] == "purchase"]
-        pts = p["ts"].to_numpy()
-        pval = p["value"].to_numpy()
-        if len(pts) == 0:  # no purchases for this user → all-NULL, like
-            prev = np.full(len(g), np.nan)  # the ASOF LEFT JOIN oracle
-        else:
-            # rightmost purchase with p.ts < e.ts (strict: side="left")
-            idx = np.searchsorted(pts, g["ts"].to_numpy(), side="left") - 1
-            prev = np.where(idx >= 0, pval[np.maximum(idx, 0)], np.nan)
-        return pd.DataFrame({"event_id": g["event_id"],
-                             "user_id": g["user_id"],
-                             "prev_purchase_value": prev})
+    def asof(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(["ts", "event_id"])
+        p = (g.loc[g["event_type"] == "purchase", ["user_id", "ts", "value"]]
+             .rename(columns={"value": "prev_purchase_value"}))
+        m = pd.merge_asof(g[["event_id", "user_id", "ts"]], p,
+                          on="ts", by="user_id", direction="backward",
+                          allow_exact_matches=False)
+        return pa.Table.from_pandas(
+            m[["event_id", "user_id", "prev_purchase_value"]],
+            preserve_index=False)
 
-    return _as_arrow(ds.groupby("user_id").map_groups(asof, batch_format="pandas"))
+    return _as_arrow(_bucketed_groups(ds, "user_id", asof))
 
 
 _RANGE_JOIN_SQL = """
@@ -685,23 +742,37 @@ GROUP BY e1.event_id
 @query("events_range_join", _RANGE_JOIN_SQL)
 def events_range_join(sf_dir: str) -> rd.Dataset:
     """Band (range) self-join: for each event, how many events by the
-    same user fall in the (ts, ts+5min] window. Same decomposition as
-    the as-of join — equality key shuffles, the range predicate resolves
-    as two vectorized ``searchsorted`` bounds per group instead of an
-    O(n·m) nested loop. Count output is order-insensitive, so timestamp
-    ties need no tie-break."""
+    same user fall in the (ts, ts+5min] window.
+
+    Bucketed exchange + one vectorized rank-difference pass per bucket:
+    the count in (ts, ts+5min] per user is rank(ts+5min) − rank(ts)
+    within the user — the upper rank resolves with a single
+    ``merge_asof`` (by=user_id, backward) of the shifted timestamps
+    against the within-user cumcount, the lower rank is each row's own
+    cumcount ((user_id, ts) is unique)."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
     win = np.timedelta64(5 * 60 * 1_000_000, "us")
 
-    def band_count(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        lo = np.searchsorted(ts, ts, side="right")
-        hi = np.searchsorted(ts, ts + win, side="right")
-        return pd.DataFrame({"event_id": g["event_id"],
-                             "n_within_5min": (hi - lo).astype(np.int64)})
+    def band_count(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(["user_id", "ts"])
+        rk = g.groupby("user_id", sort=False).cumcount().to_numpy()
+        right = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "ts": g["ts"].to_numpy(),
+            "rk_hi": rk + 1}).sort_values("ts")
+        left = pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "lo": rk + 1,
+            "ts_hi": g["ts"].to_numpy() + win}).sort_values("ts_hi")
+        m = pd.merge_asof(left, right, left_on="ts_hi", right_on="ts",
+                          by="user_id", direction="backward")
+        # rk_hi never null: each row's own ts satisfies ts <= ts+win
+        n = (m["rk_hi"] - m["lo"]).astype(np.int64)
+        return pa.table({"event_id": pa.array(m["event_id"].to_numpy()),
+                         "n_within_5min": pa.array(n.to_numpy())})
 
-    return _as_arrow(ds.groupby("user_id").map_groups(band_count, batch_format="pandas"))
+    return _as_arrow(_bucketed_groups(ds, "user_id", band_count))
 
 
 @query("events_json_extract",
