@@ -263,7 +263,7 @@ def pagerank(edges: rd.Dataset, *, n_iter: int = 10,
     ranks stay within [base, mass]."""
     from ray.data.aggregate import Count
 
-    from .joins import lookup_join
+    from .joins import BROADCAST_THRESHOLD_BYTES, lookup_join
 
     deg = edges.groupby("src").aggregate(Count(alias_name="od"))
     # bidirectional edge builds guarantee src-set == node-set
@@ -271,12 +271,28 @@ def pagerank(edges: rd.Dataset, *, n_iter: int = 10,
     n = nodes.count()
     r0 = mass // n
     base = ((100 - damping_pct) * mass) // (100 * n)
+    edges_d = lookup_join(edges, nodes, "src", "src", ["od"]).materialize()
 
+    if (nodes.size_bytes() or 0) * 3 <= BROADCAST_THRESHOLD_BYTES:
+        # Broadcast fast path (rank table provably under the cap): the
+        # od-joined edges are bucketed ONCE by hash(dst) % B, so every
+        # superstep is B independent Ray tasks — each computes FINAL
+        # sums for its dsts (all in-edges of a dst share its bucket)
+        # against the full broadcast rank table — plus one gather task.
+        # No per-round groupby exchange: the old loop paid a sort
+        # shuffle + execution startup per superstep (~1.8 s fixed at
+        # sf0.1 regardless of data), which dominated the 10 rounds.
+        return _pagerank_broadcast(edges_d, nodes, n_iter=n_iter,
+                                   damping_pct=damping_pct, base=base,
+                                   r0=r0)
+
+    # Above-cap path (node table outgrows the broadcast cap): the
+    # per-round shuffle loop — rank lookups ride the adaptive join,
+    # contributions pre-aggregate per batch inside the groupby-sum.
     ranks = nodes.map_batches(
         lambda t: pa.table({"node": t["src"],
                             "rank": np.full(len(t), r0, dtype=np.int64)}),
         batch_format="pyarrow").materialize()
-    edges_d = lookup_join(edges, nodes, "src", "src", ["od"]).materialize()
     # every node contributes a zero row each round: a node nothing
     # points at would otherwise drop out of `ranks` after round 1 and
     # its OUTGOING edges would silently stop contributing
@@ -304,3 +320,93 @@ def pagerank(edges: rd.Dataset, *, n_iter: int = 10,
                  .map_batches(fold, batch_format="pyarrow")
                  .materialize())
     return ranks
+
+
+def _bucket_of(arr, n_buckets: int) -> np.ndarray:
+    """Deterministic vectorized bucket id for string or int node ids
+    (polars seeded hash — the split tasks and the driver-side node
+    bucketing must agree across processes)."""
+    import polars as pl
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return (pl.from_arrow(arr).hash(seed=0) % n_buckets).to_numpy() \
+        .astype(np.int64)
+
+
+def _pagerank_broadcast(edges_d: rd.Dataset, nodes: rd.Dataset, *,
+                        n_iter: int, damping_pct: int, base: int,
+                        r0: int) -> rd.Dataset:
+    """Superstep loop over dst-bucketed edge tables held in the object
+    store. One-time: split each edge block B ways by hash(dst), concat
+    per bucket (num_blocks + B tasks). Per round: B bucket tasks (rank
+    lookup by index_in against the broadcast rank table, block-final
+    group_by sum, fold) + 1 gather task; the driver only moves refs.
+    Node universe = src set (the sequential twin's semantics): a dst
+    outside it contributes nothing and gets no rank row."""
+    import ray
+
+    from .joins import _pull_table
+
+    node_tbl = _pull_table(nodes)  # (src, od) — under the cap by gate
+    node_ids = node_tbl["src"].combine_chunks()
+    n_edges = edges_d.count()
+    nb = int(max(4, min(64, n_edges // 100_000 + 1)))
+
+    @ray.remote
+    def split(tbl: pa.Table, nb: int):
+        b = _bucket_of(tbl["dst"], nb)
+        order = np.argsort(b, kind="stable")
+        st = tbl.take(pa.array(order))
+        cuts = np.searchsorted(b[order], np.arange(nb + 1))
+        return tuple(st.slice(cuts[i], cuts[i + 1] - cuts[i])
+                     for i in range(nb))
+
+    @ray.remote
+    def concat(*pieces):
+        real = [p for p in pieces if p.num_rows]
+        if not real:
+            return pieces[0]
+        return pa.concat_tables(real).combine_chunks()
+
+    @ray.remote
+    def gather(*pieces):
+        return pa.concat_tables(list(pieces)).combine_chunks()
+
+    @ray.remote
+    def superstep(edges_b: pa.Table, nodes_b: pa.Array, ranks: pa.Table,
+                  base: int, damping_pct: int) -> pa.Table:
+        s = np.zeros(len(nodes_b), dtype=np.int64)
+        if edges_b.num_rows:
+            idx = pc.index_in(edges_b["src"], value_set=ranks["node"])
+            r = ranks["rank"].take(idx).to_numpy(zero_copy_only=False)
+            c = r.astype(np.int64) // edges_b["od"].to_numpy(
+                zero_copy_only=False)
+            g = (pa.table({"node": edges_b["dst"], "c": c})
+                 .group_by("node").aggregate([("c", "sum")]))
+            gi = pc.index_in(nodes_b, value_set=g["node"])
+            valid = pc.is_valid(gi).to_numpy(zero_copy_only=False)
+            if g.num_rows:
+                taken = (g["c_sum"].take(pc.fill_null(gi, 0))
+                         .to_numpy(zero_copy_only=False).astype(np.int64))
+                s[valid] = taken[valid]
+        rank = base + (damping_pct * s) // 100
+        return pa.table({"node": nodes_b,
+                         "rank": pa.array(rank, pa.int64())})
+
+    # one-time bucketing of edges and nodes
+    piece_refs = [split.options(num_returns=nb).remote(blk, nb)
+                  for blk in edges_d.to_arrow_refs()]
+    bucket_refs = [concat.remote(*[p[b] for p in piece_refs])
+                   for b in range(nb)]
+    nbuck = _bucket_of(node_ids, nb)
+    node_refs = [ray.put(node_ids.filter(pa.array(nbuck == b)))
+                 for b in range(nb)]
+
+    ranks_ref = ray.put(pa.table({
+        "node": node_ids,
+        "rank": np.full(len(node_ids), r0, dtype=np.int64)}))
+    for _ in range(n_iter):
+        out = [superstep.remote(bucket_refs[b], node_refs[b], ranks_ref,
+                                base, damping_pct) for b in range(nb)]
+        ranks_ref = gather.remote(*out)
+    return rd.from_arrow_refs([ranks_ref])
