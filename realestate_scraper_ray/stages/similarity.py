@@ -24,6 +24,47 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _final_topk(cand: rd.Dataset, k: int) -> pd.DataFrame:
+    """Distributed final reduce shared by the ANN merges: a per-block
+    top-k combine bounds each block at n_queries·k rows, then a 32-way
+    query-hash bucket exchange finishes the global per-query top-k —
+    the driver pulls ≤ n_queries·k rows regardless of block count
+    (the old tails pulled n_blocks·n_queries·k candidate rows into
+    driver pandas, fine for few queries, not query-count-proof).
+    Ordering is the deterministic (-cos, neighbor_id) everywhere, so
+    the result is bit-identical to the driver-side reduce."""
+    import polars as pl
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return (pl.from_arrow(t)
+                .sort(["query_id", "cos", "neighbor_id"],
+                      descending=[False, True, False])
+                .group_by("query_id", maintain_order=True).head(k)
+                .to_arrow())
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        b = (pl.from_arrow(t["query_id"].combine_chunks()).hash(seed=0)
+             % 32).to_numpy().astype(np.int64)
+        return t.append_column("_b", pa.array(b))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return combine(t.drop_columns(["_b"]))
+
+    reduced = (cand.map_batches(combine, batch_format="pyarrow")
+               .map_batches(add_bkt, batch_format="pyarrow")
+               .groupby("_b").map_groups(finish, batch_format="pyarrow"))
+    out = pa.Table.from_pylist(reduced.take_all()).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    out = out.sort_values(["query_id", "cos", "neighbor_id"],
+                          ascending=[True, False, True])
+    out = out.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
 def cosine_topk(ds: rd.Dataset, vec_col: str, id_col: str,
                 query_ids: np.ndarray, query_mat: np.ndarray, k: int,
                 exclude_self: bool = True) -> pd.DataFrame:
@@ -50,13 +91,8 @@ def cosine_topk(ds: rd.Dataset, vec_col: str, id_col: str,
         return pa.table({"query_id": rows_q[keep], "neighbor_id": rows_n[keep],
                          "cos": rows_s[keep]})
 
-    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    # deterministic final reduce: per query, best-k by (-cos, neighbor_id)
-    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
-                            ascending=[True, False, True])
-    out = cand.groupby("query_id", sort=True).head(k).copy()
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return _final_topk(ds.map_batches(local_topk, batch_format="pyarrow"),
+                       k)
 
 
 def ivf_centroids(ds: rd.Dataset, vec_col: str, id_col: str,
@@ -178,14 +214,7 @@ def ivf_topk(ds: rd.Dataset, vec_col: str, id_col: str,
                          "neighbor_id": pa.array(ids[flat[keep]]),
                          "cos": pa.array(sims[qi[keep], flat[keep]])})
 
-    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-    if cand.empty:
-        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
-    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
-                            ascending=[True, False, True])
-    out = cand.groupby("query_id", sort=True).head(k).copy()
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return _final_topk(ds.map_batches(local, batch_format="pyarrow"), k)
 
 
 def hyperplane_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -258,14 +287,8 @@ def lsh_bucket_topk(ds: rd.Dataset, vec_col: str, id_col: str,
                            "neighbor_id": pa.array([], pa.int64()),
                            "cos": pa.array([], pa.float64())})
 
-    cand = ds.map_batches(bucket_then_score, batch_format="pyarrow").to_pandas()
-    if cand.empty:
-        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
-    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
-                            ascending=[True, False, True])
-    out = cand.groupby("query_id", sort=True).head(k).copy()
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return _final_topk(
+        ds.map_batches(bucket_then_score, batch_format="pyarrow"), k)
 
 
 # ---------------------------------------------------------------------------
