@@ -35,7 +35,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from ..functions.textstats import (
-    minhash_signatures, rolling_hash64, simhash64, word_shingle_set,
+    minhash_signatures, rolling_hash64, simhash64,
 )
 
 _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
@@ -199,18 +199,39 @@ def _verify_pairs_jaccard(cand: rd.Dataset, ds: rd.Dataset, id_col: str,
                         on=("id_b",), right_on=("key_b",)))
 
     def score(t: pa.Table) -> pa.Table:
-        ia, ib, jac = [], [], []
-        for a, b, ta, tb in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist(),
-                                t["text_a"].to_pylist(), t["text_b"].to_pylist()):
-            sa = word_shingle_set(ta, shingle_k)
-            sb = word_shingle_set(tb, shingle_k)
-            if not sa and not sb:
-                continue  # empty docs carry no content to compare
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            if inter * 1000 >= thr_mille * union:
-                ia.append(a); ib.append(b); jac.append(inter / max(1, union))
-        return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib),
+        """Vectorized pair verify: per-doc distinct shingle hashes
+        (the same 64-bit shingle basis as ngram_jaccard_pairs — one
+        sliding-window hash pass per doc, no Python set per pair),
+        intersections via one polars (pair, hash) inner join."""
+        import polars as pl
+
+        from ..functions.textstats import _hash_tokens_matrix
+        if t.num_rows == 0:
+            return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                             "jaccard": pa.array([], pa.float64())})
+        ha = [np.unique(h) for h in _hash_tokens_matrix(
+            t["text_a"].to_pylist(), shingle_k)]
+        hb = [np.unique(h) for h in _hash_tokens_matrix(
+            t["text_b"].to_pylist(), shingle_k)]
+        na = np.array([len(h) for h in ha], np.int64)
+        nb = np.array([len(h) for h in hb], np.int64)
+        idx = np.arange(len(ha))
+        side_a = pl.DataFrame({
+            "i": np.repeat(idx, na),
+            "h": np.concatenate(ha) if ha else np.empty(0, np.uint64)})
+        side_b = pl.DataFrame({
+            "i": np.repeat(idx, nb),
+            "h": np.concatenate(hb) if hb else np.empty(0, np.uint64)})
+        hit = (side_a.join(side_b, on=["i", "h"], how="inner")
+               .group_by("i").len())
+        inter = np.zeros(len(ha), np.int64)
+        inter[hit["i"].to_numpy()] = hit["len"].to_numpy().astype(np.int64)
+        union = na + nb - inter
+        keep = ((na + nb) > 0) & (inter * 1000 >= thr_mille * union)
+        kmask = pa.array(keep)
+        jac = inter[keep] / np.maximum(1, union[keep])
+        return pa.table({"id_a": t["id_a"].filter(kmask),
+                         "id_b": t["id_b"].filter(kmask),
                          "jaccard": pa.array(jac, pa.float64())})
 
     rows = joined.map_batches(score, batch_format="pyarrow").take_all()
