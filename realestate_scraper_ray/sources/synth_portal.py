@@ -32,6 +32,7 @@ import re
 from dataclasses import dataclass
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import PortalConfig
 from ..schemas import DOCUMENTS
@@ -1006,7 +1007,14 @@ class Portal:
         spans = [self.render(u) or [] for u in urls]
         return pa.Table.from_pydict({"doc_id": urls, "spans": spans}, schema=DOCUMENTS)
 
-    def write_documents(self, path: str) -> None:
+    def write_documents(self, path: str, row_group_size: int = 1024) -> None:
+        """Materialize the documents table SORTED by doc_id in bounded
+        row groups: exact per-row-group min/max statistics make the
+        table randomly addressable by doc_id (sources/docstore.py) —
+        a fetch actor reads only the row groups its batch touches,
+        never the table."""
         import pyarrow.parquet as pq
 
-        pq.write_table(self.documents_table(), path)
+        t = self.documents_table()
+        t = t.take(pc.sort_indices(t["doc_id"]))
+        pq.write_table(t, path, row_group_size=row_group_size)

@@ -646,16 +646,22 @@ class FetchParse:
                 backoff_initial=crawl_cfg.http_backoff_initial,
                 backoff_max=crawl_cfg.http_backoff_max,
                 on_throttle=on_throttle)
-        # table-backed fetch (documents_path): load the interleaved-doc
-        # table once per worker — the test-scale stand-in for a Lance
-        # take by doc_id (SURVEY.md §7.1); at cluster scale this is a
-        # fragment-local index lookup, not a full-table load.
+        # table-backed fetch (documents_path): row-group-indexed point
+        # lookups over the doc_id-sorted table (the actor-side Lance
+        # take of SURVEY.md §7.1) — per-actor state is one (min,max)
+        # pair per row group plus a bounded LRU of decoded groups,
+        # never the table. Unsorted / stats-less tables (small
+        # hand-made fixtures) fall back to the legacy eager load.
         self._docs: dict[str, list[dict]] | None = None
+        self._docstore = None
         if portal_cfg.documents_path:
-            import pyarrow.parquet as _pq
-            t = _pq.read_table(portal_cfg.documents_path)
-            self._docs = dict(zip(t["doc_id"].to_pylist(),
-                                  t["spans"].to_pylist()))
+            from ..sources.docstore import DocStore
+            self._docstore = DocStore.open(portal_cfg.documents_path)
+            if self._docstore is None:
+                import pyarrow.parquet as _pq
+                t = _pq.read_table(portal_cfg.documents_path)
+                self._docs = dict(zip(t["doc_id"].to_pylist(),
+                                      t["spans"].to_pylist()))
         # conditional-GET revisit (cfg.validators_from): validator
         # fragments are written SHARDED by the same host bucket the
         # frontier writer sorts detail fragments by (crawl.py wave()),
@@ -743,6 +749,8 @@ class FetchParse:
         depth = self._fail_depth(url)
         for attempt in range(1, self.cfg.fetch_attempts + 1):
             if attempt > depth:
+                if self._docstore is not None:
+                    return self._docstore.get(url)
                 if self._docs is not None:
                     return self._docs.get(url)
                 if self.portal.cfg.html_bytes > 0:
