@@ -336,10 +336,16 @@ def write_jsonl_shards(ds: "rd.Dataset", out_dir: str) -> int:
     rows, so the same block always lands on the same name (re-runs
     overwrite) and two blocks can never collide unless they hold
     identical rows.  Stale shards from an earlier run with a different
-    partitioning are cleared up front, so the directory always reflects
-    exactly one run.  Returns rows written.  JSONL is the lingua franca
-    for corpus hand-off (the reference's debug dump, HF datasets, most
-    curation tools) — parquet stays the engine-internal format."""
+    partitioning are cleared up front — including ``.tmp-*`` files a
+    killed task orphaned — so the directory always reflects exactly
+    one run.  Returns rows written; when two blocks hold bit-identical
+    rows they land on the SAME shard name (the write is a byte-equal
+    overwrite, so disk content is correct, but the returned count then
+    exceeds the on-disk row total — callers counting rows should scan
+    the directory, not trust the return, if their input can repeat
+    whole blocks).  JSONL is the lingua franca for corpus hand-off
+    (the reference's debug dump, HF datasets, most curation tools) —
+    parquet stays the engine-internal format."""
     import hashlib as _hashlib
     import json as _json
     import os as _os
@@ -347,7 +353,7 @@ def write_jsonl_shards(ds: "rd.Dataset", out_dir: str) -> int:
 
     _os.makedirs(out_dir, exist_ok=True)
     for f in _os.listdir(out_dir):  # clear stale shards (layout change)
-        if f.endswith(".jsonl"):
+        if f.endswith(".jsonl") or ".tmp-" in f:  # incl. orphaned tmps
             _os.unlink(_os.path.join(out_dir, f))
 
     def dump(t: pa.Table) -> pa.Table:
@@ -429,9 +435,13 @@ def compact_fragments(src_dir: str, out_dir: str,
         return {"files_in": 0, "files_out": 0, "rows": 0, "skipped": 0}
 
     def bin_digest(bin_files: list[str]) -> str:
-        # hash paths RELATIVE to src_dir: ./W and /abs/W spell the same
-        # bins, so a re-run under either skips instead of rewriting
-        rel = [_os.path.relpath(f, src_dir) for f in bin_files]
+        # hash paths RELATIVE to src_dir (./W and /abs/W spell the same
+        # bins, so a re-run under either skips instead of rewriting)
+        # PLUS each file's size: a fragment rewritten in place with the
+        # same name but different content must invalidate its bin —
+        # path-only identity would keep stale compacted rows
+        rel = [f"{_os.path.relpath(f, src_dir)}:{_os.path.getsize(f)}"
+               for f in bin_files]
         return _hashlib.md5("\n".join(rel).encode()).hexdigest()[:12]
 
     # a changed source listing (resumed crawl added gens) re-bins the

@@ -2801,7 +2801,12 @@ def heavy_hitter_terms(sf_dir: str) -> pd.DataFrame:
         return toks.group_by("term").aggregate([("term", "count")])
 
     def mg_partial(t: pa.Table) -> pa.Table:
-        toks = [w for x in t["text"].to_pylist() for w in (x or "").split()]
+        # tokenize with the SAME RE2 \s+ split as exact_partial (and the
+        # SQL oracle): Python str.split() also breaks on Unicode spaces
+        # (NBSP etc.), so a heavy term containing one would be in the
+        # exact top-10 yet absent from the sketch, flipping in_sketch
+        flat = pc.list_flatten(pc.split_pattern_regex(t["text"], r"\s+"))
+        toks = [w for w in flat.to_pylist() if w]
         counters = misra_gries_partial(toks, k=256)
         return pa.table({
             "term": pa.array(list(counters), pa.string()),
@@ -4176,7 +4181,10 @@ def events_outlier_zscore(sf_dir: str) -> rd.Dataset:
         mx = int(np.abs(cents).max(initial=0))
         for tp, (n, s, k) in thr.items():
             m = et == tp
-            if mx * n <= (1 << 62):
+            # |c|·n alone can pass while c·n − s still wraps when the
+            # group sum is itself near 2^63 (extreme partials folded via
+            # the Python-int path) — bound the whole expression
+            if mx * n + abs(s) <= (1 << 62):
                 keep[m] = np.abs(cents[m] * n - s) > k
             else:  # same extreme-magnitude guard as the partials
                 keep[m] = [abs(int(c) * n - s) > k for c in cents[m]]

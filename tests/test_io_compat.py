@@ -294,3 +294,62 @@ def test_compact_fragments_roundtrip_and_resume(ray_session, tmp_path):
     # resume: identical re-run rewrites nothing
     again = compact_fragments(str(src), str(out), target_bytes=8_000)
     assert again["skipped"] == stats["files_out"] and again["rows"] == 0
+
+
+def test_jsonl_shards_sweeps_orphaned_tmp_files(ray_session, tmp_path):
+    """A killed write task leaves shard-*.jsonl.tmp-<uuid> behind; the
+    next run's pre-sweep must remove them along with stale shards so
+    the directory reflects exactly one run."""
+    import os
+
+    import ray.data as rd
+
+    from realestate_scraper_ray.pipelines.io_compat import write_jsonl_shards
+
+    out = tmp_path / "jl"
+    out.mkdir()
+    (out / "shard-dead.jsonl.tmp-deadbeef").write_text("junk")
+    (out / "shard-stale.jsonl").write_text("junk")
+    ds = rd.from_items([{"a": i} for i in range(5)])
+    assert write_jsonl_shards(ds, str(out)) == 5
+    left = os.listdir(out)
+    assert not any(".tmp-" in f for f in left), left
+    assert "shard-stale.jsonl" not in left
+    rows = sum(1 for f in left for _ in open(out / f))
+    assert rows == 5
+
+
+def test_compact_fragments_invalidates_on_inplace_rewrite(ray_session,
+                                                          tmp_path):
+    """Bin identity folds in file SIZE: a fragment rewritten in place
+    under the same name with different content must re-compact its bin
+    instead of skipping and keeping stale rows."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realestate_scraper_ray.pipelines.io_compat import compact_fragments
+
+    src = tmp_path / "offers"
+    d = src / "gen-0"
+    d.mkdir(parents=True)
+    for i in range(4):
+        pq.write_table(
+            pa.table({"v": np.arange(i * 10, i * 10 + 10, dtype=np.int64)}),
+            d / f"part-{i}.parquet")
+    out = tmp_path / "compacted"
+    r1 = compact_fragments(str(src), str(out))
+    assert r1["rows"] == 40 and r1["skipped"] == 0
+    # unchanged re-run skips
+    r2 = compact_fragments(str(src), str(out))
+    assert r2["rows"] == 0 and r2["skipped"] >= 1
+    # same name, new content (different size) -> bin must re-compact
+    pq.write_table(pa.table({"v": np.arange(999, 999 + 25, dtype=np.int64)}),
+                   d / "part-2.parquet")
+    r3 = compact_fragments(str(src), str(out))
+    assert r3["skipped"] == 0 and r3["rows"] == 30 + 25
+    tot = sum(pq.read_table(f).num_rows
+              for f in glob.glob(str(out / "*.parquet")))
+    assert tot == 30 + 25
