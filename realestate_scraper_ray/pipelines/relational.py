@@ -5129,8 +5129,11 @@ CANONICAL_FIRST: list[str] = [
     "ann_cosine_topk", "ann_ivf_recall", "ann_lsh_recall",
     # mergeable sketches
     "approx_distinct_users", "bloom_semi_join", "approx_percentiles_hist",
-    # multimodal stages
-    "media_frame_sample", "media_decode_meta",
+    # multimodal stages (media_decode_meta demoted r4: the media family
+    # keeps media_frame_sample here plus crawl_media below, while the
+    # round-4 conditional-GET revisit — bucket-sharded validators, 304
+    # skip, carry-forward — had no driver-visible row at all)
+    "media_frame_sample",
     # end-to-end pipelines
     "curated_corpus_docs", "assembled_training_set",
     # headline crawl pipelines (rows-only; oracle-equality-tested in
@@ -5140,6 +5143,7 @@ CANONICAL_FIRST: list[str] = [
     # extractor chain had no driver-visible row at all.
     "crawl_offers_wide", "crawl_html_mode", "crawl_media",
     "crawl_last_days", "crawl_quarantine", "crawl_geocode",
+    "crawl_revisit",
 ]
 
 

@@ -27,14 +27,17 @@ def test_verdict_required_queries_in_prefix():
 
 
 def test_prefix_rows_only_is_exactly_the_crawl_pipelines():
-    # Everything in the canonical prefix has a SQL oracle except the six
-    # crawl pipelines (a crawl is not expressible as SQL over the static
-    # testdata views; each is equality-tested vs the sequential oracle
-    # in pytest).
+    # Everything in the canonical prefix has a SQL oracle except the
+    # seven crawl pipelines (a crawl is not expressible as SQL over the
+    # static testdata views; each is equality-tested vs the sequential
+    # oracle in pytest). crawl_revisit joined in r4 (the round's
+    # conditional-GET revisit had no driver-visible row), displacing
+    # media_decode_meta.
     no_oracle = [n for n in CANONICAL_FIRST if n not in ORACLE]
     assert no_oracle == [
         "crawl_offers_wide", "crawl_html_mode", "crawl_media",
         "crawl_last_days", "crawl_quarantine", "crawl_geocode",
+        "crawl_revisit",
     ]
 
 
