@@ -231,10 +231,18 @@ class GeocoderActor:
     + journaled; ``flush`` commits the cache atomically (tmp+rename) so
     a killed run resumes with every previously-resolved query warm."""
 
-    def __init__(self, cache_path: str | None = None, seed: int = 11):
+    def __init__(self, cache_path: str | None = None, seed: int = 11,
+                 backend_factory=None):
         import json
         import os
         self.seed = seed
+        # pluggable transport: a zero-arg factory (built INSIDE the
+        # actor — HTTP sessions don't ship well) returning a callable
+        # ``query -> (lat, lon, display) | None``. None = the
+        # deterministic synthetic geocoder; stages/nominatim.py's
+        # NominatimBackend is the live-wire implementation.
+        self.backend = (backend_factory() if backend_factory is not None
+                        else lambda q: synthetic_geocode(q, self.seed))
         self.cache_path = cache_path
         self.cache: dict[str, tuple[float, float] | None] = {}
         self.hits = 0
@@ -259,7 +267,7 @@ class GeocoderActor:
                 self.hits += 1
             else:
                 self.misses += 1
-                self.cache[q] = synthetic_geocode(q, self.seed)
+                self.cache[q] = self.backend(q)
             out.append(self.cache[q])
         return out
 
