@@ -112,6 +112,34 @@ class HttpSession:
     def head(self, url: str) -> HttpResponse:
         return self._request("HEAD", url)
 
+    def post_json(self, url: str, payload: object,
+                  timeout_s: float | None = None) -> HttpResponse:
+        """Single-attempt JSON POST (the backend adapter's verb —
+        core/backend.py uses bare ``requests.post(url, json=…,
+        timeout=…)`` with NO retry envelope: a create is not idempotent,
+        so a transport error must surface to the caller, not replay)."""
+        import json as _json
+        body = _json.dumps(payload).encode()
+        req = urllib.request.Request(url, method="POST", data=body,
+                                     headers=dict(self.headers))
+        req.add_header("Content-Type", "application/json")
+        self.n_requests += 1
+        try:
+            with self._opener.open(
+                    req, timeout=timeout_s or self.timeout_s) as r:
+                return HttpResponse(
+                    r.status, {k.lower(): v for k, v in r.headers.items()},
+                    r.read(), r.geturl())
+        except urllib.error.HTTPError as e:
+            # non-2xx is a RESPONSE here (the adapter logs and returns
+            # False, backend.py:147-153), not an exception
+            body = e.read()
+            resp = HttpResponse(
+                e.code, {k.lower(): v for k, v in e.headers.items()},
+                body, url)
+            e.close()
+            return resp
+
     # -- retry envelope ------------------------------------------------------
 
     def _request(self, method: str, url: str, *, accept: str | None = None,
