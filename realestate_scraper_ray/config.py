@@ -101,6 +101,9 @@ class PortalConfig:
     missing_geo_per_mille: int = 50  # pages without lat/lon → REQ_FIELDS drop
     investment_per_mille: int = 40   # otodom listing links that are investment pages
     robots_blocked_per_mille: int = 20  # links under a robots-disallowed path
+    # when set, the portal's robots.txt publishes this Crawl-delay —
+    # the engine must WIDEN per-host pacing to it (state/robots.py)
+    robots_crawl_delay: float | None = None
     investment_units: int = 5
     max_photos: int = 8
     # overlap: each listing page re-links this many offers from the

@@ -223,7 +223,10 @@ class Portal:
         ]
 
     def robots_txt(self, host: str) -> str:
-        return "User-agent: *\nDisallow: /private\n"
+        txt = "User-agent: *\nDisallow: /private\n"
+        if self.cfg.robots_crawl_delay is not None:
+            txt += f"Crawl-delay: {self.cfg.robots_crawl_delay}\n"
+        return txt
 
     # -- per-offer facts ----------------------------------------------------
 

@@ -44,7 +44,8 @@ from ..config import REQ_FIELDS, CrawlConfig, PortalConfig
 from ..functions.urls import (PRICE_PERM2_RE, PRICE_TOTAL_RE, coerce_float,
                               host_of)
 from ..sources.synth_portal import Portal
-from ..state.politeness import PolitenessService, parse_robots, path_allowed
+from ..state.politeness import PolitenessService
+from ..state.robots import RobotsPolicy, parse_robots_policy
 
 COMBINED_SCHEMA = pa.schema([
     ("rec_kind", pa.string()),       # 'link' | 'offer' | 'photo' | 'pagemeta'
@@ -626,7 +627,7 @@ class FetchParse:
         # S5 (http.py:105-111 build_proxies): the proxy dict a real-HTTP
         # session would be constructed with, one session per actor (ST3)
         self.proxies = build_proxies(crawl_cfg.proxy_http, crawl_cfg.proxy_https)
-        self._robots: dict[str, list[str]] = {}  # host → Disallow prefixes
+        self._robots: dict[str, RobotsPolicy] = {}  # host → REP policy
         # real-HTTP transport (cfg.http_fetch): one session per actor
         # (ST3) with the reference's retry + Retry-After envelope; an
         # explicit server throttle (429/503 + Retry-After) is reported
@@ -787,7 +788,8 @@ class FetchParse:
         if not self.cfg.robots:
             return False
         host = host_of(url)
-        if host not in self._robots:
+        pol = self._robots.get(host)
+        if pol is None:
             if self._http is not None:
                 # real robots.txt over the wire, cached per actor; an
                 # unreachable robots file allows all (reference has no
@@ -802,8 +804,18 @@ class FetchParse:
                     txt = ""
             else:
                 txt = self.portal.robots_txt(host)
-            self._robots[host] = parse_robots(txt)
-        return not path_allowed(url, self._robots[host])
+            # RFC 9309 matcher selected for this crawler's product token
+            # (the part of the UA before '/'); group pick + wildcard/$
+            # rules + longest-match precedence live in state/robots.py
+            token = (self.cfg.http_user_agent or "*").split("/")[0].strip()
+            pol = self._robots[host] = parse_robots_policy(txt, token)
+            if (pol.crawl_delay is not None and self.politeness is not None
+                    and self.cfg.rps_per_host < 1e8):
+                # server asks for wider spacing than the configured
+                # budget → raise that host's floor on its shard (once
+                # per host per actor; the cache above gates re-sends)
+                self.politeness.set_min_spacing(host, pol.crawl_delay)
+        return not pol.allowed_url(url)
 
     # -- the batch transform -------------------------------------------------
 

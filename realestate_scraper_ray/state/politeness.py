@@ -52,9 +52,25 @@ class PolitenessShard:
         self.bf = max(1.0, backoff_factor)
         self.cap = max(1.0, backoff_cap_mult)
         self.mult: dict[str, float] = {}
+        # per-host base-spacing floor (robots.txt Crawl-delay): a server
+        # may ask for WIDER spacing than the configured budget; never
+        # narrower — the configured interval stays the global floor
+        self.min_int: dict[str, float] = {}
+
+    def set_min_spacing(self, host: str, interval: float) -> float:
+        """Raise (never lower) a host's base spacing to the server's
+        published Crawl-delay. Idempotent; returns the effective base."""
+        if interval > self.interval:
+            cur = self.min_int.get(host, 0.0)
+            if interval > cur:
+                self.min_int[host] = interval
+        return max(self.interval, self.min_int.get(host, 0.0))
 
     def _spacing(self, host: str) -> float:
-        return self.interval * self.mult.get(host, 1.0)
+        base = self.min_int.get(host)
+        if base is None or base < self.interval:
+            base = self.interval
+        return base * self.mult.get(host, 1.0)
 
     def book(self, host: str, n: int) -> tuple[float, float]:
         """Book n slots; returns (delay until first slot, per-request
@@ -146,6 +162,17 @@ class PolitenessService:
         futs = [self.shards[zlib.crc32(h.encode()) % self.n]
                 .book.remote(h, counts[h]) for h in hosts]
         return dict(zip(hosts, ray.get(futs)))
+
+    def set_min_spacing(self, host: str, interval: float) -> None:
+        """Propagate a robots.txt Crawl-delay to the host's shard (one
+        RPC, awaited so the next ``book`` on this actor sees it). Called
+        once per (host, fetch actor) — the robots cache above gates it."""
+        if self.rps >= 1e8 or not self.shards:
+            return
+        import zlib
+
+        shard = self.shards[zlib.crc32(host.encode()) % self.n]
+        ray.get(shard.set_min_spacing.remote(host, interval))
 
     def report(self, stats: dict[str, tuple[int, int]]) -> None:
         """Per-batch failure/success outcome per host → the shards'
