@@ -1432,6 +1432,47 @@ def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return out[["id_a", "id_b"]].astype("int64")
 
 
+_SIMJOIN_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(tt, '\s+') AS w FROM t0 WHERE tt <> ''),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    [array_to_string(list_slice(w, i, i + 2), ' ') FOR i IN range(1, len(w) - 1)])) AS s
+  FROM toks WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS r_id, b.doc_id AS s_id, COUNT(*) AS inter_n
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2)
+SELECT r_id, s_id, inter_n, ca.n + cb.n - inter_n AS union_n
+FROM inter
+JOIN cnt ca ON ca.doc_id = r_id
+JOIN cnt cb ON cb.doc_id = s_id
+WHERE inter_n * 1000 >= 500 * (ca.n + cb.n - inter_n)
+"""
+
+
+@query("similarity_join_jaccard", _SIMJOIN_SQL)
+def similarity_join_jaccard_q(sf_dir: str) -> pd.DataFrame:
+    """τ-Jaccard JOIN between two relations (even vs odd doc_ids) via
+    rarest-prefix-token blocking — the AllPairs candidate generator,
+    distinct from `dedup_ngram_jaccard`'s length-bucket SELF-join.
+    Integer-exact (inter, union) against the exploded-shingle oracle."""
+    from ..stages.dedupe import similarity_join_jaccard
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "side", pc.bit_wise_and(t["doc_id"], 1)),
+        batch_format="pyarrow")
+    return similarity_join_jaccard(ds, "text", "doc_id", "side",
+                                   threshold=0.5, shingle_k=3)
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search + near-dup
 # ---------------------------------------------------------------------------
@@ -4484,6 +4525,56 @@ def events_incremental_hourly(sf_dir: str) -> rd.Dataset:
         finish, batch_format="pyarrow")).materialize()
     shutil.rmtree(state.state_dir, ignore_errors=True)  # no /tmp leak
     return out
+
+
+_ROLLUP_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+         CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+  FROM events)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(hour_id, -1) AS hour_id,
+       COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM base GROUP BY ROLLUP(event_type, hour_id)
+"""
+
+
+@query("events_rollup_counts", _ROLLUP_SQL)
+def events_rollup_counts(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(event_type, hour_id): leaf, per-type subtotal,
+    and grand total in one result (NULL levels → '(all)' / -1 so the
+    hash compare sees identical values). One combiner-first exchange
+    builds the LEAF aggregate; both super-levels fold from the leaf —
+    domain-sized (|types|·|hours| rows), never from the base table —
+    so the rollup costs one shuffle regardless of level count."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        hour = (t["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 3_600_000_000)
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        g = pa.table({"event_type": t["event_type"], "hour_id": hour,
+                      "n": np.ones(len(t), np.int64), "s": cents}) \
+            .group_by(["event_type", "hour_id"]) \
+            .aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["event_type", "hour_id", "n", "s"])
+
+    leaf = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["event_type", "hour_id"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="cents_sum"))
+            .to_pandas())
+    lvl1 = (leaf.groupby("event_type", as_index=False)
+            [["n", "cents_sum"]].sum())
+    lvl1["hour_id"] = -1
+    total = pd.DataFrame([{"event_type": "(all)", "hour_id": -1,
+                           "n": leaf["n"].sum(),
+                           "cents_sum": leaf["cents_sum"].sum()}])
+    cols = ["event_type", "hour_id", "n", "cents_sum"]
+    out = pd.concat([leaf[cols], lvl1[cols], total[cols]])
+    return (out.astype({"hour_id": "int64", "n": "int64",
+                        "cents_sum": "int64"})
+            .sort_values(["event_type", "hour_id"]).reset_index(drop=True))
 
 
 _Q10_SQL = """

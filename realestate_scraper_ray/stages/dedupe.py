@@ -417,6 +417,168 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# set-similarity JOIN between two relations (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
+                            side_col: str, threshold: float = 0.5,
+                            shingle_k: int = 3) -> pd.DataFrame:
+    """τ-Jaccard join R ⋈ S over k-word shingle SETS via prefix filtering
+    (AllPairs, Bayardo et al. WWW '07; distributed kernel after Vernica
+    et al. SIGMOD '10). Different from ``ngram_jaccard_pairs``: that is
+    a length-blocked SELF-join; this joins two relations (``side_col``
+    ∈ {0,1}) and blocks on the *rarest prefix tokens*, the classic
+    candidate generator whose group sizes are bounded by rare-token
+    document frequency rather than by length-bucket population.
+
+    Plan (3 shuffles, all key-sized):
+      1. token document frequency — per-batch distinct-token combiner,
+         one vocabulary-sized groupby-sum; the (df, token)-ascending
+         rank is broadcast once via ``ray.put`` (u64 token hashes +
+         int ranks; at 100 TB swap for a hash join of ranks onto
+         exploded prefix tokens — same plan shape, noted not built).
+      2. each doc emits its prefix tokens (p = n − ⌈τ·n⌉ + 1 rarest
+         tokens; any qualifying pair must share ≥1 — the AllPairs
+         bound) carrying (side, id, n, sorted-distinct-hash blob);
+         ``groupby`` on the prefix token.
+      3. one ``map_groups`` per prefix-token group: run-based exact
+         intersection counting over the member blobs (shared-token
+         runs emit pair counts — O(occurrences), never O(n²·set)),
+         cross-side pairs only, integer-exact τ gate; a pair verified
+         in several groups dedups in a final ints-only groupby.
+
+    Returns (r_id, s_id, inter_n, union_n) with
+    inter·1000 ≥ ⌈τ·1000⌉·union — integer-exact against a SQL oracle.
+    """
+    thr_mille = int(round(threshold * 1000))
+    from math import ceil
+
+    from ..functions.textstats import _hash_tokens_matrix
+
+    def _tok_sets(texts: list[str]) -> list[np.ndarray]:
+        return [np.unique(h) for h in _hash_tokens_matrix(texts, shingle_k)]
+
+    # -- pass 1: global token df → rarest-first rank ------------------------
+    def df_partial(t: pa.Table) -> pa.Table:
+        hs = _tok_sets(t[text_col].to_pylist())
+        nz = [h for h in hs if h.size]
+        if not nz:
+            return pa.table({"tok": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        tok, cnt = np.unique(np.concatenate(nz), return_counts=True)
+        return pa.table({"tok": tok.view(np.int64),
+                         "df": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+    dft = pa.Table.from_pylist(
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("df", alias_name="df")).take_all())
+    toks = np.asarray(dft["tok"], dtype=np.int64)
+    dfs = np.asarray(dft["df"], dtype=np.int64)
+    # rank 0 = rarest; ties by token hash for a total order shared by
+    # every worker. Stored token-sorted so lookups are one searchsorted.
+    order = np.lexsort((toks, dfs))
+    rank = np.empty(len(toks), dtype=np.int64)
+    rank[order] = np.arange(len(toks), dtype=np.int64)
+    tsort = np.argsort(toks, kind="stable")
+    rank_ref = ray.put((toks[tsort], rank[tsort]))
+
+    # -- pass 2: prefix-token emission --------------------------------------
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        tok_sorted, rank_sorted = ray.get(rank_ref)
+        hs = _tok_sets(t[text_col].to_pylist())
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        sides = np.asarray(t[side_col], dtype=np.int64)
+        ptok, pid, pside, pn, blobs = [], [], [], [], []
+        for h, i, s in zip(hs, ids.tolist(), sides.tolist()):
+            n = len(h)
+            if n == 0:
+                continue
+            hv = h.view(np.int64)
+            r = rank_sorted[np.searchsorted(tok_sorted, hv)]
+            p = n - ceil(threshold * n) + 1
+            pref = hv[np.argsort(r, kind="stable")[:p]]
+            ptok.append(pref)
+            pid.append(np.full(p, i, dtype=np.int64))
+            pside.append(np.full(p, s, dtype=np.int64))
+            pn.append(np.full(p, n, dtype=np.int64))
+            blobs.extend([h.tobytes()] * p)
+        if not ptok:
+            return pa.table({"ptok": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "hblob": pa.array([], pa.binary())})
+        return pa.table({"ptok": np.concatenate(ptok),
+                         "id": np.concatenate(pid),
+                         "side": np.concatenate(pside),
+                         "n": np.concatenate(pn),
+                         "hblob": pa.array(blobs, pa.binary())})
+
+    # -- pass 3: per-prefix-group exact verify ------------------------------
+    def group_verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"r_id": pd.Series([], dtype="int64"),
+                              "s_id": pd.Series([], dtype="int64"),
+                              "inter_n": pd.Series([], dtype="int64"),
+                              "union_n": pd.Series([], dtype="int64")})
+        g = g.drop_duplicates(["id"])
+        if len(g) < 2 or g["side"].nunique() < 2:
+            return empty
+        ids = g["id"].to_numpy()
+        sides = g["side"].to_numpy()
+        sizes = g["n"].to_numpy()
+        hm = [np.frombuffer(b, dtype=np.uint64) for b in g["hblob"]]
+        m = len(ids)
+        doc_idx = np.repeat(np.arange(m, dtype=np.int64), sizes)
+        all_h = np.concatenate(hm)
+        o = np.argsort(all_h, kind="stable")
+        h_sorted, d_sorted = all_h[o], doc_idx[o]
+        cut = np.flatnonzero(np.diff(h_sorted) != 0) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(h_sorted)]))
+        keys = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            dd = np.sort(d_sorted[s:e])
+            ii, jj = np.triu_indices(e - s, 1)
+            keys.append(dd[ii] * m + dd[jj])
+        if not keys:
+            return empty
+        pair_keys, inter = np.unique(np.concatenate(keys), return_counts=True)
+        a_idx, b_idx = pair_keys // m, pair_keys % m
+        cross = sides[a_idx] != sides[b_idx]
+        a_idx, b_idx, inter = a_idx[cross], b_idx[cross], inter[cross]
+        union = sizes[a_idx] + sizes[b_idx] - inter
+        ok = inter * 1000 >= thr_mille * union
+        if not ok.any():
+            return empty
+        a_idx, b_idx, inter, union = a_idx[ok], b_idx[ok], inter[ok], union[ok]
+        r_is_a = sides[a_idx] == 0
+        return pd.DataFrame({
+            "r_id": np.where(r_is_a, ids[a_idx], ids[b_idx]),
+            "s_id": np.where(r_is_a, ids[b_idx], ids[a_idx]),
+            "inter_n": inter.astype(np.int64),
+            "union_n": union.astype(np.int64)})
+
+    out = (ds.map_batches(emit_prefix, batch_format="pyarrow")
+           .groupby("ptok")
+           .map_groups(group_verify, batch_format="pandas")
+           .groupby(["r_id", "s_id"])
+           .aggregate(Min("inter_n", alias_name="inter_n"),
+                      Min("union_n", alias_name="union_n"))
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"r_id": pd.Series([], dtype="int64"),
+                             "s_id": pd.Series([], dtype="int64"),
+                             "inter_n": pd.Series([], dtype="int64"),
+                             "union_n": pd.Series([], dtype="int64")})
+    return (out.astype("int64").sort_values(["r_id", "s_id"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup (cosine)
 # ---------------------------------------------------------------------------
 

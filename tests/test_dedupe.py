@@ -352,3 +352,61 @@ def test_paragraph_dedup_both_paths(ray_session, threshold):
     assert 20 not in got                      # the full duplicate vanished
     assert got[5][0] == "a0 a1 a2 a3 z1 z2"   # min doc_id wins the shared block
     assert got[10][0] == " ".join(f"a{i}" for i in range(4, 10))
+
+
+def test_similarity_join_equals_brute_force(ray_session):
+    """Prefix-filter completeness (AllPairs bound): the blocked R⋈S
+    join must equal unblocked brute force over every cross-side pair —
+    including near-threshold pairs and a pair sharing only rare
+    tokens. Sides come from id parity; same-side near-dups must NOT
+    appear."""
+    from realestate_scraper_ray.functions.textstats import word_shingle_set
+    from realestate_scraper_ray.stages.dedupe import similarity_join_jaccard
+
+    texts, ids = [], []
+    base = [f"c{i}" for i in range(40)]
+    # cross-side near-dup cluster (ids 0/1 even-odd, high J)
+    texts.append(" ".join(base)); ids.append(0)
+    texts.append(" ".join(base[:-2] + ["zz", "qq"])); ids.append(1)
+    # same-side near-dup (ids 2,4 both even): must not be emitted
+    texts.append(" ".join(base)); ids.append(2)
+    texts.append(" ".join(base)); ids.append(4)
+    # borderline pair around τ=0.5
+    half = [f"h{i}" for i in range(30)]
+    texts.append(" ".join(half + [f"a{i}" for i in range(10)])); ids.append(10)
+    texts.append(" ".join(half + [f"b{i}" for i in range(10)])); ids.append(11)
+    # noise + an empty doc on each side
+    rng = np.random.default_rng(13)
+    for i in range(24):
+        n = int(rng.integers(3, 90))
+        texts.append(" ".join(f"r{i}_{j}" for j in range(n)))
+        ids.append(100 + i)
+    texts += ["", "   "]; ids += [900, 901]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "side", pa.compute.bit_wise_and(t["doc_id"], 1)),
+        batch_format="pyarrow")
+
+    for thr in (0.4, 0.5, 0.8):
+        got = similarity_join_jaccard(ds, "text", "doc_id", "side",
+                                      threshold=thr)
+        got_rows = {(r, s, i, u) for r, s, i, u in zip(
+            got.r_id, got.s_id, got.inter_n, got.union_n)}
+        thr_mille = int(round(thr * 1000))
+        sets = {i: word_shingle_set(t, 3) for i, t in zip(ids, texts)}
+        exp = set()
+        for a in ids:
+            for b in ids:
+                if a % 2 == 0 and b % 2 == 1 and sets[a] and sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    if inter * 1000 >= thr_mille * union:
+                        exp.add((a, b, inter, union))
+        assert got_rows == exp, thr
+    # the designed cases actually bind: cross pair found at 0.5,
+    # same-side identical docs never emitted
+    got = similarity_join_jaccard(ds, "text", "doc_id", "side", 0.5)
+    pairs = {(r, s) for r, s in zip(got.r_id, got.s_id)}
+    assert (0, 1) in pairs
+    assert not any(r % 2 == s % 2 for r, s in pairs)
