@@ -54,6 +54,7 @@ HEADLINE_QUERIES = [
     "weighted_sample_es", "events_corr_value_time",
     "cms_point_frequency",
     "text_normalize", "documents_jsonl_roundtrip",
+    "similarity_join_jaccard", "events_rollup_counts",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

@@ -52,9 +52,18 @@ def _final_topk(cand: rd.Dataset, k: int) -> pd.DataFrame:
     def finish(t: pa.Table) -> pa.Table:
         return combine(t.drop_columns(["_b"]))
 
-    reduced = (cand.map_batches(combine, batch_format="pyarrow")
-               .map_batches(add_bkt, batch_format="pyarrow")
-               .groupby("_b").map_groups(finish, batch_format="pyarrow"))
+    combined = cand.map_batches(combine, batch_format="pyarrow").materialize()
+    if combined.count() <= (1 << 18):
+        # adaptive small side: the per-block combine already bounded the
+        # set at n_blocks·n_queries·k rows of ints — under the cap one
+        # driver pull beats a 32-way exchange's fixed cost; above it the
+        # bucket exchange keeps the driver at ≤ n_queries·k rows. Both
+        # paths share the deterministic ordering, so results are
+        # bit-identical.
+        reduced = combined
+    else:
+        reduced = (combined.map_batches(add_bkt, batch_format="pyarrow")
+                   .groupby("_b").map_groups(finish, batch_format="pyarrow"))
     out = pa.Table.from_pylist(reduced.take_all()).to_pandas()
     if out.empty:
         return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
