@@ -242,6 +242,10 @@ class CrawlConfig:
     # full dumps are O(capacity), deltas O(new URLs))
     checkpoint_full_every: int = 1
     robots: bool = True
+    # ceiling on an honored robots.txt Crawl-delay: a hostile or
+    # misconfigured "Crawl-delay: 86400" must not wedge every fetch
+    # task on that host for days (production crawlers cap at 30–60 s)
+    robots_max_crawl_delay: float = 60.0
     # Conditional-GET re-crawl (RFC 9110 validators): when True each
     # parsed detail page's entity tag is persisted to
     # ``workdir/validators``; a later run pointing ``validators_from``

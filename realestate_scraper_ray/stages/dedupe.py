@@ -452,7 +452,6 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
     inter·1000 ≥ ⌈τ·1000⌉·union — integer-exact against a SQL oracle.
     """
     thr_mille = int(round(threshold * 1000))
-    from math import ceil
 
     from ..functions.textstats import _hash_tokens_matrix
 
@@ -497,7 +496,11 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
                 continue
             hv = h.view(np.int64)
             r = rank_sorted[np.searchsorted(tok_sorted, hv)]
-            p = n - ceil(threshold * n) + 1
+            # integer ceiling from the SAME thr_mille the verify gate
+            # uses: float ceil(threshold*n) overshoots when t*n lands
+            # on a representation error (0.07*100 = 7.000…01 → ceil 8),
+            # silently shortening the prefix and dropping true pairs
+            p = n - (thr_mille * n + 999) // 1000 + 1
             pref = hv[np.argsort(r, kind="stable")[:p]]
             ptok.append(pref)
             pid.append(np.full(p, i, dtype=np.int64))
@@ -522,7 +525,9 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
                               "s_id": pd.Series([], dtype="int64"),
                               "inter_n": pd.Series([], dtype="int64"),
                               "union_n": pd.Series([], dtype="int64")})
-        g = g.drop_duplicates(["id"])
+        # a pair is (id, side): R and S may be separate relations with
+        # overlapping id spaces, so id alone would drop a real member
+        g = g.drop_duplicates(["id", "side"])
         if len(g) < 2 or g["side"].nunique() < 2:
             return empty
         ids = g["id"].to_numpy()

@@ -797,8 +797,13 @@ class FetchParse:
                 import urllib.parse as _up
                 scheme = _up.urlsplit(url).scheme or "https"
                 try:
+                    # single attempt: a 404 (the common case) is a
+                    # definitive allow-all — routing it through the
+                    # 5-attempt backoff envelope would cost ~15 s of
+                    # sleeps per (host, actor) for a known answer
                     txt = self._http.get(
-                        self._http_target(f"{scheme}://{host}/robots.txt")
+                        self._http_target(f"{scheme}://{host}/robots.txt"),
+                        attempts=1,
                     ).text()
                 except Exception:
                     txt = ""
@@ -813,8 +818,12 @@ class FetchParse:
                     and self.cfg.rps_per_host < 1e8):
                 # server asks for wider spacing than the configured
                 # budget → raise that host's floor on its shard (once
-                # per host per actor; the cache above gates re-sends)
-                self.politeness.set_min_spacing(host, pol.crawl_delay)
+                # per host per actor; the cache above gates re-sends),
+                # capped so a published "Crawl-delay: 86400" can't
+                # stall this host's fetch tasks for days
+                self.politeness.set_min_spacing(
+                    host, min(pol.crawl_delay,
+                              self.cfg.robots_max_crawl_delay))
         return not pol.allowed_url(url)
 
     # -- the batch transform -------------------------------------------------

@@ -223,6 +223,14 @@ def geocode_result_matches(level: str, street: str | None,
     return True
 
 
+class GeocodeUnavailable(Exception):
+    """A geocode BACKEND transport failure (timeout, non-2xx after the
+    retry budget, malformed body) — distinct from an authoritative
+    empty result. GeocoderActor treats it as do-not-cache: the query
+    resolves to None THIS run but re-geocodes next time, so a backend
+    outage can never poison the persistent cache."""
+
+
 @ray.remote(num_cpus=0.25)
 class GeocoderActor:
     """ST4 as a Ray actor: in-memory query→point cache with JSON
@@ -265,10 +273,18 @@ class GeocoderActor:
         for q in queries:
             if q in self.cache:
                 self.hits += 1
-            else:
-                self.misses += 1
-                self.cache[q] = self.backend(q)
-            out.append(self.cache[q])
+                out.append(self.cache[q])
+                continue
+            self.misses += 1
+            try:
+                res = self.backend(q)
+            except GeocodeUnavailable:
+                # transient outage: answer None NOW, cache NOTHING —
+                # caching it would mean the query never re-geocodes
+                out.append(None)
+                continue
+            self.cache[q] = res
+            out.append(res)
         return out
 
     def flush(self) -> int:

@@ -106,8 +106,10 @@ class HttpSession:
     # -- public API (http.py:63-103 get/head) -------------------------------
 
     def get(self, url: str, *, accept: str | None = None,
-            etag: str | None = None) -> HttpResponse:
-        return self._request("GET", url, accept=accept, etag=etag)
+            etag: str | None = None,
+            attempts: int | None = None) -> HttpResponse:
+        return self._request("GET", url, accept=accept, etag=etag,
+                             attempts=attempts)
 
     def head(self, url: str) -> HttpResponse:
         return self._request("HEAD", url)
@@ -143,9 +145,13 @@ class HttpSession:
     # -- retry envelope ------------------------------------------------------
 
     def _request(self, method: str, url: str, *, accept: str | None = None,
-                 etag: str | None = None) -> HttpResponse:
+                 etag: str | None = None,
+                 attempts: int | None = None) -> HttpResponse:
+        # per-call override for probes with definitive failure answers
+        # (robots.txt: a 404 means allow-all, retrying buys nothing)
+        budget = self.attempts if attempts is None else attempts
         last: Exception | None = None
-        for attempt in range(self.attempts):
+        for attempt in range(budget):
             req = urllib.request.Request(url, method=method,
                                          headers=dict(self.headers))
             if accept:
@@ -185,7 +191,7 @@ class HttpSession:
             except (urllib.error.URLError, TimeoutError, ConnectionError,
                     http.client.HTTPException, OSError) as e:
                 last = e
-            if attempt + 1 < self.attempts:
+            if attempt + 1 < budget:
                 # wait_exponential_jitter(initial, max) analogue
                 self.sleep(min(self.backoff_max,
                                self.backoff_initial * (2 ** attempt))

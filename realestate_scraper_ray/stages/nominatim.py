@@ -42,6 +42,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from ..functions.urls import slugify
+from .geo import GeocodeUnavailable
 from .http import HttpSession
 
 # Poland bbox (lat_min, lat_max, lon_min, lon_max) — the reference's
@@ -134,9 +135,11 @@ class NominatimBackend:
     def search(self, query: str) -> list[dict]:
         """One paced wire call; returns the (possibly empty) jsonv2
         record list. Transport/status failures after the session's
-        retry budget surface as an empty list — the reference swallows
-        them per-query and falls through the chain the same way
-        (gratka.py:382-383 ``except Exception: continue``)."""
+        retry budget raise ``GeocodeUnavailable`` — callers fall
+        through the query chain like the reference (gratka.py:382-383
+        ``except Exception: continue``) but must NOT cache the miss:
+        an authoritative "no result" is an empty 200 list, anything
+        else is the backend being down."""
         wait = self.min_interval_s - (self.now() - self._last_t)
         if wait > 0:
             self.sleep(wait)
@@ -151,11 +154,15 @@ class NominatimBackend:
         self._last_t = self.now()
         try:
             resp = self.session.get(url, accept="application/json")
+        except Exception as e:
+            raise GeocodeUnavailable(f"nominatim transport: {e}") from e
+        try:
             data = json.loads(resp.text())
-        except Exception:
-            return []
-        return [r for r in data if isinstance(r, dict)] \
-            if isinstance(data, list) else []
+        except ValueError as e:
+            raise GeocodeUnavailable("nominatim returned non-JSON") from e
+        if not isinstance(data, list):
+            raise GeocodeUnavailable("nominatim returned non-list JSON")
+        return [r for r in data if isinstance(r, dict)]
 
     def __call__(self, query: str) -> tuple[float, float, str] | None:
         """First plausible-in-Poland record wins; per-level term

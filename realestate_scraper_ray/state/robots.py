@@ -105,6 +105,12 @@ def parse_robots_policy(text: str, ua_token: str = "*") -> RobotsPolicy:
             if in_rules:
                 current, in_rules = [], False
             name = val.lower()
+            if not name:
+                # a blank "User-agent:" line (common malformation) must
+                # not create an ''-named group — every product token
+                # prefix-matches '', which would hijack selection away
+                # from the '*' group (its rules were dropped above)
+                continue
             current.append(name)
             groups.setdefault(name, [])
         elif key in ("disallow", "allow"):

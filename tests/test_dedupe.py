@@ -410,3 +410,29 @@ def test_similarity_join_equals_brute_force(ray_session):
     pairs = {(r, s) for r, s in zip(got.r_id, got.s_id)}
     assert (0, 1) in pairs
     assert not any(r % 2 == s % 2 for r, s in pairs)
+
+
+def test_similarity_join_integer_prefix_and_id_collision(ray_session):
+    """Two regressions. (1) Prefix length must come from the SAME
+    integer gate as verify: at τ=0.07 and n=100, float ceil(τ·n) is
+    ceil(7.000…01)=8, shortening the prefix to 93 — exactly excluding
+    the 7 shared (most-common, df=2) tokens of a minimal qualifying
+    pair, which then never co-groups. (2) R and S may have overlapping
+    id spaces: an R doc and an S doc with the SAME id are two members,
+    and their qualifying pair must be emitted."""
+    from realestate_scraper_ray.stages.dedupe import similarity_join_jaccard
+
+    words = [f"w{i}" for i in range(102)]
+    big = " ".join(words)            # 100 word-3-shingles
+    small = " ".join(words[40:49])   # 9 words → 7 shingles, all shared
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 5, 5],
+        "side": [0, 1, 0, 1],
+        "text": [big, small, "x y z q r", "x y z q r"],
+    }))
+    got = similarity_join_jaccard(ds, "text", "doc_id", "side",
+                                  threshold=0.07)
+    rows = {(r, s, i, u) for r, s, i, u in zip(
+        got.r_id, got.s_id, got.inter_n, got.union_n)}
+    assert (0, 1, 7, 100) in rows       # J = 0.07 exactly, boundary
+    assert (5, 5, 3, 3) in rows         # id collision across sides

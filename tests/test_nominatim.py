@@ -12,6 +12,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
+from realestate_scraper_ray.stages.geo import GeocodeUnavailable
+from realestate_scraper_ray.stages.http import HttpSession
 from realestate_scraper_ray.stages.nominatim import (
     NominatimBackend, nominatim_record_matches,
 )
@@ -127,12 +129,28 @@ def test_implausible_and_garbage_records_rejected(server):
     assert _backend(base)("atlantyda, polska") is None
 
 
-def test_empty_and_nonlist_responses_give_none(server):
+def test_empty_response_gives_none_nonlist_raises(server):
+    """A 200 with an empty list is an AUTHORITATIVE miss (None,
+    cacheable); a 200 whose body is not a record list is the backend
+    malfunctioning and must raise GeocodeUnavailable so the cache layer
+    skips it (a cached None never re-geocodes — permanent data loss)."""
     _, base = server
     assert _backend(base)("pusto, polska") is None
     b = NominatimBackend(base_url=base + "/notalist", min_interval_s=0.0,
                          sleep=NOSLEEP)
-    assert b("anything") is None
+    with pytest.raises(GeocodeUnavailable):
+        b("anything")
+
+
+def test_transport_failure_raises_unavailable():
+    """Connection refused (nothing listening) after the retry budget →
+    GeocodeUnavailable, not an empty result."""
+    b = NominatimBackend(base_url="http://127.0.0.1:9/search",
+                         min_interval_s=0.0, sleep=NOSLEEP,
+                         session=HttpSession(user_agent="t", attempts=1,
+                                             sleep=NOSLEEP, timeout_s=2.0))
+    with pytest.raises(GeocodeUnavailable):
+        b("wrzeszcz, gdańsk, polska")
 
 
 def test_record_matches_levels():
@@ -200,3 +218,32 @@ def test_geocoder_actor_uses_backend_and_caches(server, ray_session,
     assert [tuple(v) for v in out3] == [tuple(v) for v in out1]
     assert len(srv.seen) == 1  # warm from disk, still no wire call
     ray.kill(g2)
+
+
+def test_geocoder_actor_never_caches_an_outage(ray_session):
+    """GeocodeUnavailable from the backend answers None for THIS batch
+    but is not cached — the same query re-geocodes once the backend is
+    back, instead of being poisoned to a permanent miss."""
+    import ray
+
+    from realestate_scraper_ray.stages.geo import (
+        GeocodeUnavailable, GeocoderActor, synthetic_geocode)
+
+    class Flaky:
+        def __init__(self):
+            self.calls = 0
+
+        def __call__(self, q):
+            self.calls += 1
+            if self.calls == 1:
+                raise GeocodeUnavailable("outage")
+            return synthetic_geocode(q, 11)
+
+    g = GeocoderActor.remote(backend_factory=Flaky)
+    q = "wrzeszcz, gdańsk, polska"
+    assert ray.get(g.lookup.remote([q])) == [None]
+    out2 = ray.get(g.lookup.remote([q]))
+    assert out2[0] is not None          # retried: outage was NOT cached
+    st = ray.get(g.stats.remote())
+    assert st["misses"] == 2 and st["cached"] == 1
+    ray.kill(g)

@@ -159,3 +159,41 @@ def test_fetch_applies_rep_policy_and_crawl_delay(ray_session):
     assert abs(other - 0.2) < 1e-9
     for s in svc.shards:
         ray.kill(s)
+
+
+def test_blank_user_agent_line_never_hijacks_group_selection():
+    """A malformed blank ``User-agent:`` line must not create an
+    ''-named group — every product token prefix-matches '', which
+    would silently shadow the ``*`` group (allowing a disallowed tree,
+    or blocking the whole site if the stray group said Disallow: /)."""
+    pol = parse_robots_policy(
+        "User-agent:\nDisallow:\n\nUser-agent: *\nDisallow: /private\n",
+        "mybot")
+    assert not pol.allowed("/private/x")
+    pol2 = parse_robots_policy(
+        "User-agent:\nDisallow: /\n\nUser-agent: *\nDisallow: /private\n",
+        "mybot")
+    assert pol2.allowed("/open")
+    assert not pol2.allowed("/private/x")
+
+
+def test_crawl_delay_honored_with_cap(ray_session):
+    """A server publishing ``Crawl-delay: 86400`` widens the host floor
+    only to ``robots_max_crawl_delay`` — one hostile robots.txt must
+    not wedge the host's fetch tasks for a day per request."""
+    from realestate_scraper_ray.config import CrawlConfig, PortalConfig
+    from realestate_scraper_ray.stages.fetch import FetchParse
+    from realestate_scraper_ray.state.politeness import PolitenessService
+
+    svc = PolitenessService(n_shards=1, rps_per_host=5.0)
+    fp = FetchParse(PortalConfig(),
+                    CrawlConfig(rps_per_host=5.0, politeness_shards=1),
+                    politeness=svc)
+    fp.portal.robots_txt = lambda host: (
+        "User-agent: *\nCrawl-delay: 86400\n")
+    assert not fp._disallowed("https://pomorskie.otodom.pl/pl/oferta/a-1")
+    _, spacing = ray.get(
+        svc.shards[0].book.remote("pomorskie.otodom.pl", 1))
+    assert spacing == 60.0  # capped, not the server's day-long ask
+    for s in svc.shards:
+        ray.kill(s)
