@@ -5196,10 +5196,14 @@ CANONICAL_FIRST: list[str] = [
     "promo_revenue_share",
     # event windows / streaming / iterative / incremental semantics
     # (range-join demoted r3: the window/join family already holds five
-    # prefix rows; the iterative + incremental families held none)
+    # prefix rows; the iterative + incremental families held none.
+    # events_global_rank demoted r4 — the window family keeps
+    # sessionize/asof/hourly — for the round's new set-similarity JOIN
+    # family, which had no driver-visible row at all)
     "events_hourly_window", "events_sessionize", "events_asof_purchase",
-    "events_global_rank", "events_interleaved_docs",
+    "events_interleaved_docs",
     "graph_pagerank", "events_incremental_hourly",
+    "similarity_join_jaccard",
     # crawl extraction kernels (M1..M31 families)
     # (polish_number_coercion demoted r3 — five extraction kernels stay)
     "url_canonicalize", "offer_id_extract",
