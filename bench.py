@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "cms_point_frequency",
     "text_normalize", "documents_jsonl_roundtrip",
     "similarity_join_jaccard", "events_rollup_counts",
+    "graph_triangles",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

@@ -4465,6 +4465,70 @@ def graph_pagerank(sf_dir: str) -> rd.Dataset:
     return _as_arrow(pagerank(_event_bipartite_edges(sf_dir), n_iter=10))
 
 
+_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+credit AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node AS part_id, COUNT(*) AS n_tri
+FROM credit GROUP BY node
+ORDER BY n_tri DESC, part_id LIMIT 20
+"""
+
+
+@query("graph_triangles", _TRIANGLES_SQL)
+def graph_triangles(sf_dir: str) -> rd.Dataset:
+    """Top-20 parts by triangle participation in the co-purchase graph
+    (parts sharing an order = an edge). Engine: `stages/graph.py
+    triangle_counts` — degree-ordered orientation (Suri &
+    Vassilvitskii WWW'11), coarse-bucket wedge generation, co-grouped
+    wedge closing, combiner-first credit sum. The SQL oracle counts
+    the same triangles by id-ordering (the triangle SET is
+    orientation-invariant)."""
+    from ..stages.graph import triangle_counts
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nb = 32
+
+    def _tag(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        from ..stages.graph import _h
+        return pa.table({
+            "bo": (_h(o) % np.uint64(nb)).astype(np.int32),
+            "o": o.astype(np.int64),
+            "p": pc.cast(t["l_partkey"], pa.int64())})
+
+    def _copairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one orderkey bucket: distinct (order, part), vectorized
+        # all-pairs within each order's contiguous run
+        from ..stages.graph import _pairs_within_runs
+        g = g.drop_duplicates(["o", "p"]) \
+             .sort_values(["o", "p"], kind="stable", ignore_index=True)
+        fi, si = _pairs_within_runs(g["o"].to_numpy())
+        if len(fi) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        p = g["p"].to_numpy()
+        return pd.DataFrame({"id_a": p[fi], "id_b": p[si]})
+
+    edges = (li.map_batches(_tag, batch_format="pyarrow")
+             .groupby("bo").map_groups(_copairs, batch_format="pandas"))
+    counts = triangle_counts(edges, "id_a", "id_b")
+    top = counts.sort(["n_tri", "node"], descending=[True, False]) \
+                .limit(20)
+    return _as_arrow(top.map_batches(
+        lambda t: pa.table({"part_id": t["node"], "n_tri": t["n_tri"]}),
+        batch_format="pyarrow"))
+
+
 _INC_HOURLY_SQL = """
 SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type,
        COUNT(*) AS n,

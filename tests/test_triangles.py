@@ -1,0 +1,58 @@
+"""triangle_counts (stages/graph.py): per-node triangle participation
+via degree-ordered orientation + wedge closing, vs numpy brute force."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from realestate_scraper_ray.stages.graph import (
+    _pairs_within_runs, triangle_counts)
+
+
+def _brute(edges: set[tuple[int, int]]) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out: dict[int, int] = {}
+    nodes = sorted(adj)
+    for x in nodes:
+        for y in (n for n in adj[x] if n > x):
+            for z in (n for n in (adj[x] & adj[y]) if n > y):
+                for v in (x, y, z):
+                    out[v] = out.get(v, 0) + 1
+    return out
+
+
+def test_pairs_within_runs_vectorized():
+    key = np.array([1, 1, 1, 4, 4, 9])
+    fi, si = _pairs_within_runs(key)
+    pairs = sorted(zip(fi.tolist(), si.tolist()))
+    assert pairs == [(0, 1), (0, 2), (1, 2), (3, 4)]
+    fi0, si0 = _pairs_within_runs(np.array([], dtype=np.int64))
+    assert len(fi0) == 0 and len(si0) == 0
+
+
+def test_triangle_counts_equals_brute_force(ray_session):
+    rng = np.random.default_rng(7)
+    n, m = 60, 400
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    edges = {(int(min(x, y)), int(max(x, y))) for x, y in zip(a, b)}
+    # a deliberate hub (node 0 linked to everyone) exercises the
+    # degree-orientation path where the hub generates NO wedges
+    edges |= {(0, i) for i in range(1, n)}
+    exp = _brute(edges)
+
+    # feed duplicates + reversed orientation: the op dedups internally
+    ds = rd.from_arrow(pa.table({
+        "id_a": [e[1] for e in edges] + [e[0] for e in edges],
+        "id_b": [e[0] for e in edges] + [e[1] for e in edges],
+    }))
+    got = triangle_counts(ds, "id_a", "id_b", n_buckets=8)
+    got_d = {r["node"]: r["n_tri"] for r in got.take_all()}
+    assert got_d == exp
+    # sanity: the construction actually produced triangles
+    assert sum(exp.values()) % 3 == 0 and sum(exp.values()) > 0
