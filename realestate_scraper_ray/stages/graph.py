@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
@@ -438,49 +439,67 @@ def _pairs_within_runs(runkey: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def triangle_counts(edges: rd.Dataset, col_a: str = "id_a",
                     col_b: str = "id_b", *, n_buckets: int = 32,
-                    num_partitions: int = 8) -> rd.Dataset:
+                    num_partitions: int = 8,
+                    small_keys_bytes: int = 64 << 20) -> rd.Dataset:
     """Per-node triangle participation counts over an undirected simple
     graph → Dataset (node:int64, n_tri:int64), nodes in ≥1 triangle.
 
     Input: one row per undirected edge, ``col_a != col_b``, duplicates
-    allowed (deduped here); node ids must fit 31 bits (remap upstream
-    otherwise — the rank key packs (degree, id) into one int64).
+    allowed (deduped here); node ids must fit 31 bits and be ≥0 (remap
+    upstream otherwise — the rank key packs (degree, id) into one
+    int64, and edge keys pack (v, w) the same way).
 
     Plan — the MapReduce wedge-check algorithm (Suri & Vassilvitskii,
     "Counting Triangles and the Curse of the Last Reducer", WWW'11)
     with degree-ordered orientation:
 
-      1. degree per node: per-batch ``np.unique`` partials + one small
+      1. distinct edges: canonicalize (lo, hi), per-batch local dedup,
+         then ONE exchange keyed by an int32 hash bucket of the packed
+         edge key with a per-bucket dedup (no composite-key groupby).
+      2. degree per node: per-batch ``np.unique`` partials + one small
          ``groupby`` sum (combiner-first).
-      2. attach d(a), d(b) with two adaptive lookup joins
+      3. attach d(a), d(b) with two adaptive lookup joins
          (``stages/joins.py``: broadcast ≤64 MiB, hash join above);
          orient each edge u→v where rank=(d,id) of u is smaller —
          every forward adjacency is O(√2m), which bounds wedge volume
          at O(m^1.5) instead of O(Σd²) (the "last reducer" hub blowup).
-      3. wedge generation: coarse hash-bucket exchange on u, one
-         vectorized pass per bucket emits every forward pair
-         (v, w) [rank v < rank w] via ``_pairs_within_runs``.
-      4. wedge closing: wedges and oriented edges co-group on
-         bucket(v, w); one pandas merge per bucket keeps wedges whose
-         (v, w) is itself an edge — each match is one triangle
-         (u, v, w), found exactly once (from its min-rank vertex).
-      5. credit: every triangle counts for all three vertices —
-         per-batch partials + one ``groupby`` sum.
+      4. wedges + closing, ADAPTIVE on the packed-edge-key set size:
+         *small* (≤``small_keys_bytes``: 8 bytes/edge, so 64 MiB ≈ 8M
+         edges): broadcast the sorted key array once (``ray.put``) and
+         close every wedge INSIDE its generation task with one
+         ``searchsorted`` — the O(m^1.5) wedge stream never enters the
+         object store. *large*: wedges (bk, key, u) and edge keys
+         (bk, key, u=-1) co-group on bucket(key); one vectorized
+         ``searchsorted`` per bucket. Each triangle is found exactly
+         once (the wedge from its min-rank vertex).
+      5. credit: every triangle counts for all three vertices — the
+         closing task folds its matches to per-node partials
+         (``np.unique``), then one final small ``groupby`` sum.
     """
     from ray.data.aggregate import Sum as _Sum
 
     from .joins import lookup_join
 
+    _SH = np.int64(31)
+    _MASK = np.int64((1 << 31) - 1)
+
     def _dedup(t: pa.Table) -> pa.Table:
         lo = pc.min_element_wise(t[col_a], t[col_b])
         hi = pc.max_element_wise(t[col_a], t[col_b])
-        return (pa.table({"a": pc.cast(lo, pa.int64()),
-                          "b": pc.cast(hi, pa.int64())})
-                .group_by(["a", "b"]).aggregate([]))
+        key = np.unique(
+            (lo.to_numpy(zero_copy_only=False).astype(np.int64) << _SH)
+            | hi.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "be": (_h(key) % np.uint64(n_buckets)).astype(np.int32),
+            "key": key})
 
-    e = edges.map_batches(_dedup, batch_format="pyarrow") \
-             .groupby(["a", "b"]).aggregate(Min("a", alias_name="_m")) \
-             .select_columns(["a", "b"])
+    def _bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["key"].to_numpy())
+        return pd.DataFrame({"a": key >> _SH, "b": key & _MASK})
+
+    e = (edges.map_batches(_dedup, batch_format="pyarrow")
+         .groupby("be").map_groups(_bucket_distinct, batch_format="pandas")
+         .materialize())  # read by degree pass, orient pass, key pull
 
     def _endpoints(t: pa.Table) -> pa.Table:
         both = np.concatenate([
@@ -490,24 +509,21 @@ def triangle_counts(edges: rd.Dataset, col_a: str = "id_a",
         return pa.table({"node": node.astype(np.int64),
                          "d": cnt.astype(np.int64)})
 
-    e = e.materialize()  # degree pass + orient pass both read it
     deg = (e.map_batches(_endpoints, batch_format="pyarrow")
-           .groupby("node").aggregate(_Sum("d", alias_name="d")))
+           .groupby("node").aggregate(_Sum("d", alias_name="d"))
+           .materialize())
 
     def _ren(nc: str, dc: str):
         def f(t: pa.Table) -> pa.Table:
             return pa.table({nc: t["node"], dc: t["d"]})
         return f
 
-    deg = deg.materialize()
     ea = lookup_join(e, deg.map_batches(_ren("na", "da"),
                                         batch_format="pyarrow"),
                      "a", "na", ["da"], num_partitions=num_partitions)
     eab = lookup_join(ea, deg.map_batches(_ren("nb", "db"),
                                           batch_format="pyarrow"),
                       "b", "nb", ["db"], num_partitions=num_partitions)
-
-    _SH = np.int64(31)
 
     def _orient(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -525,69 +541,98 @@ def triangle_counts(edges: rd.Dataset, col_a: str = "id_a",
             "bu": (_h(u) % np.uint64(n_buckets)).astype(np.int32)})
 
     oriented = eab.map_batches(_orient, batch_format="pyarrow") \
-                  .materialize()  # wedge source AND closing side
+                  .materialize()
 
-    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
-        # one bucket of u-values; pairs within each u's forward
-        # adjacency, second endpoint ordered by rank so the wedge key
-        # (v, w) matches the closing edge's orientation exactly
+    n_edges = oriented.count()
+
+    def _partial_credit(x: np.ndarray, key: np.ndarray) -> pd.DataFrame:
+        # fold this task's triangle matches (x = wedge apex u,
+        # key = packed (v, w)) into per-node count partials
+        allv = np.concatenate([x, key >> _SH, key & _MASK])
+        node, cnt = np.unique(allv, return_counts=True)
+        return pd.DataFrame({"node": node.astype(np.int64),
+                             "n_tri": cnt.astype(np.int64)})
+
+    _EMPTY = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                           "n_tri": pd.Series(dtype="int64")})
+
+    def _wedge_keys(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        # (apex u, packed wedge key (v, w) with rank v < rank w)
         g = g.sort_values(["u", "rkv"], kind="stable", ignore_index=True)
         fi, si = _pairs_within_runs(g["u"].to_numpy())
         if len(fi) == 0:
-            return pd.DataFrame({"v": pd.Series(dtype="int64"),
-                                 "w": pd.Series(dtype="int64"),
-                                 "u": pd.Series(dtype="int64")})
+            return (np.empty(0, dtype=np.int64),) * 2
         vv = g["v"].to_numpy()
-        return pd.DataFrame({"v": vv[fi], "w": vv[si],
-                             "u": g["u"].to_numpy()[fi]})
+        return g["u"].to_numpy()[fi], (vv[fi] << _SH) | vv[si]
 
-    def _key_bucket(v: np.ndarray, w: np.ndarray) -> np.ndarray:
-        return ((_h(v) ^ (_h(w) >> np.uint64(1)))
-                % np.uint64(n_buckets)).astype(np.int32)
+    if n_edges * 8 <= small_keys_bytes:
+        # broadcast-close: the packed edge-key set rides the object
+        # store ONCE; the wedge stream never does
+        keys_sorted = np.sort(np.concatenate([
+            (np.asarray(t["u"], dtype=np.int64) << _SH)
+            | np.asarray(t["v"], dtype=np.int64)
+            for t in ray.get(oriented.to_arrow_refs())
+            if t.num_rows] or [np.empty(0, dtype=np.int64)]))
+        keys_ref = ray.put(keys_sorted)
 
-    def _tag_wedges(t: pa.Table) -> pa.Table:
-        v = t["v"].to_numpy(zero_copy_only=False)
-        w = t["w"].to_numpy(zero_copy_only=False)
-        return pa.table({"bk": _key_bucket(v, w), "v": v, "w": w,
-                         "u": t["u"],
-                         "side": np.zeros(len(v), dtype=np.int8)})
+        def _wedge_close(g: pd.DataFrame) -> pd.DataFrame:
+            u, wkey = _wedge_keys(g)
+            if len(wkey) == 0:
+                return _EMPTY
+            ks = ray.get(keys_ref)
+            pos = np.searchsorted(ks, wkey)
+            hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)]
+                                     == wkey)
+            if not hit.any():
+                return _EMPTY
+            return _partial_credit(u[hit], wkey[hit])
 
-    def _tag_edges(t: pa.Table) -> pa.Table:
-        v = t["u"].to_numpy(zero_copy_only=False)
-        w = t["v"].to_numpy(zero_copy_only=False)
-        return pa.table({"bk": _key_bucket(v, w), "v": v, "w": w,
-                         "u": np.full(len(v), -1, dtype=np.int64),
-                         "side": np.ones(len(v), dtype=np.int8)})
+        partials = (oriented.groupby("bu")
+                    .map_groups(_wedge_close, batch_format="pandas"))
+    else:
+        # scale path: wedges and edge keys co-group on bucket(key)
+        def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+            u, wkey = _wedge_keys(g)
+            return pd.DataFrame({
+                "bk": (_h(wkey) % np.uint64(n_buckets)).astype(np.int32),
+                "key": wkey, "u": u})
 
-    wedges = (oriented.groupby("bu")
-              .map_groups(_wedges, batch_format="pandas")
-              .map_batches(_tag_wedges, batch_format="pyarrow"))
-    closing = oriented.map_batches(_tag_edges, batch_format="pyarrow")
+        def _tag_edges(t: pa.Table) -> pd.DataFrame:
+            # pandas, matching the _wedges side: a union of mixed block
+            # types breaks downstream iteration
+            key = ((np.asarray(t["u"], dtype=np.int64) << _SH)
+                   | np.asarray(t["v"], dtype=np.int64))
+            return pd.DataFrame({
+                "bk": (_h(key) % np.uint64(n_buckets)).astype(np.int32),
+                "key": key,
+                "u": np.full(len(key), -1, dtype=np.int64)})
 
-    def _close(g: pd.DataFrame) -> pd.DataFrame:
-        we = g[g["side"] == 0]
-        ed = g[g["side"] == 1]
-        if len(we) == 0 or len(ed) == 0:
-            return pd.DataFrame({"x": pd.Series(dtype="int64"),
-                                 "y": pd.Series(dtype="int64"),
-                                 "z": pd.Series(dtype="int64")})
-        m = we.merge(ed[["v", "w"]], on=["v", "w"], how="inner")
-        return pd.DataFrame({"x": m["u"].astype("int64"),
-                             "y": m["v"].astype("int64"),
-                             "z": m["w"].astype("int64")})
+        both = (oriented.groupby("bu")
+                .map_groups(_wedges, batch_format="pandas")
+                .union(oriented.map_batches(_tag_edges,
+                                            batch_format="pyarrow")))
 
-    tri = (wedges.union(closing).groupby("bk")
-           .map_groups(_close, batch_format="pandas"))
+        def _close(g: pd.DataFrame) -> pd.DataFrame:
+            u = g["u"].to_numpy()
+            key = g["key"].to_numpy()
+            is_edge = u == -1  # node ids are ≥0 by contract
+            ks = np.sort(key[is_edge])
+            wu, wk = u[~is_edge], key[~is_edge]
+            if len(ks) == 0 or len(wk) == 0:
+                return _EMPTY
+            pos = np.searchsorted(ks, wk)
+            hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)]
+                                     == wk)
+            if not hit.any():
+                return _EMPTY
+            return _partial_credit(wu[hit], wk[hit])
 
-    def _credit(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "x" not in t.column_names:
-            return pa.table({"node": pa.array([], pa.int64()),
-                             "n_tri": pa.array([], pa.int64())})
-        allv = np.concatenate([t[c].to_numpy(zero_copy_only=False)
-                               for c in ("x", "y", "z")])
-        node, cnt = np.unique(allv, return_counts=True)
-        return pa.table({"node": node.astype(np.int64),
-                         "n_tri": cnt.astype(np.int64)})
+        partials = both.groupby("bk").map_groups(_close,
+                                                 batch_format="pandas")
 
-    return (tri.map_batches(_credit, batch_format="pyarrow")
+    return (partials.map_batches(
+                lambda t: t if t.num_rows else pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "n_tri": pa.array([], pa.int64())}),
+                batch_format="pyarrow")
             .groupby("node").aggregate(_Sum("n_tri", alias_name="n_tri")))

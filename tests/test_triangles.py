@@ -56,3 +56,20 @@ def test_triangle_counts_equals_brute_force(ray_session):
     assert got_d == exp
     # sanity: the construction actually produced triangles
     assert sum(exp.values()) % 3 == 0 and sum(exp.values()) > 0
+
+
+def test_triangle_counts_cogroup_scale_path(ray_session):
+    """Force the above-cap co-group closing path (small_keys_bytes=0):
+    identical result to the broadcast-close default."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 40, 300)
+    b = rng.integers(0, 40, 300)
+    keep = a != b
+    edges = {(int(min(x, y)), int(max(x, y)))
+             for x, y in zip(a[keep], b[keep])}
+    exp = _brute(edges)
+    ds = rd.from_arrow(pa.table({"id_a": [e[0] for e in edges],
+                                 "id_b": [e[1] for e in edges]}))
+    got = triangle_counts(ds, "id_a", "id_b", n_buckets=8,
+                          small_keys_bytes=0)
+    assert {r["node"]: r["n_tri"] for r in got.take_all()} == exp
