@@ -456,23 +456,28 @@ def triangle_counts(edges: rd.Dataset, col_a: str = "id_a",
       1. distinct edges: canonicalize (lo, hi), per-batch local dedup,
          then ONE exchange keyed by an int32 hash bucket of the packed
          edge key with a per-bucket dedup (no composite-key groupby).
-      2. degree per node: per-batch ``np.unique`` partials + one small
-         ``groupby`` sum (combiner-first).
-      3. attach d(a), d(b) with two adaptive lookup joins
-         (``stages/joins.py``: broadcast ≤64 MiB, hash join above);
-         orient each edge u→v where rank=(d,id) of u is smaller —
-         every forward adjacency is O(√2m), which bounds wedge volume
-         at O(m^1.5) instead of O(Σd²) (the "last reducer" hub blowup).
-      4. wedges + closing, ADAPTIVE on the packed-edge-key set size:
-         *small* (≤``small_keys_bytes``: 8 bytes/edge, so 64 MiB ≈ 8M
-         edges): broadcast the sorted key array once (``ray.put``) and
-         close every wedge INSIDE its generation task with one
-         ``searchsorted`` — the O(m^1.5) wedge stream never enters the
-         object store. *large*: wedges (bk, key, u) and edge keys
-         (bk, key, u=-1) co-group on bucket(key); one vectorized
-         ``searchsorted`` per bucket. Each triangle is found exactly
-         once (the wedge from its min-rank vertex).
-      5. credit: every triangle counts for all three vertices — the
+      2. ADAPTIVE on the distinct-edge-key set size (8 bytes/edge, so
+         the default 64 MiB cap ≈ 8M edges — same cap discipline as
+         the components driver union-find):
+         *small*: pull the distinct edges once (≤3×cap driver heap),
+         compute degrees / degree-ordered orientation / the sorted
+         packed-key closing array in one numpy pass, ``ray.put`` the
+         adjacency ONCE, and fan the wedge work back out as u-range
+         tasks balanced by Σ C(run,2) wedge cost — the O(m^1.5) wedge
+         stream is generated AND closed (one ``searchsorted``) inside
+         each task; no degree groupby, no lookup join, no sort
+         shuffle.
+         *large*: degree per node via per-batch ``np.unique``
+         partials + one small ``groupby`` sum; attach d(a), d(b) with
+         two adaptive lookup joins (``stages/joins.py``); orient each
+         edge u→v where rank=(d,id) of u is smaller — every forward
+         adjacency is O(√2m), which bounds wedge volume at O(m^1.5)
+         instead of O(Σd²) (the "last reducer" hub blowup); wedges
+         (bk, key, u) and edge keys (bk, key, u=-1) co-group on
+         bucket(key); one vectorized ``searchsorted`` per bucket.
+         Each triangle is found exactly once (the wedge from its
+         min-rank vertex).
+      3. credit: every triangle counts for all three vertices — the
          closing task folds its matches to per-node partials
          (``np.unique``), then one final small ``groupby`` sum.
     """
@@ -499,51 +504,9 @@ def triangle_counts(edges: rd.Dataset, col_a: str = "id_a",
 
     e = (edges.map_batches(_dedup, batch_format="pyarrow")
          .groupby("be").map_groups(_bucket_distinct, batch_format="pandas")
-         .materialize())  # read by degree pass, orient pass, key pull
+         .materialize())  # read by both adaptive branches below
 
-    def _endpoints(t: pa.Table) -> pa.Table:
-        both = np.concatenate([
-            t["a"].to_numpy(zero_copy_only=False),
-            t["b"].to_numpy(zero_copy_only=False)])
-        node, cnt = np.unique(both, return_counts=True)
-        return pa.table({"node": node.astype(np.int64),
-                         "d": cnt.astype(np.int64)})
-
-    deg = (e.map_batches(_endpoints, batch_format="pyarrow")
-           .groupby("node").aggregate(_Sum("d", alias_name="d"))
-           .materialize())
-
-    def _ren(nc: str, dc: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({nc: t["node"], dc: t["d"]})
-        return f
-
-    ea = lookup_join(e, deg.map_batches(_ren("na", "da"),
-                                        batch_format="pyarrow"),
-                     "a", "na", ["da"], num_partitions=num_partitions)
-    eab = lookup_join(ea, deg.map_batches(_ren("nb", "db"),
-                                          batch_format="pyarrow"),
-                      "b", "nb", ["db"], num_partitions=num_partitions)
-
-    def _orient(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rka = (t["da"].to_numpy(zero_copy_only=False).astype(np.int64)
-               << _SH) | a
-        rkb = (t["db"].to_numpy(zero_copy_only=False).astype(np.int64)
-               << _SH) | b
-        swap = rkb < rka
-        u = np.where(swap, b, a)
-        v = np.where(swap, a, b)
-        rkv = np.where(swap, rka, rkb)
-        return pa.table({
-            "u": u, "v": v, "rkv": rkv,
-            "bu": (_h(u) % np.uint64(n_buckets)).astype(np.int32)})
-
-    oriented = eab.map_batches(_orient, batch_format="pyarrow") \
-                  .materialize()
-
-    n_edges = oriented.count()
+    n_edges = e.count()
 
     def _partial_credit(x: np.ndarray, key: np.ndarray) -> pd.DataFrame:
         # fold this task's triangle matches (x = wedge apex u,
@@ -556,41 +519,139 @@ def triangle_counts(edges: rd.Dataset, col_a: str = "id_a",
     _EMPTY = pd.DataFrame({"node": pd.Series(dtype="int64"),
                            "n_tri": pd.Series(dtype="int64")})
 
-    def _wedge_keys(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        # (apex u, packed wedge key (v, w) with rank v < rank w)
-        g = g.sort_values(["u", "rkv"], kind="stable", ignore_index=True)
-        fi, si = _pairs_within_runs(g["u"].to_numpy())
-        if len(fi) == 0:
-            return (np.empty(0, dtype=np.int64),) * 2
-        vv = g["v"].to_numpy()
-        return g["u"].to_numpy()[fi], (vv[fi] << _SH) | vv[si]
-
     if n_edges * 8 <= small_keys_bytes:
-        # broadcast-close: the packed edge-key set rides the object
-        # store ONCE; the wedge stream never does
-        keys_sorted = np.sort(np.concatenate([
-            (np.asarray(t["u"], dtype=np.int64) << _SH)
-            | np.asarray(t["v"], dtype=np.int64)
-            for t in ray.get(oriented.to_arrow_refs())
-            if t.num_rows] or [np.empty(0, dtype=np.int64)]))
-        keys_ref = ray.put(keys_sorted)
+        # small path: one driver numpy pass over the distinct edges
+        # (≤3×cap heap), then a balanced task fan-out over a broadcast
+        # adjacency — the O(m^1.5) wedge stream is generated AND
+        # closed inside each task and never enters the object store
+        tabs = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return rd.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "n_tri": pa.array([], pa.int64())}))
+        a = np.concatenate([t["a"].to_numpy(zero_copy_only=False)
+                            for t in tabs]).astype(np.int64)
+        b = np.concatenate([t["b"].to_numpy(zero_copy_only=False)
+                            for t in tabs]).astype(np.int64)
+        node, inv = np.unique(np.concatenate([a, b]),
+                              return_inverse=True)
+        d = np.bincount(inv).astype(np.int64)
+        rka = (d[inv[:len(a)]] << _SH) | a
+        rkb = (d[inv[len(a):]] << _SH) | b
+        swap = rkb < rka
+        u = np.where(swap, b, a)
+        v = np.where(swap, a, b)
+        rkv = np.where(swap, rka, rkb)
+        ordr = np.lexsort((rkv, u))   # by u, rank(v) within u's run
+        u, v = u[ordr], v[ordr]
+        keys_sorted = np.sort((u << _SH) | v)
+        # chunk at u-run boundaries, balanced by Σ C(run, 2) wedge cost
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, len(u)])
+        cum = np.cumsum(lens * (lens - 1) // 2)
+        n_chunks = int(max(1, min(4 * n_buckets, len(starts))))
+        cuts = np.unique(np.searchsorted(
+            cum, np.arange(1, n_chunks) * (cum[-1] / n_chunks),
+            side="right"))
+        bounds = np.r_[0, starts[cuts[cuts < len(starts)]], len(u)]
+        shared = ray.put((u, v, keys_sorted))
 
-        def _wedge_close(g: pd.DataFrame) -> pd.DataFrame:
-            u, wkey = _wedge_keys(g)
-            if len(wkey) == 0:
-                return _EMPTY
-            ks = ray.get(keys_ref)
-            pos = np.searchsorted(ks, wkey)
-            hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)]
-                                     == wkey)
-            if not hit.any():
-                return _EMPTY
-            return _partial_credit(u[hit], wkey[hit])
+        def _wedge_close(batch: pd.DataFrame) -> pd.DataFrame:
+            uu, vv, ks = ray.get(shared)
+            outs = []
+            for s, t in zip(batch["s"], batch["e"]):
+                fi, si = _pairs_within_runs(uu[s:t])
+                if len(fi) == 0:
+                    continue
+                wkey = (vv[s:t][fi] << _SH) | vv[s:t][si]
+                pos = np.searchsorted(ks, wkey)
+                hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)]
+                                         == wkey)
+                if hit.any():
+                    outs.append(_partial_credit(uu[s:t][fi][hit],
+                                                wkey[hit]))
+            return (pd.concat(outs, ignore_index=True) if outs
+                    else _EMPTY)
 
-        partials = (oriented.groupby("bu")
-                    .map_groups(_wedge_close, batch_format="pandas"))
+        partials = (rd.from_items(
+            [{"s": int(s), "e": int(t)}
+             for s, t in zip(bounds[:-1], bounds[1:]) if t > s])
+            .map_batches(_wedge_close, batch_size=1,
+                         batch_format="pandas")).materialize()
+        # final credit sum driver-side: ≤ n_chunks × |nodes| partial
+        # rows under the cap — Ray's sort-based aggregate costs
+        # seconds of fixed overhead at this size
+        ptabs = [t for t in ray.get(partials.to_arrow_refs())
+                 if t.num_rows]
+        if not ptabs:
+            return rd.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "n_tri": pa.array([], pa.int64())}))
+        pn = np.concatenate([t["node"].to_numpy(zero_copy_only=False)
+                             for t in ptabs])
+        pt = np.concatenate([t["n_tri"].to_numpy(zero_copy_only=False)
+                             for t in ptabs])
+        nd, inv2 = np.unique(pn, return_inverse=True)
+        sums = np.bincount(inv2, weights=pt).astype(np.int64)
+        return rd.from_arrow(pa.table({"node": nd.astype(np.int64),
+                                       "n_tri": sums}))
     else:
-        # scale path: wedges and edge keys co-group on bucket(key)
+        # scale path: distributed degrees + orientation, then wedges
+        # and edge keys co-group on bucket(key)
+        def _endpoints(t: pa.Table) -> pa.Table:
+            both = np.concatenate([
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False)])
+            node, cnt = np.unique(both, return_counts=True)
+            return pa.table({"node": node.astype(np.int64),
+                             "d": cnt.astype(np.int64)})
+
+        deg = (e.map_batches(_endpoints, batch_format="pyarrow")
+               .groupby("node").aggregate(_Sum("d", alias_name="d"))
+               .materialize())
+
+        def _ren(nc: str, dc: str):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({nc: t["node"], dc: t["d"]})
+            return f
+
+        ea = lookup_join(e, deg.map_batches(_ren("na", "da"),
+                                            batch_format="pyarrow"),
+                         "a", "na", ["da"],
+                         num_partitions=num_partitions)
+        eab = lookup_join(ea, deg.map_batches(_ren("nb", "db"),
+                                              batch_format="pyarrow"),
+                          "b", "nb", ["db"],
+                          num_partitions=num_partitions)
+
+        def _orient(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rka = (t["da"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64) << _SH) | a
+            rkb = (t["db"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64) << _SH) | b
+            swap = rkb < rka
+            u = np.where(swap, b, a)
+            v = np.where(swap, a, b)
+            rkv = np.where(swap, rka, rkb)
+            return pa.table({
+                "u": u, "v": v, "rkv": rkv,
+                "bu": (_h(u) % np.uint64(n_buckets)).astype(np.int32)})
+
+        oriented = eab.map_batches(_orient, batch_format="pyarrow") \
+                      .materialize()
+
+        def _wedge_keys(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+            # (apex u, packed wedge key (v, w) with rank v < rank w)
+            g = g.sort_values(["u", "rkv"], kind="stable",
+                              ignore_index=True)
+            fi, si = _pairs_within_runs(g["u"].to_numpy())
+            if len(fi) == 0:
+                return (np.empty(0, dtype=np.int64),) * 2
+            vv = g["v"].to_numpy()
+            return g["u"].to_numpy()[fi], (vv[fi] << _SH) | vv[si]
+
         def _wedges(g: pd.DataFrame) -> pd.DataFrame:
             u, wkey = _wedge_keys(g)
             return pd.DataFrame({
