@@ -432,12 +432,13 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
     candidate generator whose group sizes are bounded by rare-token
     document frequency rather than by length-bucket population.
 
-    Plan (3 shuffles, all key-sized):
+    Plan (ONE shuffle — the prefix-token groupby):
       1. token document frequency — per-batch distinct-token combiner,
-         one vocabulary-sized groupby-sum; the (df, token)-ascending
-         rank is broadcast once via ``ray.put`` (u64 token hashes +
-         int ranks; at 100 TB swap for a hash join of ranks onto
-         exploded prefix tokens — same plan shape, noted not built).
+         vocab-sized partials summed driver-side (the rank table is
+         driver-resident anyway since it is broadcast via ``ray.put``);
+         u64 token hashes + int ranks; at 100 TB swap for a hash join
+         of ranks onto exploded prefix tokens — same plan shape, noted
+         not built.
       2. each doc emits its prefix tokens (p = n − ⌈τ·n⌉ + 1 rarest
          tokens; any qualifying pair must share ≥1 — the AllPairs
          bound) carrying (side, id, n, sorted-distinct-hash blob);
@@ -446,7 +447,9 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
          intersection counting over the member blobs (shared-token
          runs emit pair counts — O(occurrences), never O(n²·set)),
          cross-side pairs only, integer-exact τ gate; a pair verified
-         in several groups dedups in a final ints-only groupby.
+         in several groups carries identical exact counts, so the
+         cross-group dedup is a drop_duplicates on the driver-side
+         (output-sized) result frame.
 
     Returns (r_id, s_id, inter_n, union_n) with
     inter·1000 ≥ ⌈τ·1000⌉·union — integer-exact against a SQL oracle.
@@ -469,12 +472,25 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
         return pa.table({"tok": tok.view(np.int64),
                          "df": cnt.astype(np.int64)})
 
-    from ray.data.aggregate import Sum
-    dft = pa.Table.from_pylist(
+    # combine the per-batch df partials driver-side: the rank table is
+    # ALREADY driver-resident (it is broadcast via ray.put below), so
+    # summing vocab-sized partials here adds no new scale assumption
+    # while skipping Ray's sort-based aggregate — seconds of fixed
+    # overhead on ~vocab×n_blocks partial rows (same idiom as the
+    # triangle-count small path, graph.py)
+    ptabs = [t for t in ray.get(
         ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("tok").aggregate(Sum("df", alias_name="df")).take_all())
-    toks = np.asarray(dft["tok"], dtype=np.int64)
-    dfs = np.asarray(dft["df"], dtype=np.int64)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if ptabs:
+        ptok = np.concatenate(
+            [t["tok"].to_numpy(zero_copy_only=False) for t in ptabs])
+        pdfc = np.concatenate(
+            [t["df"].to_numpy(zero_copy_only=False) for t in ptabs])
+        toks, inv = np.unique(ptok, return_inverse=True)
+        dfs = np.bincount(inv, weights=pdfc).astype(np.int64)
+    else:
+        toks = np.empty(0, dtype=np.int64)
+        dfs = np.empty(0, dtype=np.int64)
     # rank 0 = rarest; ties by token hash for a total order shared by
     # every worker. Stored token-sorted so lookups are one searchsorted.
     order = np.lexsort((toks, dfs))
@@ -567,18 +583,22 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
             "inter_n": inter.astype(np.int64),
             "union_n": union.astype(np.int64)})
 
-    out = (ds.map_batches(emit_prefix, batch_format="pyarrow")
-           .groupby("ptok")
-           .map_groups(group_verify, batch_format="pandas")
-           .groupby(["r_id", "s_id"])
-           .aggregate(Min("inter_n", alias_name="inter_n"),
-                      Min("union_n", alias_name="union_n"))
-           .to_pandas())
-    if out.empty:
+    # the result is returned driver-side regardless; a pair verified in
+    # several prefix groups carries IDENTICAL exact (inter_n, union_n)
+    # in each, so the cross-group dedup is a plain drop_duplicates on
+    # the output-sized frame — no sort-based Min aggregate needed
+    vtabs = [t for t in ray.get(
+        ds.map_batches(emit_prefix, batch_format="pyarrow")
+        .groupby("ptok")
+        .map_groups(group_verify, batch_format="pandas")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not vtabs:
         return pd.DataFrame({"r_id": pd.Series([], dtype="int64"),
                              "s_id": pd.Series([], dtype="int64"),
                              "inter_n": pd.Series([], dtype="int64"),
                              "union_n": pd.Series([], dtype="int64")})
+    out = (pa.concat_tables(vtabs).to_pandas()
+           .drop_duplicates(["r_id", "s_id"]))
     return (out.astype("int64").sort_values(["r_id", "s_id"])
             .reset_index(drop=True))
 
