@@ -4753,14 +4753,17 @@ def interleaved_span_dedup(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id",
                                 "event_type", "props"])
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        return pd.DataFrame({
-            "user_id": g["user_id"],
-            "kind": g["event_type"], "props": g["props"],
-            "off": np.arange(len(g), dtype=np.int64)})
+    def rank(t: pa.Table) -> pa.Table:
+        # whole bucket in one polars pass: per-user span position =
+        # row rank within user after the (ts, event_id) sort
+        df = (pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+              .with_columns(pl.int_range(pl.len()).over("user_id")
+                            .cast(pl.Int64).alias("off")))
+        return df.select([
+            "user_id", pl.col("event_type").alias("kind"),
+            "props", "off"]).to_arrow()
 
-    flat = ds.groupby("user_id").map_groups(rank, batch_format="pandas")
+    flat = _bucketed_groups(ds, "user_id", rank)
 
     def add_keys(t: pa.Table) -> pa.Table:
         h = np.asarray(rolling_hash64(t["props"].combine_chunks())) \

@@ -9,9 +9,10 @@ The engine's target substrate (BASELINE.json ``input_hint``, SURVEY.md
 
 This stage builds that nested column from flat per-span rows (one row
 per text fragment / media reference, e.g. the crawl's offers+photos
-tables, or any event stream): hash-partition by ``doc_col`` →
-``map_groups`` sorts the group by the order column and list-aggregates
-one ``list<struct>`` row per document. The spans list lives inside a
+tables, or any event stream): one coarse hash-bucket shuffle on
+``doc_col`` (a document never splits across buckets) → ``map_groups``
+sorts the whole bucket by (doc, order) once and list-aggregates every
+document of the bucket in a single vectorized boundary scan. The spans list lives inside a
 single row, so later shuffles can never reorder it (SURVEY.md §7.5
 "span ordering through shuffles") — assembly is the only place order
 must be enforced, and it is, by the explicit sort key.
@@ -41,20 +42,47 @@ SPAN_TYPE = pa.struct([
 ])
 
 
+_ASSEMBLE_BUCKETS = 64
+
+
 def assemble_spans(ds: rd.Dataset, doc_col: str, kind_col: str,
                    text_col: str, media_col: str | None,
-                   order_cols: list[str]) -> rd.Dataset:
+                   order_cols: list[str],
+                   n_buckets: int = _ASSEMBLE_BUCKETS) -> rd.Dataset:
     """Aggregate flat span rows into ``(doc_id, spans)`` documents.
 
     ``order_cols`` must be a total order within a document (ties would
     make the span sequence nondeterministic); ``offset`` is assigned as
     the 0-based rank in that order, mirroring the reference's photo
     ``seq`` / span-position semantics (validate.py:53-64).
+
+    Shuffles once on a coarse hash bucket of the doc key (a key never
+    splits across buckets) and builds EVERY document of the bucket in
+    one vectorized pass — one sort + one boundary scan + one
+    ``ListArray.from_arrays`` — instead of one pyarrow dispatch per
+    document (the tiny-group pathology: at ~10² spans/doc the per-group
+    call overhead dominates).  Per-bucket span rows are int32-offset
+    bounded (2³¹); raise ``n_buckets`` long before that matters.
     """
+    import polars as pl
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        key = t[doc_col].combine_chunks()
+        b = (pl.from_arrow(key).hash(seed=0)
+             % np.uint64(n_buckets)).to_numpy().astype(np.int64)
+        return t.append_column("_bkt", pa.array(b))
 
     def build(g: pa.Table) -> pa.Table:
-        g = g.sort_by([(c, "ascending") for c in order_cols])
+        g = g.drop_columns(["_bkt"]).combine_chunks().sort_by(
+            [(doc_col, "ascending")]
+            + [(c, "ascending") for c in order_cols])
         n = g.num_rows
+        d = g[doc_col].combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, dn[1:] != dn[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        offs = (np.arange(n, dtype=np.int64)
+                - np.repeat(starts, lens)).astype(np.int32)
         media = (g[media_col].cast(pa.string()).combine_chunks()
                  if media_col is not None
                  else pa.array([""] * n, pa.string()))
@@ -62,12 +90,15 @@ def assemble_spans(ds: rd.Dataset, doc_col: str, kind_col: str,
             [g[kind_col].cast(pa.string()).combine_chunks(),
              g[text_col].cast(pa.string()).combine_chunks(),
              media,
-             pa.array(np.arange(n, dtype=np.int32))],
+             pa.array(offs, pa.int32())],
             fields=list(SPAN_TYPE))
-        spans = pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), struct)
-        return pa.table({doc_col: g[doc_col][:1], "spans": spans})
+        spans = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, n].astype(np.int32)), struct)
+        return pa.table({doc_col: d.take(pa.array(starts)),
+                         "spans": spans})
 
-    return ds.groupby(doc_col).map_groups(build, batch_format="pyarrow")
+    return (ds.map_batches(add_bkt, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(build, batch_format="pyarrow"))
 
 
 def span_fingerprints(docs: rd.Dataset, doc_col: str) -> rd.Dataset:
