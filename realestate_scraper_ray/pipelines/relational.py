@@ -5281,12 +5281,21 @@ CANONICAL_FIRST: list[str] = [
     "decontaminate", "tfidf_top_terms", "events_outlier_zscore",
     # dedup families + accuracy gates (+ the payload-specific
     # interleaved span dedup, r3 — orders_above_cust_avg demoted: the
-    # join family keeps q3/q5/coverage/full_outer/promo)
+    # join family keeps q3/q5/coverage/full_outer/promo.
+    # dedup_corpus_survivors demoted r4: it composes
+    # dedup_ngram_jaccard + dedup_components, BOTH still prefix rows —
+    # its slot goes to the round's triangle-counting family, which had
+    # no driver-visible row. embedding_neardup demoted r4: the
+    # embedding near-dup family keeps its recall GATE
+    # (embedding_neardup_lsh_recall, which recomputes the brute-force
+    # pair set internally) — its slot goes to the round's
+    # grouping-sets ROLLUP family.)
     "interleaved_span_dedup",
     "dedup_exact_text", "dedup_minhash_recall", "dedup_ngram_jaccard",
-    "dedup_simhash_precision", "embedding_neardup",
+    "dedup_simhash_precision",
     "embedding_neardup_lsh_recall", "exact_substring_dup",
-    "dedup_components", "dedup_corpus_survivors",
+    "dedup_components",
+    "graph_triangles", "events_rollup_counts",
     # similarity search + recall gates
     "ann_cosine_topk", "ann_ivf_recall", "ann_lsh_recall",
     # mergeable sketches
