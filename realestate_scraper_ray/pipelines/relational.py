@@ -2813,7 +2813,7 @@ def media_frame_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
-_HEAVY_HITTERS_SQL = """
+_HEAVY_HITTERS_SQL = r"""
 WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
               FROM documents),
 c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
@@ -4886,7 +4886,7 @@ def documents_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
     return res
 
 
-_CMS_SQL = """
+_CMS_SQL = r"""
 WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
               FROM documents),
 c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
