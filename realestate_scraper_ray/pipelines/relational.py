@@ -4772,7 +4772,12 @@ def interleaved_span_dedup(sf_dir: str) -> pd.DataFrame:
         return (t.append_column("thash", pa.array(h))
                  .append_column("ckey", pa.array(ckey)))
 
-    keyed = flat.map_batches(add_keys, batch_format="pyarrow")
+    # branch-point checkpoint: three consumers read `keyed` (winner
+    # aggregate, survivor probe, media bypass) and Ray Data re-executes
+    # the whole read→bucket-sort→rank lineage per consumer without it.
+    # One spill-backed materialization of the span table beats three
+    # all-to-all re-runs at any scale.
+    keyed = flat.map_batches(add_keys, batch_format="pyarrow").materialize()
     text_spans = keyed.map_batches(
         lambda t: t.filter(pc.not_equal(t["kind"], "purchase")),
         batch_format="pyarrow")
