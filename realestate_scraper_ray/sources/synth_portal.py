@@ -882,11 +882,15 @@ class Portal:
         ld_tag = _h64(self.cfg.seed, "ldtag", ref.oid) % 4  # 0/1 literal
         if ref.source == "otodom":
             import json as _json
-            f = self.offer_facts(ref.source, ref.region, ref.k)
+            # the two page-shape flags need only the variant bucket —
+            # the full offer_facts walk (~30 hashes) is paid only on the
+            # 2.5 % banner pages that must format the ground-truth price
+            b = self._bucket("variant", ref.oid)
             # banner bucket: price_amount leaves the structured surfaces
             # and is served only in the page-header price node, so the
             # extractor's banner path (otodom.py:111-118) must recover it
-            banner_only = f["banner_price"] and "price_amount" in fields
+            banner_only = 600 <= b < 625 and "price_amount" in fields
+            multiunit = 625 <= b < 640
             ld_keys = [k for k in self._LD_CAPABLE if k in fields
                        and not (banner_only and k == "price_amount")]
             els.append(self._ld_block(fields, ld_keys, None, ld_tag))
@@ -897,7 +901,7 @@ class Portal:
             # multi-unit marker: a truthy paginatedUnits/developmentData
             # sibling of `ad` inside pageProps (otodom.py:86-87)
             mu = ""
-            if f["multiunit"]:
+            if multiunit:
                 mu = (',"paginatedUnits":[{"id":1},{"id":2}]'
                       if h % 2 == 0 else
                       ',"developmentData":{"name":"Osiedle Parkowe"}')
@@ -908,9 +912,11 @@ class Portal:
                        + ',"seo":' + self._seo_pad_json() + '}' + mu + '}}}')
             els.append('<script id="__NEXT_DATA__" type="application/json">'
                        + payload + "</script>")
-            if banner_only or f["multiunit"]:
+            if banner_only or multiunit:
                 if banner_only:
-                    grp = f"{int(f['price']):,}".replace(",", " ")
+                    price = self.offer_facts(ref.source, ref.region,
+                                             ref.k)["price"]
+                    grp = f"{int(price):,}".replace(",", " ")
                     ptxt = f"{grp} zł"
                 else:  # decoy "starting from" price on the multi-unit page
                     ptxt = "od 999 000 zł"

@@ -203,17 +203,30 @@ _BANNER_RES = (
     re.compile(r"<[a-z]+[^>]*data-cy=[\"']?adPageHeader-price[\"']?"
                r"[^>]*>([^<]*)<"),
     re.compile(r"<[a-z]+[^>]*data-testid=[\"']?ad-price[\"']?[^>]*>([^<]*)<"),
-    re.compile(r"<[a-z]+[^>]*class=[\"'][^\"']*price[^\"']*[\"'][^>]*>"
-               r"([^<]*)<"),
 )
+# [class*='price'] fast path: anchoring on the literal `class=` lets the
+# regex engine memchr-skip instead of trying `<[a-z]+[^>]*` at every tag
+# (13.7 → ~1 µs/page); _in_tag then re-imposes the dropped tag anchor so
+# a `class=` inside script text can never match where the original
+# tag-anchored pattern would not
+_BANNER_CLASS_RE = re.compile(
+    r"class=[\"'][^\"']*price[^\"']*[\"'][^>]*>([^<]*)<")
+_TAG_OPEN_RE = re.compile(r"<[a-z]")
+
+
+def _in_tag(html: str, pos: int) -> bool:
+    """True iff ``pos`` sits inside an open tag that began `<letter`
+    with no `>` in between — the context `<[a-z]+[^>]*` asserted."""
+    j = html.rfind("<", 0, pos)
+    return (j != -1 and html.find(">", j, pos) == -1
+            and _TAG_OPEN_RE.match(html, j) is not None)
 
 
 def _banner_price_text(html: str) -> str | None:
     """Inner text of the first page-header price node, selector-priority
     order (otodom.py:112-116)."""
     for i, rex in enumerate(_BANNER_RES):
-        # memchr gates for the two attribute selectors; the class
-        # selector has no cheap gate (reference scans [class*='price'])
+        # memchr gates for the two attribute selectors
         if i == 0 and "adPageHeader-price" not in html:
             continue
         if i == 1 and "ad-price" not in html:
@@ -221,7 +234,16 @@ def _banner_price_text(html: str) -> str | None:
         m = rex.search(html)
         if m and m.group(1).strip():
             return m.group(1)
-    return None
+    pos = 0
+    while True:
+        m = _BANNER_CLASS_RE.search(html, pos)
+        if m is None:
+            return None
+        if _in_tag(html, m.start()):
+            # first TAG match decides, exactly like the anchored regex:
+            # an empty-text first node means no banner, not "keep looking"
+            return m.group(1) if m.group(1).strip() else None
+        pos = m.end()
 
 
 def _iter_script_blocks(html: str, open_tag: str):
@@ -484,18 +506,25 @@ def html_to_spans(html: str, url: str | None = None) -> list[dict]:
         # pages — the banner there is a development's "starting from"
         # price, not this offer's; the per-m² figure may still be taken.
         # Structured surfaces (LD / NEXT params) win first (setdefault).
-        multi_units = (_next_data_multi_units(block)
-                       if block is not None else False)
-        btxt = _banner_price_text(html)
+        # The reference scans the banner unconditionally, but its result
+        # only ever fills a STILL-MISSING price — so pages whose
+        # structured surfaces carried both prices (~70 %) skip the
+        # whole-document selector scan, and the multi-unit pageProps
+        # probe runs only when a banner total actually matched.
+        need_total = "price_amount" not in fields
+        need_pm2 = "price_per_m2" not in fields
+        btxt = (_banner_price_text(html)
+                if (need_total or need_pm2) else None)
         if btxt:
-            mt = PRICE_TOTAL_RE.search(btxt)
-            if mt and not multi_units and "price_amount" not in fields:
+            mt = PRICE_TOTAL_RE.search(btxt) if need_total else None
+            if mt and not (_next_data_multi_units(block)
+                           if block is not None else False):
                 v = coerce_float(mt.group(1))
                 if v is not None:
                     fields["price_amount"] = str(v)
-            else:
+            elif need_pm2:
                 mp = PRICE_PERM2_RE.search(btxt)
-                if mp and "price_per_m2" not in fields:
+                if mp:
                     v = coerce_float(mp.group(1))
                     if v is not None:
                         fields["price_per_m2"] = str(v)
