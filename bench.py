@@ -56,6 +56,8 @@ HEADLINE_QUERIES = [
     "text_normalize", "documents_jsonl_roundtrip",
     "similarity_join_jaccard", "events_rollup_counts",
     "graph_triangles",
+    "funnel_conversion", "retention_cohorts", "events_cube_counts",
+    "events_mad_outliers",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

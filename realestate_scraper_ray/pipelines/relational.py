@@ -5245,6 +5245,313 @@ def corpus_top_terms_per_source(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Behavioral analytics: ordered funnel + retention cohorts.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 'view' AS stage, 1 AS stage_idx, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+  UNION ALL
+  SELECT 'click', 2, CAST(COUNT(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'purchase', 3, CAST(COUNT(*) AS BIGINT) FROM p)
+ORDER BY stage_idx
+"""
+
+
+@query("funnel_conversion", _FUNNEL_SQL)
+def funnel_conversion(sf_dir: str) -> pd.DataFrame:
+    """Ordered 3-stage funnel (view → click → purchase, strictly later
+    timestamps): per user, the first view, the first click AFTER that
+    view, the first purchase AFTER that click. One coarse-bucket
+    exchange on user_id; inside each bucket one vectorized polars pass
+    computes the three stage timestamps per user via filtered
+    window-min expressions (no per-user Python). Buckets emit 3
+    partial-count rows each; the driver folds ~3·n_buckets rows —
+    cross-bucket state is impossible because a user's events co-locate."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def stages(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(pl.col("ts").cast(pl.Int64))
+        df = df.with_columns(
+            pl.col("ts").filter(pl.col("event_type") == "view").min()
+              .over("user_id").alias("tv"))
+        df = df.with_columns(
+            pl.col("ts").filter((pl.col("event_type") == "click")
+                                & (pl.col("ts") > pl.col("tv"))).min()
+              .over("user_id").alias("tc"))
+        df = df.with_columns(
+            pl.col("ts").filter((pl.col("event_type") == "purchase")
+                                & (pl.col("ts") > pl.col("tc"))).min()
+              .over("user_id").alias("tp"))
+        per_user = df.group_by("user_id").agg(
+            pl.col("tv").min(), pl.col("tc").min(), pl.col("tp").min())
+        return pa.table({
+            "stage": ["view", "click", "purchase"],
+            "stage_idx": np.array([1, 2, 3], np.int64),
+            "n_users": np.array(
+                [per_user["tv"].is_not_null().sum(),
+                 per_user["tc"].is_not_null().sum(),
+                 per_user["tp"].is_not_null().sum()], np.int64)})
+
+    parts = _bucketed_groups(ds, "user_id", stages)
+    out = (parts.groupby(["stage", "stage_idx"])
+           .aggregate(Sum("n_users", alias_name="n_users")).to_pandas())
+    out["stage_idx"] = out["stage_idx"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values("stage_idx").reset_index(drop=True)
+            [["stage", "stage_idx", "n_users"]])
+
+
+_RETENTION_SQL = """
+WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+       date_diff('day', f.d0, a.d) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+WHERE date_diff('day', f.d0, a.d) BETWEEN 1 AND 7
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+"""
+
+
+@query("retention_cohorts", _RETENTION_SQL)
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each of the next 7 days they return. The same one-exchange shape as
+    the funnel — users co-locate per bucket, a polars pass derives
+    (cohort_day, day_offset) distinct-per-user rows, and only
+    domain-sized partial counts (≤ cohorts × 7 per bucket) leave the
+    bucket for the final fold."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def cohort(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            (pl.col("ts").cast(pl.Int64) // 86_400_000_000)
+            .alias("day"))
+        df = df.with_columns(pl.col("day").min().over("user_id")
+                             .alias("d0"))
+        g = (df.select(["user_id", "day", "d0"]).unique()
+             .with_columns((pl.col("day") - pl.col("d0"))
+                           .alias("day_offset"))
+             .filter((pl.col("day_offset") >= 1)
+                     & (pl.col("day_offset") <= 7))
+             .group_by(["d0", "day_offset"]).len().rename({"len": "n"}))
+        return g.to_arrow()
+
+    parts = _bucketed_groups(ds, "user_id", cohort)
+    out = (parts.groupby(["d0", "day_offset"])
+           .aggregate(Sum("n", alias_name="n_users")).to_pandas())
+    # epoch-day → ISO date string, matching the oracle's VARCHAR cast
+    out["cohort_day"] = (pd.to_datetime(out["d0"], unit="D")
+                         .dt.strftime("%Y-%m-%d"))
+    out["day_offset"] = out["day_offset"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True)
+            [["cohort_day", "day_offset", "n_users"]])
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: CUBE + UNPIVOT (melt).
+# ---------------------------------------------------------------------------
+
+_CUBE_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+  FROM events)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(dow, -1) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM base GROUP BY CUBE(event_type, dow)
+ORDER BY event_type, dow
+"""
+
+
+@query("events_cube_counts", _CUBE_SQL)
+def events_cube_counts(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(event_type, dow): all four grouping sets from ONE
+    combiner-first leaf exchange — the three super-levels fold from the
+    leaf table (domain-sized, |types|·7 rows), never from the base
+    table, so the cube costs exactly one shuffle like the ROLLUP twin."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        days = (t["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 86_400_000_000)
+        # epoch day 0 = 1970-01-01, a Thursday; DuckDB dayofweek:
+        # Sunday=0 — (day + 4) % 7 lands Thursday on 4
+        dow = (days + 4) % 7
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        g = pa.table({"event_type": t["event_type"], "dow": dow,
+                      "n": np.ones(len(t), np.int64), "s": cents}) \
+            .group_by(["event_type", "dow"]) \
+            .aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["event_type", "dow", "n", "s"])
+
+    leaf = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["event_type", "dow"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="cents_sum"))
+            .to_pandas())
+    levels = [leaf]
+    for keys in (["event_type"], ["dow"], []):
+        lv = (leaf.groupby(keys, as_index=False)[["n", "cents_sum"]].sum()
+              if keys else
+              pd.DataFrame([{"n": leaf["n"].sum(),
+                             "cents_sum": leaf["cents_sum"].sum()}]))
+        if "event_type" not in lv:
+            lv["event_type"] = "(all)"
+        if "dow" not in lv:
+            lv["dow"] = -1
+        levels.append(lv)
+    out = pd.concat(levels, ignore_index=True)
+    out["dow"] = out["dow"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["cents_sum"] = out["cents_sum"].astype("int64")
+    return (out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+            [["event_type", "dow", "n", "cents_sum"]])
+
+
+_UNPIVOT_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS cents_sum,
+         CAST(MAX(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS cents_max
+  FROM events GROUP BY event_type)
+SELECT event_type, metric, val FROM (
+  SELECT event_type, 'n_events' AS metric, n_events AS val FROM agg
+  UNION ALL SELECT event_type, 'cents_sum', cents_sum FROM agg
+  UNION ALL SELECT event_type, 'cents_max', cents_max FROM agg)
+ORDER BY event_type, metric
+"""
+
+
+@query("events_unpivot_metrics", _UNPIVOT_SQL)
+def events_unpivot_metrics(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (melt): a per-type metric table widened by aggregation is
+    melted back to (event_type, metric, val) rows. The melt itself is a
+    constant-factor row replication of a domain-sized table — the only
+    data-sized work is the combiner-first leaf aggregate."""
+    from ray.data.aggregate import Max
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        g = pa.table({"event_type": t["event_type"],
+                      "n": np.ones(len(t), np.int64),
+                      "s": cents, "mx": cents}) \
+            .group_by("event_type") \
+            .aggregate([("n", "sum"), ("s", "sum"), ("mx", "max")])
+        return g.rename_columns(["event_type", "n", "s", "mx"])
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("s", alias_name="cents_sum"),
+                      Max("mx", alias_name="cents_max"))
+           .to_pandas())
+    out = agg.melt(id_vars=["event_type"],
+                   value_vars=["n_events", "cents_sum", "cents_max"],
+                   var_name="metric", value_name="val")
+    out["val"] = out["val"].astype("int64")
+    return (out.sort_values(["event_type", "metric"])
+            .reset_index(drop=True)[["event_type", "metric", "val"]])
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: exact per-group median / MAD outliers from a
+# mergeable value-count histogram.
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH c AS (SELECT event_type, CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT event_type, CAST(2*median(cents) AS BIGINT) AS med2
+      FROM c GROUP BY event_type),
+d AS (SELECT c.event_type, ABS(2*c.cents - m.med2) AS dd, m.med2
+      FROM c JOIN m USING (event_type)),
+m2 AS (SELECT event_type, CAST(2*median(dd) AS BIGINT) AS mad4
+       FROM d GROUP BY event_type)
+SELECT d.event_type, ANY_VALUE(d.med2) AS med2, ANY_VALUE(m2.mad4) AS mad4,
+       CAST(SUM(CASE WHEN 2*d.dd > 3*m2.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d JOIN m2 USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@query("events_mad_outliers", _MAD_SQL)
+def events_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-type exact median + MAD (median absolute deviation) outlier
+    counts WITHOUT a sort: values are 2-decimal, so a (type, cents)
+    count histogram is a mergeable partial the combiner shrinks to the
+    value domain; both medians and the outlier count then fold from
+    counts alone. All stats are doubled-integer exact (med2 = lo+hi
+    cents at an even split, mad4 likewise), so the |x−med| > 3·MAD
+    boundary is an integer compare — bit-identical to the oracle.
+    100 TB: the exchange carries |types|·|distinct cents| count rows,
+    never data rows; the histogram fold is driver-side because it IS
+    the domain-sized result."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        return (pa.table({"event_type": t["event_type"], "cents": cents,
+                          "n": np.ones(len(t), np.int64)})
+                .group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+                .rename_columns(["event_type", "cents", "n"]))
+
+    h = (ds.map_batches(hist, batch_format="pyarrow")
+         .groupby(["event_type", "cents"])
+         .aggregate(Sum("n", alias_name="n")).to_pandas())
+
+    def median2_from_counts(vals: np.ndarray, cnt: np.ndarray) -> int:
+        """2·median of the multiset {vals repeated cnt times} — exact
+        (lo+hi at an even split), from counts only."""
+        order = np.argsort(vals, kind="stable")
+        v, c = vals[order], cnt[order]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        # 1-based positions of the middle element(s)
+        lo_pos = (total + 1) // 2
+        hi_pos = total // 2 + 1
+        lo = v[np.searchsorted(cum, lo_pos)]
+        hi = v[np.searchsorted(cum, hi_pos)]
+        return int(lo) + int(hi)
+
+    rows = []
+    for et, grp in h.groupby("event_type"):
+        vals = grp["cents"].to_numpy()
+        cnt = grp["n"].to_numpy()
+        med2 = median2_from_counts(vals, cnt)
+        dd = np.abs(2 * vals - med2)
+        mad4 = median2_from_counts(dd, cnt)
+        n_out = int(cnt[2 * dd > 3 * mad4].sum())
+        rows.append({"event_type": et, "med2": med2, "mad4": mad4,
+                     "n_outliers": n_out, "n": int(cnt.sum())})
+    return (pd.DataFrame(rows).sort_values("event_type")
+            .reset_index(drop=True)
+            .astype({"med2": "int64", "mad4": "int64",
+                     "n_outliers": "int64", "n": "int64"}))
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the
@@ -5263,9 +5570,13 @@ def corpus_top_terms_per_source(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 CANONICAL_FIRST: list[str] = [
     # relational joins/aggregates
+    # (promo_revenue_share demoted r4: a single-row join-aggregate whose
+    # family already holds q1/q3/q5/coverage/full_outer prefix rows —
+    # its slot goes to the round's behavioral-analytics family (ordered
+    # funnel / retention), which had no driver-visible row at all)
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
     "order_lineitem_coverage", "orders_full_outer",
-    "promo_revenue_share",
+    "funnel_conversion",
     # event windows / streaming / iterative / incremental semantics
     # (range-join demoted r3: the window/join family already holds five
     # prefix rows; the iterative + incremental families held none.

@@ -1,0 +1,147 @@
+"""Behavioral-analytics + grouping-set + robust-stat operators
+(funnel, retention cohorts, CUBE, UNPIVOT, median/MAD outliers): each
+engine path checked against an independent sequential brute-force twin
+on a synthetic events table (the SQL-oracle parity runs separately via
+tools/check_correctness.py / the driver)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from realestate_scraper_ray.pipelines.relational import QUERIES
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    n = 6000
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = ts0 + (np.sort(rng.integers(0, 12 * 86_400_000_000, n))
+                .astype("timedelta64[us]"))
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts),
+        "user_id": pa.array(rng.integers(0, 180, n).astype(np.int64)),
+        "event_type": pa.array(rng.choice(
+            ["view", "click", "purchase", "error", "signup"], n,
+            p=[0.45, 0.3, 0.1, 0.1, 0.05])),
+        "value": pa.array(np.round(rng.normal(40, 15, n), 2)),
+    })
+    d = tmp_path_factory.mktemp("events_sf")
+    pq.write_table(t, d / "events.parquet")
+    return str(d), t.to_pandas()
+
+
+def test_funnel_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["funnel_conversion"](sf)
+    counts = {"view": 0, "click": 0, "purchase": 0}
+    for _, g in df.sort_values("ts").groupby("user_id"):
+        tv = g.loc[g.event_type == "view", "ts"].min()
+        if pd.isna(tv):
+            continue
+        counts["view"] += 1
+        tc = g.loc[(g.event_type == "click") & (g.ts > tv), "ts"].min()
+        if pd.isna(tc):
+            continue
+        counts["click"] += 1
+        tp = g.loc[(g.event_type == "purchase") & (g.ts > tc), "ts"].min()
+        if not pd.isna(tp):
+            counts["purchase"] += 1
+    assert dict(zip(got["stage"], got["n_users"])) == counts
+    assert list(got["stage_idx"]) == [1, 2, 3]
+
+
+def test_retention_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["retention_cohorts"](sf)
+    d = df.assign(day=df.ts.values.astype("datetime64[D]"))
+    d0 = d.groupby("user_id")["day"].min().rename("d0")
+    act = d[["user_id", "day"]].drop_duplicates().join(d0, on="user_id")
+    act["off"] = (act["day"] - act["d0"]).dt.days
+    exp = (act[(act.off >= 1) & (act.off <= 7)]
+           .groupby([act.d0.astype(str), "off"]).size())
+    got_map = {(r.cohort_day, r.day_offset): r.n_users
+               for r in got.itertuples()}
+    assert got_map == {(c, int(o)): int(v) for (c, o), v in exp.items()}
+
+
+def test_cube_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["events_cube_counts"](sf)
+    cents = np.round(df.value.to_numpy() * 100).astype(np.int64)
+    days = df.ts.values.astype("datetime64[us]").astype(np.int64) \
+        // 86_400_000_000
+    base = pd.DataFrame({"event_type": df.event_type,
+                         "dow": (days + 4) % 7, "cents": cents})
+    frames = []
+    for keys in (["event_type", "dow"], ["event_type"], ["dow"], []):
+        if keys:
+            g = base.groupby(keys, as_index=False).agg(
+                n=("cents", "size"), cents_sum=("cents", "sum"))
+        else:
+            g = pd.DataFrame([{"n": len(base),
+                               "cents_sum": cents.sum()}])
+        if "event_type" not in g:
+            g["event_type"] = "(all)"
+        if "dow" not in g:
+            g["dow"] = -1
+        frames.append(g)
+    exp = (pd.concat(frames, ignore_index=True)
+           .astype({"dow": "int64", "n": "int64", "cents_sum": "int64"})
+           .sort_values(["event_type", "dow"]).reset_index(drop=True)
+           [["event_type", "dow", "n", "cents_sum"]])
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_unpivot_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["events_unpivot_metrics"](sf)
+    cents = np.round(df.value.to_numpy() * 100).astype(np.int64)
+    g = (pd.DataFrame({"event_type": df.event_type, "c": cents})
+         .groupby("event_type")["c"].agg(["size", "sum", "max"]))
+    exp = {}
+    for et, row in g.iterrows():
+        exp[(et, "n_events")] = int(row["size"])
+        exp[(et, "cents_sum")] = int(row["sum"])
+        exp[(et, "cents_max")] = int(row["max"])
+    got_map = {(r.event_type, r.metric): r.val for r in got.itertuples()}
+    assert got_map == exp
+
+
+def test_mad_outliers_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["events_mad_outliers"](sf)
+
+    def med2(x):
+        s = np.sort(x)
+        n = len(s)
+        return int(s[(n - 1) // 2]) + int(s[n // 2])
+
+    for r in got.itertuples():
+        c = np.round(df.loc[df.event_type == r.event_type, "value"]
+                     .to_numpy() * 100).astype(np.int64)
+        m2 = med2(c)
+        dd = np.abs(2 * c - m2)
+        m4 = med2(dd)
+        assert r.med2 == m2 and r.mad4 == m4
+        assert r.n_outliers == int((2 * dd > 3 * m4).sum())
+        assert r.n == len(c)
+    assert set(got.event_type) == set(df.event_type.unique())
+
+
+def test_mad_odd_even_splits(ray_session, tmp_path):
+    # minimal odd/even-count groups: the doubled-integer median must hit
+    # the lo+hi definition exactly on both parities
+    t = pa.table({
+        "event_type": pa.array(["a"] * 3 + ["b"] * 4),
+        "value": pa.array([1.0, 2.0, 10.0, 1.0, 2.0, 3.0, 100.0]),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = QUERIES["events_mad_outliers"](str(tmp_path))
+    a = got[got.event_type == "a"].iloc[0]
+    assert a.med2 == 2 * 200          # odd: med = 2.00 → med2 = 400
+    b = got[got.event_type == "b"].iloc[0]
+    assert b.med2 == 200 + 300        # even: (2.00 + 3.00) in cents
