@@ -423,7 +423,8 @@ def ngram_jaccard_pairs(ds: rd.Dataset, text_col: str, id_col: str,
 
 def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
                             side_col: str, threshold: float = 0.5,
-                            shingle_k: int = 3) -> pd.DataFrame:
+                            shingle_k: int = 3,
+                            n_verify_buckets: int = 64) -> pd.DataFrame:
     """τ-Jaccard join R ⋈ S over k-word shingle SETS via prefix filtering
     (AllPairs, Bayardo et al. WWW '07; distributed kernel after Vernica
     et al. SIGMOD '10). Different from ``ngram_jaccard_pairs``: that is
@@ -432,7 +433,7 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
     candidate generator whose group sizes are bounded by rare-token
     document frequency rather than by length-bucket population.
 
-    Plan (ONE shuffle — the prefix-token groupby):
+    Plan (ONE shuffle — the verify-bucket groupby):
       1. token document frequency — per-batch distinct-token combiner,
          vocab-sized partials summed driver-side (the rank table is
          driver-resident anyway since it is broadcast via ``ray.put``);
@@ -442,14 +443,21 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
       2. each doc emits its prefix tokens (p = n − ⌈τ·n⌉ + 1 rarest
          tokens; any qualifying pair must share ≥1 — the AllPairs
          bound) carrying (side, id, n, sorted-distinct-hash blob);
-         ``groupby`` on the prefix token.
-      3. one ``map_groups`` per prefix-token group: run-based exact
-         intersection counting over the member blobs (shared-token
-         runs emit pair counts — O(occurrences), never O(n²·set)),
-         cross-side pairs only, integer-exact τ gate; a pair verified
-         in several groups carries identical exact counts, so the
-         cross-group dedup is a drop_duplicates on the driver-side
-         (output-sized) result frame.
+         ``groupby`` on a COARSE hash bucket of the prefix token
+         (``n_verify_buckets`` tasks — prefix groups average a handful
+         of rows, and one map_groups per group pays the tiny-pandas
+         overhead ~20k times at sf0.1).
+      3. one vectorized ``map_groups`` per bucket: after the
+         (ptok, id, side) dedup every bucket row belongs to exactly one
+         prefix group, so run-based exact intersection counting over
+         (ptok, shingle) runs (shared-token runs emit row-pair counts —
+         O(occurrences), never O(n²·set)) preserves per-group semantics
+         in ONE np.unique over row-pair keys; cross-side pairs only,
+         integer-exact τ gate; a pair verified in several groups
+         carries identical exact counts — twins drop inside the task
+         and once more on the driver-side (output-sized) result frame.
+    Size ``n_verify_buckets`` ≈ total-prefix-blob-bytes / task budget
+    at scale (each bucket materializes its groups' hash blobs once).
 
     Returns (r_id, s_id, inter_n, union_n) with
     inter·1000 ≥ ⌈τ·1000⌉·union — integer-exact against a SQL oracle.
@@ -529,45 +537,54 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
                              "side": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
                              "hblob": pa.array([], pa.binary())})
-        return pa.table({"ptok": np.concatenate(ptok),
+        pt = np.concatenate(ptok)
+        # coarse verify bucket: ~n_verify_buckets map_groups tasks
+        # instead of one per prefix token (sf0.1 measured 20k groups of
+        # mean 6.5 rows — the per-tiny-group overhead pathology)
+        pbkt = ((pt.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)) % np.uint64(n_verify_buckets)
+        return pa.table({"ptok": pt,
+                         "pbkt": pbkt.astype(np.int64),
                          "id": np.concatenate(pid),
                          "side": np.concatenate(pside),
                          "n": np.concatenate(pn),
                          "hblob": pa.array(blobs, pa.binary())})
 
-    # -- pass 3: per-prefix-group exact verify ------------------------------
-    def group_verify(g: pd.DataFrame) -> pd.DataFrame:
+    # -- pass 3: bucketed exact verify ---------------------------------------
+    # One vectorized pass per COARSE bucket of prefix-token groups. After
+    # the (ptok, id, side) dedup each bucket row belongs to exactly one
+    # prefix group, so a row-index pair can only form inside its group's
+    # (ptok, shingle) runs — per-group semantics fall out of the global
+    # np.unique over row-pair keys with no per-group Python or pandas.
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"r_id": pd.Series([], dtype="int64"),
                               "s_id": pd.Series([], dtype="int64"),
                               "inter_n": pd.Series([], dtype="int64"),
                               "union_n": pd.Series([], dtype="int64")})
+        from .graph import _pairs_within_runs
         # a pair is (id, side): R and S may be separate relations with
         # overlapping id spaces, so id alone would drop a real member
-        g = g.drop_duplicates(["id", "side"])
-        if len(g) < 2 or g["side"].nunique() < 2:
+        g = g.drop_duplicates(["ptok", "id", "side"])
+        m = len(g)
+        if m < 2:
             return empty
         ids = g["id"].to_numpy()
         sides = g["side"].to_numpy()
         sizes = g["n"].to_numpy()
+        gid = g["ptok"].to_numpy()
         hm = [np.frombuffer(b, dtype=np.uint64) for b in g["hblob"]]
-        m = len(ids)
-        doc_idx = np.repeat(np.arange(m, dtype=np.int64), sizes)
+        row_idx = np.repeat(np.arange(m, dtype=np.int64), sizes)
+        occ_gid = np.repeat(gid, sizes)
         all_h = np.concatenate(hm)
-        o = np.argsort(all_h, kind="stable")
-        h_sorted, d_sorted = all_h[o], doc_idx[o]
-        cut = np.flatnonzero(np.diff(h_sorted) != 0) + 1
-        starts = np.concatenate(([0], cut))
-        ends = np.concatenate((cut, [len(h_sorted)]))
-        keys = []
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            if e - s < 2:
-                continue
-            dd = np.sort(d_sorted[s:e])
-            ii, jj = np.triu_indices(e - s, 1)
-            keys.append(dd[ii] * m + dd[jj])
-        if not keys:
+        o = np.lexsort((all_h, occ_gid))
+        gs, hs_, d_sorted = occ_gid[o], all_h[o], row_idx[o]
+        change = np.r_[True, (gs[1:] != gs[:-1]) | (hs_[1:] != hs_[:-1])]
+        fi, si = _pairs_within_runs(np.cumsum(change))
+        if fi.size == 0:
             return empty
-        pair_keys, inter = np.unique(np.concatenate(keys), return_counts=True)
+        a, b = d_sorted[fi], d_sorted[si]
+        key = np.minimum(a, b) * m + np.maximum(a, b)
+        pair_keys, inter = np.unique(key, return_counts=True)
         a_idx, b_idx = pair_keys // m, pair_keys % m
         cross = sides[a_idx] != sides[b_idx]
         a_idx, b_idx, inter = a_idx[cross], b_idx[cross], inter[cross]
@@ -577,11 +594,15 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
             return empty
         a_idx, b_idx, inter, union = a_idx[ok], b_idx[ok], inter[ok], union[ok]
         r_is_a = sides[a_idx] == 0
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "r_id": np.where(r_is_a, ids[a_idx], ids[b_idx]),
             "s_id": np.where(r_is_a, ids[b_idx], ids[a_idx]),
             "inter_n": inter.astype(np.int64),
             "union_n": union.astype(np.int64)})
+        # a pair verified under several prefix groups of this bucket
+        # carries identical exact (inter, union) — drop twins here so
+        # only distinct pairs leave the task
+        return out.drop_duplicates(["r_id", "s_id"])
 
     # the result is returned driver-side regardless; a pair verified in
     # several prefix groups carries IDENTICAL exact (inter_n, union_n)
@@ -589,8 +610,8 @@ def similarity_join_jaccard(ds: rd.Dataset, text_col: str, id_col: str,
     # the output-sized frame — no sort-based Min aggregate needed
     vtabs = [t for t in ray.get(
         ds.map_batches(emit_prefix, batch_format="pyarrow")
-        .groupby("ptok")
-        .map_groups(group_verify, batch_format="pandas")
+        .groupby("pbkt")
+        .map_groups(bucket_verify, batch_format="pandas")
         .materialize().to_arrow_refs()) if t.num_rows]
     if not vtabs:
         return pd.DataFrame({"r_id": pd.Series([], dtype="int64"),
