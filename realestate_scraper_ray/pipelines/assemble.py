@@ -89,7 +89,6 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
                     "contents — use a fresh out_dir")
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text", "source"])
-    n_in = ds.count()
 
     def tok(t: pa.Table) -> pa.Table:
         tc = token_counts(t["text"].combine_chunks())
@@ -97,6 +96,9 @@ def assemble_training_set(sf_dir: str, out_dir: str, *,
             "n_tokens", pc.cast(tc["n_tokens_ws"], pa.int64()))
 
     scored = ds.map_batches(tok, batch_format="pyarrow").materialize()
+    # tok is row-preserving, so the input count reads off the already-
+    # materialized blocks — a separate ds.count() would re-run the scan
+    n_in = scored.count()
 
     # exact global quantile from the value-count histogram (token counts
     # are small ints, so the distinct-value set is tiny at any scale);
