@@ -5245,6 +5245,115 @@ def corpus_top_terms_per_source(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Set operations (INTERSECT / EXCEPT) + ordered string aggregation.
+# ---------------------------------------------------------------------------
+
+_INTERSECT_EXCEPT_SQL = """
+WITH d AS (SELECT user_id, event_type FROM events
+           WHERE CAST(ts AS DATE) = DATE '2024-01-03')
+SELECT user_id FROM d WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM d WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM d WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
+@query("users_intersect_except", _INTERSECT_EXCEPT_SQL)
+def users_intersect_except(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT + EXCEPT over three filtered key sets in ONE exchange:
+    each batch pre-aggregates per-user membership indicator maxima, the
+    groupby folds them, and the set algebra becomes a stateless filter
+    on three booleans — three distinct-then-join passes collapse into
+    one combiner-first aggregate (keys-only shuffle). Scoped to one day
+    so the sets genuinely differ (over the full table every user hits
+    every type and the result degenerates to empty). The day window is
+    a pyarrow ts-range filter pushed into the fragment scan."""
+    import datetime
+    from ray.data.aggregate import Max
+    lo = datetime.datetime(2024, 1, 3)
+    hi = datetime.datetime(2024, 1, 4)
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"],
+             filter=((pc.field("ts") >= lo) & (pc.field("ts") < hi)))
+
+    def flags(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        g = pa.table({
+            "user_id": t["user_id"],
+            "v": pc.cast(pc.equal(et, "view"), pa.int64()),
+            "c": pc.cast(pc.equal(et, "click"), pa.int64()),
+            "p": pc.cast(pc.equal(et, "purchase"), pa.int64())}) \
+            .group_by("user_id") \
+            .aggregate([("v", "max"), ("c", "max"), ("p", "max")])
+        return g.rename_columns(["user_id", "v", "c", "p"])
+
+    out = (ds.map_batches(flags, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Max("v", alias_name="v"), Max("c", alias_name="c"),
+                      Max("p", alias_name="p"))
+           .map_batches(lambda t: t.filter(
+               pc.and_(pc.and_(pc.equal(t["v"], 1), pc.equal(t["c"], 1)),
+                       pc.equal(t["p"], 0))).select(["user_id"]),
+               batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:  # all-empty blocks lose the Arrow schema
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    return (out.astype({"user_id": "int64"}).sort_values("user_id")
+            .reset_index(drop=True))
+
+
+_STRAGG_SQL = """
+SELECT event_type,
+       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+         AS id_list,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("events_string_agg_daily", _STRAGG_SQL)
+def events_string_agg_daily(sf_dir: str) -> pd.DataFrame:
+    """Ordered string aggregation (string_agg ... ORDER BY): per
+    (event_type, day) the comma-joined ordered id list. One coarse
+    day-bucketed exchange; inside each bucket a single polars
+    sort + group_by builds every group's concat vectorized (order is
+    total — event_id is unique — so bucket-local concat is exact)."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "event_type"],
+             filter=pc.field("event_type").isin(["signup", "purchase"]))
+
+    def agg(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .with_columns((pl.col("ts").cast(pl.Int64)
+                             // 86_400_000_000).alias("day"))
+              .sort("event_id"))
+        g = (df.group_by(["event_type", "day"])
+             .agg(pl.col("event_id").cast(pl.Utf8).str.join(",")
+                  .alias("id_list"),
+                  pl.len().cast(pl.Int64).alias("n")))
+        return g.select(["event_type", "day", "id_list", "n"]).to_arrow()
+
+    def add_day_bkt(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return t.append_column("_bkt", pa.array(day % 16))
+
+    out = (ds.map_batches(add_day_bkt, batch_format="pyarrow")
+           .groupby("_bkt")
+           .map_groups(lambda t: agg(t.drop_columns(["_bkt"])),
+                       batch_format="pyarrow")
+           .to_pandas())
+    out["day"] = out["day"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["event_type", "day"]).reset_index(drop=True)
+            [["event_type", "day", "id_list", "n"]])
+
+
+# ---------------------------------------------------------------------------
 # Behavioral analytics: ordered funnel + retention cohorts.
 # ---------------------------------------------------------------------------
 

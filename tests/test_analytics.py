@@ -145,3 +145,30 @@ def test_mad_odd_even_splits(ray_session, tmp_path):
     assert a.med2 == 2 * 200          # odd: med = 2.00 → med2 = 400
     b = got[got.event_type == "b"].iloc[0]
     assert b.med2 == 200 + 300        # even: (2.00 + 3.00) in cents
+
+
+def test_intersect_except_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["users_intersect_except"](sf)
+    d = df[(df.ts >= pd.Timestamp("2024-01-03"))
+           & (df.ts < pd.Timestamp("2024-01-04"))]
+    v = set(d.loc[d.event_type == "view", "user_id"])
+    c = set(d.loc[d.event_type == "click", "user_id"])
+    p = set(d.loc[d.event_type == "purchase", "user_id"])
+    assert list(got["user_id"]) == sorted((v & c) - p)
+
+
+def test_string_agg_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["events_string_agg_daily"](sf)
+    d = df[df.event_type.isin(["signup", "purchase"])].copy()
+    d["day"] = (d.ts.values.astype("datetime64[us]").astype("int64")
+                // 86_400_000_000)
+    exp = (d.sort_values("event_id").groupby(["event_type", "day"])
+           ["event_id"].agg(lambda s: ",".join(map(str, s))))
+    got_map = {(r.event_type, r.day): (r.id_list, r.n)
+               for r in got.itertuples()}
+    for (et, day), ids in exp.items():
+        lst, n = got_map.pop((et, int(day)))
+        assert lst == ids and n == ids.count(",") + 1
+    assert not got_map
