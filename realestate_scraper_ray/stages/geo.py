@@ -136,25 +136,40 @@ CITY_CENTROIDS: dict[str, tuple[float, float]] = {
 class ReverseGeocoder:
     """Actor-pool stage: nearest gazetteer city per row. The index is
     built once per actor in ``__init__`` (the Ray translation of the
-    reference's module-import k-d tree load); ``__call__`` is a
-    vectorized argmin over the centroid matrix."""
+    reference's module-import k-d tree load, trojmiasto.py:7,343-354).
+    Small gazetteers take a vectorized haversine argmin; past
+    ``kdtree_min`` entries a real k-d tree over unit-sphere points
+    answers each batch in O(log n) node visits per query — the
+    reference's 150k-row gazetteer is the sizing case (brute force is
+    O(batch × gazetteer) there). Chord NN on the sphere equals
+    haversine NN (monotone metrics), so both paths return the same
+    city; tests assert equality on a 5k-entry gazetteer."""
 
-    def __init__(self, centroids: dict[str, tuple[float, float]] | None = None):
+    def __init__(self, centroids: dict[str, tuple[float, float]] | None = None,
+                 kdtree_min: int = 256):
         cents = centroids or CITY_CENTROIDS
         self.names = np.array(list(cents.keys()))
         pts = np.array(list(cents.values()), dtype=np.float64)
         self.lat = pts[:, 0]
         self.lon = pts[:, 1]
+        self.nn = None
+        if len(self.names) >= kdtree_min:
+            from ..functions.kdtree import SphereNN
+            self.nn = SphereNN(self.lat, self.lon)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = np.asarray(batch["lat"], dtype=np.float64)
         lon = np.asarray(batch["lon"], dtype=np.float64)
-        d = haversine_m(lat[:, None], lon[:, None],
-                        self.lat[None, :], self.lon[None, :])
-        idx = np.argmin(d, axis=1)
+        if self.nn is not None:
+            idx, dist = self.nn.query(lat, lon)
+        else:
+            d = haversine_m(lat[:, None], lon[:, None],
+                            self.lat[None, :], self.lon[None, :])
+            idx = np.argmin(d, axis=1)
+            dist = d[np.arange(len(idx)), idx]
         return batch.append_column(
             "city_pred", pa.array(self.names[idx])).append_column(
-            "city_dist_m", pa.array(np.round(d[np.arange(len(idx)), idx], 1)))
+            "city_dist_m", pa.array(np.round(dist, 1)))
 
 
 def reverse_geocode(ds: rd.Dataset, concurrency: int = 2,
