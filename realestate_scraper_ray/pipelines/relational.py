@@ -5245,6 +5245,82 @@ def corpus_top_terms_per_source(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — maximize price, minimize quantity.
+# ---------------------------------------------------------------------------
+
+# Window-function form of the NOT EXISTS dominance definition
+# (dominator: p' ≥ p ∧ q ≤ q' flipped ∧ one strict): a row survives iff
+# its qty is its price level's minimum AND strictly below the running
+# min qty over all STRICTLY higher price levels. Equivalent because a
+# 2-D dominator can always be taken from a price level ≥ the victim's.
+_SKYLINE_SQL = """
+WITH g AS (SELECT l_extendedprice AS p, MIN(l_quantity) AS q
+           FROM lineitem GROUP BY 1),
+s AS (SELECT p, q,
+             MIN(q) OVER (ORDER BY p DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS bq
+      FROM g)
+SELECT a.l_orderkey, a.l_linenumber, a.l_extendedprice, a.l_quantity
+FROM lineitem a JOIN s ON a.l_extendedprice = s.p
+WHERE a.l_quantity = s.q AND (s.bq IS NULL OR s.q < s.bq)
+ORDER BY a.l_orderkey, a.l_linenumber
+"""
+
+
+def _skyline2d(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Boolean survivor mask of the 2-D skyline (maximize p, minimize
+    q; a point survives iff no other has p' ≥ p, q' ≤ q with one
+    strict; exact duplicates survive together). Vectorized: sort by
+    (p desc, q asc), exclusive running min of q across strictly-higher
+    price levels, min-q test within the level."""
+    n = len(p)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((q, -p))
+    ps, qs = p[order], q[order]
+    lvl_start = np.r_[True, ps[1:] != ps[:-1]]
+    # per-level min q = q of the level's first row (q ascending in level)
+    lvl_min = qs[np.repeat(np.flatnonzero(lvl_start),
+                           np.diff(np.r_[np.flatnonzero(lvl_start), n]))]
+    # exclusive running min over prior (strictly higher-price) levels
+    prev = np.r_[np.inf, np.minimum.accumulate(qs)[:-1]]
+    # carry the value at each level's start across the level (the
+    # running min inside a level must not see the level's own rows)
+    lvl_id = np.cumsum(lvl_start) - 1
+    best_above = prev[np.flatnonzero(lvl_start)][lvl_id]
+    keep_sorted = (qs == lvl_min) & (qs < best_above)
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+@query("lineitem_skyline", _SKYLINE_SQL)
+def lineitem_skyline(sf_dir: str) -> pd.DataFrame:
+    """Distributed skyline: skyline(∪ blocks) ⊆ ∪ skyline(block), so a
+    per-batch vectorized local skyline is a sound combiner — only
+    frontier candidates (≤ |distinct qty| rows per block in 2-D) reach
+    the driver, where the same kernel runs once more over the
+    candidates. No shuffle at all; work is one streaming pass."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice",
+              "l_quantity"])
+
+    def local(t: pa.Table) -> pa.Table:
+        keep = _skyline2d(t["l_extendedprice"].to_numpy(),
+                          t["l_quantity"].to_numpy())
+        return t.filter(pa.array(keep))
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    keep = _skyline2d(cand["l_extendedprice"].to_numpy(),
+                      cand["l_quantity"].to_numpy())
+    out = cand[keep]
+    return (out.astype({"l_orderkey": "int64", "l_linenumber": "int64"})
+            .sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Set operations (INTERSECT / EXCEPT) + ordered string aggregation.
 # ---------------------------------------------------------------------------
 

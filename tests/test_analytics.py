@@ -172,3 +172,42 @@ def test_string_agg_matches_bruteforce(ray_session, events_dir):
         lst, n = got_map.pop((et, int(day)))
         assert lst == ids and n == ids.count(",") + 1
     assert not got_map
+
+
+def test_skyline_kernel_bruteforce():
+    from realestate_scraper_ray.pipelines.relational import _skyline2d
+    rng = np.random.default_rng(9)
+    for trial in range(5):
+        p = rng.integers(0, 30, 400).astype(np.float64)
+        q = rng.integers(0, 30, 400).astype(np.float64)
+        keep = _skyline2d(p, q)
+        dom = ((p[None, :] >= p[:, None]) & (q[None, :] <= q[:, None])
+               & ((p[None, :] > p[:, None]) | (q[None, :] < q[:, None])))
+        exp = ~dom.any(axis=1)
+        np.testing.assert_array_equal(keep, exp)
+    # duplicates of a frontier point all survive; empty input works
+    p = np.array([10.0, 10.0, 5.0])
+    q = np.array([1.0, 1.0, 0.5])
+    assert _skyline2d(p, q).tolist() == [True, True, True]
+    assert _skyline2d(np.array([]), np.array([])).tolist() == []
+
+
+def test_skyline_combiner_is_sound(ray_session, tmp_path):
+    # skyline(union) from per-block skylines equals one-shot skyline
+    from realestate_scraper_ray.pipelines.relational import (
+        QUERIES, _skyline2d)
+    rng = np.random.default_rng(4)
+    n = 3000
+    t = pa.table({
+        "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "l_linenumber": pa.array(np.ones(n, dtype=np.int64)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(100, 9999, n), 2)),
+        "l_quantity": pa.array(rng.integers(1, 51, n).astype("float64")),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet", row_group_size=128)
+    got = QUERIES["lineitem_skyline"](str(tmp_path))
+    keep = _skyline2d(t["l_extendedprice"].to_numpy(),
+                      t["l_quantity"].to_numpy())
+    exp = set(t["l_orderkey"].to_numpy()[keep].tolist())
+    assert set(got["l_orderkey"]) == exp
