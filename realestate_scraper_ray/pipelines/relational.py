@@ -5245,6 +5245,118 @@ def corpus_top_terms_per_source(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD type-2 merge (lakehouse dimension maintenance).
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH b AS (SELECT c_custkey, c_acctbal,
+                  CAST('0x' || substr(md5('scd:' || CAST(c_custkey AS VARCHAR)),
+                                      1, 6) AS BIGINT) % 1000 AS bkt
+           FROM customer),
+d0 AS (SELECT c_custkey, c_acctbal FROM b WHERE bkt < 950),
+d1 AS (SELECT c_custkey,
+              CASE WHEN bkt < 200 THEN c_acctbal + 100.0
+                   ELSE c_acctbal END AS c_acctbal
+       FROM b WHERE bkt < 900 OR bkt >= 950),
+m AS (SELECT COALESCE(d0.c_custkey, d1.c_custkey) AS k,
+             d0.c_acctbal AS b0, d1.c_acctbal AS b1
+      FROM d0 FULL JOIN d1 ON d0.c_custkey = d1.c_custkey)
+SELECT * FROM (
+  SELECT k AS c_custkey, b0 AS c_acctbal,
+         CAST(0 AS BIGINT) AS valid_from,
+         CAST(CASE WHEN b1 IS NULL OR b1 <> b0 THEN 1 ELSE -1 END
+              AS BIGINT) AS valid_to
+  FROM m WHERE b0 IS NOT NULL
+  UNION ALL
+  SELECT k, b1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT)
+  FROM m WHERE b1 IS NOT NULL AND (b0 IS NULL OR b1 <> b0))
+ORDER BY c_custkey, valid_from
+"""
+
+
+@query("customer_scd2", _SCD2_SQL)
+def customer_scd2(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension type-2 merge of two dimension
+    snapshots: unchanged rows keep one open version, changed rows close
+    version 0 at t=1 and open version 1, deletes close version 0,
+    inserts open at t=1 (valid_to = -1 marks the open version). The
+    snapshots derive deterministically from the customer table via an
+    md5 key bucket (changed <200, deleted 900–949, inserted ≥950 —
+    identical arithmetic in the oracle), and the merge itself is the
+    real distributed operation: a hash-partitioned FULL OUTER join on
+    the dimension key + a vectorized per-batch classifier. This is the
+    snapshot-diff complement of the incremental stages (which maintain
+    aggregates; SCD2 maintains the dimension's history)."""
+    from ..functions.textstats import md5_fingerprints
+    from ..stages.joins import adaptive_partitions
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            "scd:", pc.cast(t["c_custkey"], pa.string()), "")
+        hx = md5_fingerprints(keys)
+        b = (pl.from_arrow(hx).str.slice(0, 6)
+             .str.to_integer(base=16).to_numpy() % 1000)
+        return t.append_column("bkt", pa.array(b.astype(np.int64)))
+
+    base = ds.map_batches(bucketed, batch_format="pyarrow")
+    d0 = base.map_batches(
+        lambda t: t.filter(pc.less(t["bkt"], 950))
+                   .select(["c_custkey", "c_acctbal"]),
+        batch_format="pyarrow")
+
+    def day1(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.or_(pc.less(t["bkt"], 900),
+                            pc.greater_equal(t["bkt"], 950)))
+        bal = pc.if_else(pc.less(t["bkt"], 200),
+                         pc.add(t["c_acctbal"], 100.0), t["c_acctbal"])
+        return pa.table({"c_custkey": t["c_custkey"], "c_acctbal": bal})
+
+    d1 = base.map_batches(day1, batch_format="pyarrow")
+    npart = adaptive_partitions(ds.count())
+    joined = d0.join(d1, join_type="full_outer", num_partitions=npart,
+                     on=("c_custkey",), left_suffix="_l",
+                     right_suffix="_r")
+
+    def versions(t: pa.Table) -> pa.Table:
+        names = t.column_names
+        kl = "c_custkey" if "c_custkey" in names else "c_custkey_l"
+        kr = "c_custkey_r" if "c_custkey_r" in names else kl
+        key = pc.coalesce(pc.cast(t[kl], pa.int64()),
+                          pc.cast(t[kr], pa.int64())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # numpy NaN masks instead of pyarrow boolean kernels: plain
+        # pc.or_/and_ propagate nulls (not Kleene), which silently
+        # drops the inserted-row case
+        b0 = t["c_acctbal_l" if "c_acctbal_l" in names else "c_acctbal"] \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        b1 = t["c_acctbal_r"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        has0, has1 = ~np.isnan(b0), ~np.isnan(b1)
+        with np.errstate(invalid="ignore"):
+            changed = has0 & has1 & (b0 != b1)
+        closes = has0 & (~has1 | changed)
+        open1 = has1 & (~has0 | changed)
+        v0 = pa.table({
+            "c_custkey": key[has0],
+            "c_acctbal": b0[has0],
+            "valid_from": np.zeros(int(has0.sum()), np.int64),
+            "valid_to": np.where(closes[has0], 1, -1).astype(np.int64)})
+        v1 = pa.table({
+            "c_custkey": key[open1],
+            "c_acctbal": b1[open1],
+            "valid_from": np.ones(int(open1.sum()), np.int64),
+            "valid_to": np.full(int(open1.sum()), -1, np.int64)})
+        return pa.concat_tables([v0, v1])
+
+    out = joined.map_batches(versions, batch_format="pyarrow").to_pandas()
+    return (out.astype({"c_custkey": "int64", "valid_from": "int64",
+                        "valid_to": "int64"})
+            .sort_values(["c_custkey", "valid_from"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Skyline (Pareto frontier) — maximize price, minimize quantity.
 # ---------------------------------------------------------------------------
 

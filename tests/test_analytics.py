@@ -211,3 +211,31 @@ def test_skyline_combiner_is_sound(ray_session, tmp_path):
                       t["l_quantity"].to_numpy())
     exp = set(t["l_orderkey"].to_numpy()[keep].tolist())
     assert set(got["l_orderkey"]) == exp
+
+
+def test_scd2_classes_bruteforce(ray_session):
+    # classify every key with the same md5 bucket rule and check the
+    # version rows the merge must emit per class
+    import hashlib
+    got = QUERIES["customer_scd2"]("/root/testdata/sf0.001")
+    rows = {}
+    for r in got.itertuples():
+        rows.setdefault(r.c_custkey, []).append(
+            (r.valid_from, r.valid_to, r.c_acctbal))
+    import duckdb
+    cust = duckdb.sql(
+        "SELECT c_custkey, c_acctbal FROM "
+        "'/root/testdata/sf0.001/customer.parquet'").df()
+    for k, bal in zip(cust.c_custkey, cust.c_acctbal):
+        b = int(hashlib.md5(f"scd:{k}".encode()).hexdigest()[:6],
+                16) % 1000
+        vs = sorted(rows.pop(int(k), []))
+        if b < 200:      # changed: close v0, open v1
+            assert vs == [(0, 1, bal), (1, -1, bal + 100.0)]
+        elif 900 <= b < 950:  # deleted: close v0
+            assert vs == [(0, 1, bal)]
+        elif b >= 950:   # inserted: open v1 only
+            assert vs == [(1, -1, bal)]
+        else:            # unchanged: one open version
+            assert vs == [(0, -1, bal)]
+    assert not rows
