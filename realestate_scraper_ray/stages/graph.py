@@ -266,6 +266,10 @@ def pagerank(edges: rd.Dataset, *, n_iter: int = 10,
 
     from .joins import BROADCAST_THRESHOLD_BYTES, lookup_join
 
+    # two consumers read `edges` (degree aggregate, od lookup join):
+    # checkpoint the branch point or Ray Data re-executes the caller's
+    # whole edge-build lineage once per consumer
+    edges = edges.materialize()
     deg = edges.groupby("src").aggregate(Count(alias_name="od"))
     # bidirectional edge builds guarantee src-set == node-set
     nodes = deg.materialize()
@@ -273,6 +277,16 @@ def pagerank(edges: rd.Dataset, *, n_iter: int = 10,
     r0 = mass // n
     base = ((100 - damping_pct) * mass) // (100 * n)
     edges_d = lookup_join(edges, nodes, "src", "src", ["od"]).materialize()
+
+    if (edges_d.size_bytes() or 0) <= BROADCAST_THRESHOLD_BYTES:
+        # Driver small path (same idiom as the triangle counter's
+        # under-cap branch): when the WHOLE od-joined edge table fits
+        # the broadcast cap, ten supersteps of pure numpy on the driver
+        # beat ten rounds of Ray task dispatch outright — identical
+        # integer fixed-point math, bit-identical ranks.
+        return _pagerank_driver(edges_d, nodes, n_iter=n_iter,
+                                damping_pct=damping_pct, base=base,
+                                r0=r0)
 
     if (nodes.size_bytes() or 0) * 3 <= BROADCAST_THRESHOLD_BYTES:
         # Broadcast fast path (rank table provably under the cap): the
@@ -332,6 +346,38 @@ def _bucket_of(arr, n_buckets: int) -> np.ndarray:
         arr = arr.combine_chunks()
     return (pl.from_arrow(arr).hash(seed=0) % n_buckets).to_numpy() \
         .astype(np.int64)
+
+
+def _pagerank_driver(edges_d: rd.Dataset, nodes: rd.Dataset, *,
+                     n_iter: int, damping_pct: int, base: int,
+                     r0: int) -> rd.Dataset:
+    """Under-cap superstep loop on the driver: factorize node ids once
+    (index_in), then each round is one gather // od, one int64
+    scatter-add, one fold — the same floor arithmetic as the
+    distributed paths, so ranks are bit-identical. A dst outside the
+    src universe contributes nothing and gets no row (the sequential
+    twin's semantics)."""
+    from .joins import _pull_table
+
+    node_tbl = _pull_table(nodes)
+    node_ids = node_tbl["src"].combine_chunks()
+    n = len(node_ids)
+    edges_tbl = _pull_table(edges_d)
+    src_ix = pc.index_in(edges_tbl["src"], value_set=node_ids) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)  # src ⊆ universe
+    dst_raw = pc.index_in(edges_tbl["dst"], value_set=node_ids)
+    dmask = pc.is_valid(dst_raw).to_numpy(zero_copy_only=False)
+    dst_ix = pc.fill_null(dst_raw, 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    od = edges_tbl["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.full(n, r0, dtype=np.int64)
+    for _ in range(n_iter):
+        c = rank[src_ix] // od
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst_ix[dmask], c[dmask])  # int64-exact scatter-add
+        rank = base + (damping_pct * s) // 100
+    return rd.from_arrow(pa.table({"node": node_ids,
+                                   "rank": pa.array(rank, pa.int64())}))
 
 
 def _pagerank_broadcast(edges_d: rd.Dataset, nodes: rd.Dataset, *,
