@@ -58,6 +58,8 @@ HEADLINE_QUERIES = [
     "graph_triangles",
     "funnel_conversion", "retention_cohorts", "events_cube_counts",
     "events_mad_outliers",
+    "users_intersect_except", "events_string_agg_daily",
+    "lineitem_skyline", "customer_scd2",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

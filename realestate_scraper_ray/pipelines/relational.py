@@ -5879,14 +5879,22 @@ CANONICAL_FIRST: list[str] = [
     # prefix rows; the iterative + incremental families held none.
     # events_global_rank demoted r4 — the window family keeps
     # sessionize/asof/hourly — for the round's new set-similarity JOIN
-    # family, which had no driver-visible row at all)
-    "events_hourly_window", "events_sessionize", "events_asof_purchase",
+    # family, which had no driver-visible row at all.
+    # events_hourly_window demoted late-r4: a plain bucketed groupby
+    # whose shape q1/rollup already cover, and the window family keeps
+    # sessionize + as-of — its slot goes to the skyline family (new,
+    # no prefix row))
+    "events_sessionize", "events_asof_purchase",
     "events_interleaved_docs",
     "graph_pagerank", "events_incremental_hourly",
-    "similarity_join_jaccard",
+    "similarity_join_jaccard", "lineitem_skyline",
     # crawl extraction kernels (M1..M31 families)
-    # (polish_number_coercion demoted r3 — five extraction kernels stay)
-    "url_canonicalize", "offer_id_extract",
+    # (polish_number_coercion demoted r3 — five extraction kernels stay.
+    # offer_id_extract demoted late-r4: regex id extraction rides the
+    # same kernel family as url_canonicalize/ldjson/listing_links —
+    # its slot goes to the set-operation family (INTERSECT/EXCEPT),
+    # which had no prefix row)
+    "url_canonicalize", "users_intersect_except",
     "ldjson_extract", "listing_links", "city_canonicalize",
     # text quality / corpus analysis / statistical preprocessing
     # (doc_repetition_stats demoted r3 for the moments-outlier family)
