@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
 ORACLE: dict[str, str] = {}
@@ -5846,6 +5846,214 @@ def events_mad_outliers(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True)
             .astype({"med2": "int64", "mad4": "int64",
                      "n_outliers": "int64", "n": "int64"}))
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: first-order Markov transition matrix over per-user
+# event streams.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS prev_type, nxt AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS p_next
+FROM o WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt
+ORDER BY prev_type, next_type
+"""
+
+
+@query("events_transition_matrix", _TRANSITION_SQL)
+def events_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition counts + row-normalized
+    probabilities over per-user event sequences (the sequence-mining
+    sibling of `funnel_conversion`). One coarse user-bucket exchange;
+    each bucket runs ONE vectorized polars shift-over-user pass and
+    pre-aggregates to (prev, next) partial counts, so at most
+    |types|² rows leave any bucket. The probability divides two exact
+    int64 counts, so the double is bit-identical to the oracle's.
+    100 TB: the exchange is the byte-minimal (user, ts, type) stream;
+    everything after the per-bucket combiner is domain-sized."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def transitions(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .sort(["user_id", "ts", "event_id"])
+              .with_columns(
+                  pl.col("event_type").shift(-1).over("user_id")
+                  .alias("next_type"))
+              .drop_nulls("next_type")
+              .group_by(["event_type", "next_type"])
+              .agg(pl.len().cast(pl.Int64).alias("n")))
+        return df.to_arrow()
+
+    part = (_bucketed_groups(ds, "user_id", transitions)
+            .groupby(["event_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n_pairs")).to_pandas())
+    # row-normalize on the driver: the matrix is |types|²-sized
+    tot = part.groupby("event_type")["n_pairs"].transform("sum")
+    part["p_next"] = part["n_pairs"].astype(np.int64) / tot.astype(np.int64)
+    out = part.rename(columns={"event_type": "prev_type"})
+    return (out[["prev_type", "next_type", "n_pairs", "p_next"]]
+            .astype({"n_pairs": "int64"})
+            .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profiling (Deequ-style column profiles as one query).
+# ---------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(doc_id) AS DOUBLE) AS min_num,
+       CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+       CAST(NULL AS DOUBLE) AS avg_len
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'text', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(text) AS BIGINT),
+       CAST(COUNT(DISTINCT text) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(text)
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(SUM(LENGTH(lang)) AS DOUBLE) / COUNT(lang)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(source) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(SUM(LENGTH(source)) AS DOUBLE) / COUNT(source)
+FROM documents
+ORDER BY col
+"""
+
+_PROFILE_NUM_COLS = ("doc_id", "n_chars")
+_PROFILE_STR_COLS = ("text", "lang", "source")
+
+
+@query("documents_profile", _PROFILE_SQL)
+def documents_profile(sf_dir: str) -> pd.DataFrame:
+    """Single-pass column profiling (the Deequ/Great-Expectations
+    operator family): per column — row count, null count, exact
+    distinct count, numeric min/max, mean string length. Two
+    executions over a column-pruned read:
+
+    1. stats pass — one map_batches emits per-(block, col) mergeable
+       partials (n, n_null, sum_len, min, max) pre-reduced inside the
+       batch, so the stats exchange is |cols|·|blocks| rows;
+    2. distinct pass — per-batch distinct (col_id, value-hash) rows
+       into a (col, h1, h2) groupby, then per-block partial counts of
+       the distinct table summed per column. Distinct identity is a
+       128-bit compound of two independent-base polynomial hashes
+       (`rolling_hash64`, the vectorized in-repo kernel): deterministic
+       across re-sharding; a collision between two distinct values is
+       a ~2^-128-per-pair event (sound at any corpus size) and would
+       only ever UNDERcount by 1.
+
+    UTF-8 note: lengths count Unicode code points (pc.utf8_length) to
+    match SQL LENGTH. avg_len divides two exact int64s → the double is
+    bit-identical to the oracle. 100 TB: no full-table state anywhere —
+    both exchanges carry hashes/partials, never text."""
+    cols = list(_PROFILE_NUM_COLS) + list(_PROFILE_STR_COLS)
+    ds = _pq(sf_dir, "documents", cols)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            a = t[c]
+            n = len(a)
+            n_null = a.null_count
+            if c in _PROFILE_NUM_COLS:
+                mn = pc.min(a).as_py()
+                mx = pc.max(a).as_py()
+                rows.append({"col": c, "n": n, "n_null": n_null,
+                             "sum_len": 0,
+                             "min_num": float(mn) if mn is not None else None,
+                             "max_num": float(mx) if mx is not None else None})
+            else:
+                sl = pc.sum(pc.utf8_length(a)).as_py() or 0
+                rows.append({"col": c, "n": n, "n_null": n_null,
+                             "sum_len": int(sl),
+                             "min_num": None, "max_num": None})
+        return pa.Table.from_pylist(rows)
+
+    stats = (ds.map_batches(stats_partial, batch_format="pyarrow")
+             .groupby("col")
+             .aggregate(Sum("n", alias_name="n_rows"),
+                        Sum("n_null", alias_name="n_null"),
+                        Sum("sum_len", alias_name="sum_len"),
+                        Min("min_num", alias_name="min_num"),
+                        Max("max_num", alias_name="max_num"))
+             .to_pandas())
+
+    from ..functions.textstats import rolling_hash64
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for i, c in enumerate(cols):
+            valid = pc.cast(t[c].combine_chunks().drop_null(), pa.string())
+            if len(valid) == 0:
+                continue
+            h1 = np.asarray(rolling_hash64(valid)).view(np.int64)
+            h2 = np.asarray(rolling_hash64(valid, base=998_244_353)
+                            ).view(np.int64)
+            outs.append(pa.table({
+                "col_id": np.full(len(h1), i, np.int64),
+                "h1": h1, "h2": h2}))
+        if not outs:
+            return pa.table({"col_id": pa.array([], pa.int64()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64())})
+        u = pa.concat_tables(outs)
+        return u.group_by(["col_id", "h1", "h2"]).aggregate([])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"col_id": t["col_id"],
+                          "one": np.ones(len(t), np.int64)})
+                .group_by("col_id").aggregate([("one", "sum")])
+                .rename_columns(["col_id", "nd"]))
+
+    nd = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+          .groupby(["col_id", "h1", "h2"]).aggregate(Count(alias_name="_c"))
+          .map_batches(count_partial, batch_format="pyarrow")
+          .groupby("col_id").aggregate(Sum("nd", alias_name="n_distinct"))
+          .to_pandas())
+    nd["col"] = nd["col_id"].map(dict(enumerate(cols)))
+
+    out = stats.merge(nd[["col", "n_distinct"]], on="col", how="left")
+    avg = np.where(np.isin(out["col"], _PROFILE_STR_COLS),
+                   out["sum_len"].astype(np.int64)
+                   / (out["n_rows"] - out["n_null"]).astype(np.int64),
+                   np.nan)
+    out["avg_len"] = avg
+    out.loc[out["col"].isin(_PROFILE_STR_COLS), ["min_num", "max_num"]] = np.nan
+    return (out[["col", "n_rows", "n_null", "n_distinct",
+                 "min_num", "max_num", "avg_len"]]
+            .astype({"n_rows": "int64", "n_null": "int64",
+                     "n_distinct": "int64"})
+            .sort_values("col").reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------

@@ -239,3 +239,60 @@ def test_scd2_classes_bruteforce(ray_session):
         else:            # unchanged: one open version
             assert vs == [(0, -1, bal)]
     assert not rows
+
+
+def test_transition_matrix_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["events_transition_matrix"](sf)
+    d = df.sort_values(["user_id", "ts", "event_id"])
+    prev, nxt = [], []
+    for _, g in d.groupby("user_id"):
+        types = g.event_type.to_list()
+        prev.extend(types[:-1])
+        nxt.extend(types[1:])
+    exp = (pd.DataFrame({"prev_type": prev, "next_type": nxt})
+           .groupby(["prev_type", "next_type"]).size())
+    got_map = {(r.prev_type, r.next_type): r.n_pairs
+               for r in got.itertuples()}
+    assert got_map == {k: int(v) for k, v in exp.items()}
+    # row-normalized: per prev_type the probabilities sum to 1 and each
+    # equals count/total exactly
+    tot = exp.groupby(level=0).sum()
+    for r in got.itertuples():
+        assert r.p_next == exp[(r.prev_type, r.next_type)] / tot[r.prev_type]
+
+
+def test_documents_profile_matches_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(5)
+    n = 800
+    texts = [f"doc text {i % 97} {'x' * (i % 13)}" for i in range(n)]
+    langs = rng.choice(["pl", "en", "de"], n).astype(object)
+    srcs = rng.choice(["a", "b"], n).astype(object)
+    # plant nulls + empty strings: null accounting and the empty-string
+    # hash must both be exercised
+    texts[5] = None
+    texts[17] = ""
+    langs[3] = None
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array((np.arange(n) % 29).astype(np.int64)),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet", row_group_size=64)
+    got = QUERIES["documents_profile"](str(tmp_path)).set_index("col")
+    df = t.to_pandas()
+    for col in ("doc_id", "text", "lang", "source", "n_chars"):
+        s = df[col]
+        r = got.loc[col]
+        assert r.n_rows == n
+        assert r.n_null == int(s.isna().sum())
+        assert r.n_distinct == int(s.dropna().nunique())
+        if col in ("doc_id", "n_chars"):
+            assert r.min_num == float(s.min())
+            assert r.max_num == float(s.max())
+            assert np.isnan(r.avg_len)
+        else:
+            assert np.isnan(r.min_num) and np.isnan(r.max_num)
+            assert r.avg_len == s.dropna().str.len().sum() / s.notna().sum()
