@@ -6057,6 +6057,34 @@ def documents_profile(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) similarity self-join — FastSS deletion
+# neighborhoods + exact vectorized DP verify (stages/fuzzy.py).
+# ---------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY a_id, b_id
+"""
+
+
+@query("fuzzy_join_editdist", _FUZZY_SQL)
+def fuzzy_join_editdist(sf_dir: str) -> pd.DataFrame:
+    """All customer-name pairs within Levenshtein distance 1 (the
+    classic record-linkage fuzzy join). The oracle is the quadratic
+    levenshtein cross product; the engine blocks on deletion-variant
+    hashes (FastSS) so the exchange carries (hash, id) int64 pairs —
+    n·(L+1) rows — and the exact DP verify sees only candidate pairs.
+    100 TB: no quadratic stage anywhere; bucket sizes are bounded by
+    variant-hash collision multiplicity, not corpus size."""
+    from ..stages.fuzzy import fuzzy_selfjoin_editdist
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    return fuzzy_selfjoin_editdist(ds, "c_custkey", "c_name", k=1)
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the
