@@ -296,3 +296,37 @@ def test_documents_profile_matches_bruteforce(ray_session, tmp_path):
         else:
             assert np.isnan(r.min_num) and np.isnan(r.max_num)
             assert r.avg_len == s.dropna().str.len().sum() / s.notna().sum()
+
+
+def test_resample_gapfill_matches_bruteforce(ray_session, tmp_path):
+    # plant real gaps: type "sparse" has events only on days 0 and 9,
+    # type "late" starts on day 4 (leading nulls), "dense" fires daily
+    rows = []
+    day = 86_400_000_000
+    eid = 0
+    for d in range(10):
+        rows.append(("dense", d * day + 1000, eid, float(d))); eid += 1
+        # same-day tie: later (ts, event_id) must win
+        rows.append(("dense", d * day + 1000, eid, float(d) + 0.5)); eid += 1
+    for d in (0, 9):
+        rows.append(("sparse", d * day + 5, eid, 100.0 + d)); eid += 1
+    for d in range(4, 10):
+        rows.append(("late", d * day + 7, eid, 200.0 + d)); eid += 1
+    t = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array(np.array([r[1] for r in rows], "datetime64[us]")),
+        "event_id": pa.array(np.array([r[2] for r in rows], np.int64)),
+        "value": pa.array([r[3] for r in rows]),
+    })
+    pq.write_table(t, tmp_path / "events.parquet", row_group_size=4)
+    got = QUERIES["events_resample_gapfill"](str(tmp_path))
+    assert len(got) == 3 * 10
+    g = {(r.event_type, r.day): r.last_value for r in got.itertuples()}
+    for d in range(10):
+        ds_ = f"1970-01-{d + 1:02d}"
+        assert g[("dense", ds_)] == d + 0.5        # tie broken by event_id
+        assert g[("sparse", ds_)] == (100.0 if d < 9 else 109.0)  # ffill
+        if d < 4:
+            assert np.isnan(g[("late", ds_)])      # before series start
+        else:
+            assert g[("late", ds_)] == 200.0 + d
