@@ -6163,6 +6163,91 @@ def events_resample_gapfill(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) storage-layout clustering — bucket extent statistics
+# (stages/zorder.py holds the kernel + the clustered resumable writer).
+# ---------------------------------------------------------------------------
+
+_Z_TERMS = " + ".join(
+    f"((qx // {1 << i}) % 2) * {1 << (2 * i)}"
+    f" + ((qy // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    for i in range(16))
+_ZORDER_SQL = f"""
+WITH b AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem),
+q AS (
+  SELECT l_partkey, l_suppkey,
+         (l_partkey * 65536) // (b.mp + 1) AS qx,
+         (l_suppkey * 65536) // (b.ms + 1) AS qy
+  FROM lineitem CROSS JOIN b),
+z AS (SELECT l_partkey, l_suppkey, CAST({_Z_TERMS} AS BIGINT) AS zkey FROM q)
+SELECT zkey // {1 << 26} AS zb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+FROM z GROUP BY zb ORDER BY zb
+"""
+
+
+def _col_max_from_stats(sf_dir: str, table: str, col: str) -> int:
+    """Column max off parquet row-group statistics — a metadata read,
+    no data pass (falls back to a Ray aggregate if stats are absent)."""
+    import pyarrow.parquet as _pqt
+    md = _pqt.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    maxes = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            ds = _pq(sf_dir, table, [col])
+            return int(ds.max(col))
+        maxes.append(st.max)
+    return int(max(maxes))
+
+
+@query("lineitem_zorder_stats", _ZORDER_SQL)
+def lineitem_zorder_stats(sf_dir: str) -> pd.DataFrame:
+    """Z-order clustering of lineitem on (l_partkey, l_suppkey): each
+    key normalized into the full 16-bit grid by its column max (read
+    off parquet row-group statistics — no data pass), morton keys via
+    vectorized bit dilation, top-6-bit range buckets, and per-bucket
+    row counts + per-dimension extents — the statistics that prove
+    each z-bucket covers a bounded region of BOTH key domains (what
+    makes OPTIMIZE-ZORDER layouts prunable on either column). The
+    oracle recomputes the same quantization + interleave as 32 integer
+    terms. One combiner-first exchange of |buckets| partials per
+    block."""
+    from ..stages.zorder import morton_key, z_bucket
+    mp = _col_max_from_stats(sf_dir, "lineitem", "l_partkey")
+    ms = _col_max_from_stats(sf_dir, "lineitem", "l_suppkey")
+    ds = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = morton_key(pk * 65536 // (mp + 1), sk * 65536 // (ms + 1))
+        p = pa.table({"zb": z_bucket(z),
+                      "pk": t["l_partkey"], "sk": t["l_suppkey"],
+                      "one": np.ones(len(t), np.int64)})
+        return (p.group_by("zb").aggregate(
+            [("one", "sum"), ("pk", "min"), ("pk", "max"),
+             ("sk", "min"), ("sk", "max")])
+            .rename_columns(["zb", "n", "min_part", "max_part",
+                             "min_supp", "max_supp"]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("zb")
+           .aggregate(Sum("n", alias_name="n"),
+                      Min("min_part", alias_name="min_part"),
+                      Max("max_part", alias_name="max_part"),
+                      Min("min_supp", alias_name="min_supp"),
+                      Max("max_supp", alias_name="max_supp"))
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values("zb").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the
