@@ -6248,6 +6248,152 @@ def lineitem_zorder_stats(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Association mining: pairwise event-type co-occurrence with lift
+# (the market-basket operator over per-user behavior sets).
+# ---------------------------------------------------------------------------
+
+_COOCCUR_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+     s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+           FROM ut GROUP BY event_type),
+     nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_both,
+       sa.n_t AS n_a, sb.n_t AS n_b,
+       CAST(COUNT(*) * nu.n_users AS DOUBLE)
+         / CAST(sa.n_t * sb.n_t AS DOUBLE) AS lift
+FROM ut a
+JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN s sa ON sa.event_type = a.event_type
+JOIN s sb ON sb.event_type = b.event_type
+CROSS JOIN nu
+GROUP BY a.event_type, b.event_type, sa.n_t, sb.n_t, nu.n_users
+ORDER BY type_a, type_b
+"""
+
+
+@query("events_type_cooccurrence", _COOCCUR_SQL)
+def events_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Market-basket pair co-occurrence over per-user behavior sets:
+    for every unordered event-type pair, the number of users who did
+    BOTH, each type's user support, and the lift
+    ``n_both·n_users / (n_a·n_b)`` (>1 ⇒ the types attract). ONE
+    user-bucket exchange carries the distinct ``(user, type)`` stream;
+    inside each bucket one polars pass dedups, self-joins on user (a
+    per-user set is ≤ |types| wide, so pairs are ≤ |types|² per user),
+    and pre-aggregates pair / support / distinct-user partials into a
+    single tagged union — so only domain-sized partials reach the
+    global sum. Lift divides exact int64 products, bit-identical to
+    the oracle. 100 TB: the exchange is the byte-minimal distinct
+    pair stream; everything downstream is |types|²-sized."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        u = (pl.from_arrow(t)
+             .unique(subset=["user_id", "event_type"]))
+        pairs = (u.join(u, on="user_id", suffix="_b")
+                 .filter(pl.col("event_type") < pl.col("event_type_b"))
+                 .group_by(["event_type", "event_type_b"])
+                 .agg(pl.len().cast(pl.Int64).alias("n"))
+                 .rename({"event_type": "type_a", "event_type_b": "type_b"})
+                 .with_columns(pl.lit(2, pl.Int64).alias("kind")))
+        supp = (u.group_by("event_type")
+                .agg(pl.len().cast(pl.Int64).alias("n"))
+                .rename({"event_type": "type_a"})
+                .with_columns(pl.lit("", pl.String).alias("type_b"),
+                              pl.lit(1, pl.Int64).alias("kind")))
+        nu = pl.DataFrame({
+            "type_a": [""], "type_b": [""],
+            "n": [u.select(pl.col("user_id").n_unique()).item()],
+            "kind": [0]}).cast({"n": pl.Int64, "kind": pl.Int64})
+        cols = ["kind", "type_a", "type_b", "n"]
+        return pl.concat([pairs.select(cols), supp.select(cols),
+                          nu.select(cols)]).to_arrow()
+
+    agg = (_bucketed_groups(ds, "user_id", partials)
+           .groupby(["kind", "type_a", "type_b"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    n_users = int(agg.loc[agg["kind"] == 0, "n"].iloc[0])
+    supp = dict(zip(agg.loc[agg["kind"] == 1, "type_a"],
+                    agg.loc[agg["kind"] == 1, "n"].astype(np.int64)))
+    out = agg.loc[agg["kind"] == 2,
+                  ["type_a", "type_b", "n"]].rename(columns={"n": "n_both"})
+    out["n_a"] = out["type_a"].map(supp).astype(np.int64)
+    out["n_b"] = out["type_b"].map(supp).astype(np.int64)
+    out["lift"] = ((out["n_both"].astype(np.int64) * n_users).astype(
+        np.float64) / (out["n_a"] * out["n_b"]).astype(np.float64))
+    return (out.astype({"n_both": "int64"})
+            .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user.
+# ---------------------------------------------------------------------------
+
+_STREAK_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS day
+           FROM events),
+     r AS (SELECT user_id, day,
+                  day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS grp
+           FROM d),
+     runs AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+              FROM r GROUP BY user_id, grp)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("events_longest_streak", _STREAK_SQL)
+def events_longest_streak(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands over per-user activity calendars: distinct
+    active days, the longest run of CONSECUTIVE days, and the number
+    of runs — the classic islands detection (day − rank(day) groups
+    runs) as one user-bucket exchange + one vectorized polars pass per
+    bucket (sort → per-user cum_count → island key → two group_bys).
+    Day arithmetic is integer days-since-epoch on both sides, so the
+    output is all-int64 hash-exact. 100 TB: the exchange ships only
+    (user_id, day) pairs after an in-batch distinct combiner."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(t: pa.Table) -> pa.Table:
+        # in-batch distinct combiner BEFORE the shuffle: a user's burst
+        # of same-day events collapses to one (user, day) row here
+        return (pl.from_arrow(t)
+                .select(pl.col("user_id"),
+                        pl.col("ts").cast(pl.Date).cast(pl.Int64)
+                        .alias("day"))
+                .unique().to_arrow())
+
+    def islands(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t).unique()
+              .sort(["user_id", "day"])
+              .with_columns(
+                  (pl.col("day")
+                   - pl.col("day").cum_count().over("user_id")
+                   .cast(pl.Int64)).alias("grp")))
+        runs = (df.group_by(["user_id", "grp"])
+                .agg(pl.len().cast(pl.Int64).alias("len")))
+        return (runs.group_by("user_id")
+                .agg(pl.col("len").sum().alias("n_days"),
+                     pl.col("len").max().alias("longest_streak"),
+                     pl.len().cast(pl.Int64).alias("n_streaks"))
+                .to_arrow())
+
+    out = (_bucketed_groups(ds.map_batches(to_days, batch_format="pyarrow"),
+                            "user_id", islands).to_pandas())
+    return (out.astype({"user_id": "int64", "n_days": "int64",
+                        "longest_streak": "int64", "n_streaks": "int64"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the

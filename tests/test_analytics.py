@@ -330,3 +330,40 @@ def test_resample_gapfill_matches_bruteforce(ray_session, tmp_path):
             assert np.isnan(g[("late", ds_)])      # before series start
         else:
             assert g[("late", ds_)] == 200.0 + d
+
+
+def test_type_cooccurrence_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["events_type_cooccurrence"](sf)
+    ut = df[["user_id", "event_type"]].drop_duplicates()
+    sets = ut.groupby("user_id")["event_type"].apply(set)
+    n_users = len(sets)
+    supp = ut.groupby("event_type").size()
+    from itertools import combinations
+    both = {}
+    for s in sets:
+        for a, b in combinations(sorted(s), 2):
+            both[(a, b)] = both.get((a, b), 0) + 1
+    got_map = {(r.type_a, r.type_b): (r.n_both, r.n_a, r.n_b, r.lift)
+               for r in got.itertuples()}
+    assert set(got_map) == set(both)
+    for (a, b), n in both.items():
+        nb, na, nbb, lift = got_map[(a, b)]
+        assert (nb, na, nbb) == (n, supp[a], supp[b])
+        assert lift == float(n * n_users) / float(supp[a] * supp[b])
+
+
+def test_longest_streak_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["events_longest_streak"](sf)
+    days = (df.assign(day=df.ts.values.astype("datetime64[D]")
+                      .astype("int64"))
+            [["user_id", "day"]].drop_duplicates())
+    exp = {}
+    for uid, g in days.groupby("user_id"):
+        d = np.sort(g["day"].to_numpy())
+        runs = np.split(d, np.where(np.diff(d) != 1)[0] + 1)
+        exp[uid] = (len(d), max(len(r) for r in runs), len(runs))
+    got_map = {r.user_id: (r.n_days, r.longest_streak, r.n_streaks)
+               for r in got.itertuples()}
+    assert got_map == exp
