@@ -6394,6 +6394,182 @@ def events_longest_streak(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting
+# (semi + anti self-join on lineitem via one co-located order exchange).
+# ---------------------------------------------------------------------------
+
+_WAITING_SQL = """
+WITH l AS (
+  SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'),
+ per AS (
+  SELECT okey, skey, BOOL_OR(late) AS late FROM l GROUP BY okey, skey),
+ agg AS (
+  SELECT okey, COUNT(*) AS n_supp,
+         SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late
+  FROM per GROUP BY okey),
+ waits AS (
+  SELECT p.skey FROM per p JOIN agg a USING (okey)
+  WHERE p.late AND a.n_supp >= 2 AND a.n_late = 1)
+SELECT s.s_name AS s_name, n.n_name AS n_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM waits w
+JOIN supplier s ON s.s_suppkey = w.skey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+_LATE_US = 60 * 86_400 * 1_000_000
+
+
+@query("waiting_suppliers", _WAITING_SQL)
+def waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape — the EXISTS + NOT-EXISTS self-join on lineitem:
+    a supplier \"kept an order waiting\" when its line shipped >60 days
+    after a finished order's date, the order had ≥2 distinct suppliers,
+    and NO other supplier was late. Both sides (status-filtered orders,
+    lineitem) are tagged into ONE stream and co-located by a single
+    orderkey-bucket exchange; per bucket one polars pass joins, folds
+    per-(order, supplier) lateness, and applies both quantifiers — so
+    the two correlated subqueries of the SQL cost one shuffle total.
+    The domain-sized per-supplier counts then broadcast-join the
+    supplier→nation dims on the driver. Top-20 by exact int64 count,
+    name tie-break."""
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate"],
+                 filter=(pc.field("o_orderstatus") == "F"))
+    line = _pq(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"okey": t["o_orderkey"],
+                         "skey": pa.array(np.full(t.num_rows, -1, np.int64)),
+                         "d": pc.cast(t["o_orderdate"], pa.int64())})
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"okey": t["l_orderkey"],
+                         "skey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "d": pc.cast(t["l_shipdate"], pa.int64())})
+
+    def quantify(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        o = (df.filter(pl.col("skey") < 0)
+             .select("okey", pl.col("d").alias("od")))
+        lj = df.filter(pl.col("skey") >= 0).join(o, on="okey")
+        per = (lj.group_by(["okey", "skey"])
+               .agg((pl.col("d") > pl.col("od") + _LATE_US)
+                    .any().alias("late")))
+        agg = (per.group_by("okey")
+               .agg(pl.len().cast(pl.Int64).alias("n_supp"),
+                    pl.col("late").sum().cast(pl.Int64).alias("n_late")))
+        w = (per.join(agg, on="okey")
+             .filter(pl.col("late") & (pl.col("n_supp") >= 2)
+                     & (pl.col("n_late") == 1)))
+        return (w.group_by("skey")
+                .agg(pl.len().cast(pl.Int64).alias("n")).to_arrow())
+
+    flat = (orders.map_batches(o_rows, batch_format="pyarrow")
+            .union(line.map_batches(l_rows, batch_format="pyarrow")))
+    counts = (_bucketed_groups(flat, "okey", quantify)
+              .groupby("skey").aggregate(Sum("n", alias_name="numwait"))
+              .to_pandas())
+    import pyarrow.parquet as pq
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (counts.merge(sup, left_on="skey", right_on="s_suppkey")
+           .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+           .groupby(["s_name", "n_name"], as_index=False)["numwait"].sum()
+           .sort_values(["numwait", "s_name"], ascending=[False, True])
+           .head(20).reset_index(drop=True))
+    return out[["s_name", "n_name", "numwait"]].astype({"numwait": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: classify per-user profiles between two time windows
+# (the data-diff / audit operator — added / removed / changed /
+# unchanged) without materializing either snapshot.
+# ---------------------------------------------------------------------------
+
+_DIFF_CUT = "2024-01-16 00:00:00"
+_DIFF_CUT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z in epoch µs
+
+_DIFF_SQL = f"""
+WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS cents
+           FROM events WHERE ts < TIMESTAMP '{_DIFF_CUT}'
+           GROUP BY user_id),
+     b AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS cents
+           FROM events WHERE ts >= TIMESTAMP '{_DIFF_CUT}'
+           GROUP BY user_id)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.n = b.n AND a.cents = b.cents THEN 'unchanged'
+            ELSE 'changed' END AS class,
+       COALESCE(a.n, 0) AS n_a, COALESCE(b.n, 0) AS n_b,
+       CAST(COALESCE(b.cents, 0) - COALESCE(a.cents, 0) AS BIGINT)
+         AS delta_cents
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+ORDER BY user_id
+"""
+
+
+@query("user_profile_diff", _DIFF_SQL)
+def user_profile_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot diff between the two halves of the event log: each
+    user's (count, value-sum) profile before vs after a cut instant,
+    classified added / removed / changed / unchanged. The full outer
+    join of the SQL costs NOTHING here: one pass emits conditional
+    partials (n_a, n_b, cents_a, cents_b) per user and a single
+    groupby-sum reconstructs both snapshots at once — absent-side
+    users simply sum to zero counts. The same shape diffs two 100 TB
+    table versions (tag rows by version at the read, one exchange).
+    All-int64 profile columns; hash-exact."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        in_a = pc.less(us, pa.scalar(_DIFF_CUT_US, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        a64 = pc.cast(in_a, pa.int64())
+        b64 = pc.subtract(pa.scalar(1, pa.int64()), a64)
+        p = pa.table({"user_id": t["user_id"], "n_a": a64, "n_b": b64,
+                      "ca": pc.multiply(cents, a64),
+                      "cb": pc.multiply(cents, b64)})
+        return p.group_by("user_id").aggregate(
+            [("n_a", "sum"), ("n_b", "sum"), ("ca", "sum"), ("cb", "sum")])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("n_a_sum", alias_name="n_a"),
+                      Sum("n_b_sum", alias_name="n_b"),
+                      Sum("ca_sum", alias_name="ca"),
+                      Sum("cb_sum", alias_name="cb"))
+           .to_pandas())
+    na, nb = out["n_a"].to_numpy(), out["n_b"].to_numpy()
+    cls = np.where(na == 0, "added",
+                   np.where(nb == 0, "removed",
+                            np.where((na == nb)
+                                     & (out["ca"].to_numpy()
+                                        == out["cb"].to_numpy()),
+                                     "unchanged", "changed")))
+    res = pd.DataFrame({"user_id": out["user_id"], "class": cls,
+                        "n_a": na, "n_b": nb,
+                        "delta_cents": out["cb"] - out["ca"]})
+    return (res.astype({"n_a": "int64", "n_b": "int64",
+                        "delta_cents": "int64"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the

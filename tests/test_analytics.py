@@ -367,3 +367,96 @@ def test_longest_streak_matches_bruteforce(ray_session, events_dir):
     got_map = {r.user_id: (r.n_days, r.longest_streak, r.n_streaks)
                for r in got.itertuples()}
     assert got_map == exp
+
+
+def test_waiting_suppliers_matches_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(21)
+    n_ord, n_sup = 400, 12
+    od = (np.datetime64("2024-01-01", "us")
+          + rng.integers(0, 90, n_ord).astype("timedelta64[D]").astype(
+              "timedelta64[us]"))
+    status = rng.choice(["F", "O", "P"], n_ord, p=[0.5, 0.25, 0.25])
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_orderstatus": pa.array(status),
+        "o_orderdate": pa.array(od),
+    }), tmp_path / "orders.parquet", row_group_size=64)
+    n_li = 2200
+    lok = rng.integers(0, n_ord, n_li).astype(np.int64)
+    lsk = rng.integers(0, n_sup, n_li).astype(np.int64)
+    ship = od[lok] + rng.integers(0, 120, n_li).astype(
+        "timedelta64[D]").astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(lok), "l_suppkey": pa.array(lsk),
+        "l_shipdate": pa.array(ship),
+    }), tmp_path / "lineitem.parquet", row_group_size=128)
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(n_sup, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i:03d}" for i in range(n_sup)]),
+        "s_nationkey": pa.array((np.arange(n_sup) % 3).astype(np.int32)),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(3, dtype=np.int32)),
+        "n_name": pa.array(["POLAND", "GERMANY", "FRANCE"]),
+    }), tmp_path / "nation.parquet")
+
+    got = QUERIES["waiting_suppliers"](str(tmp_path))
+
+    li = pd.DataFrame({"okey": lok, "skey": lsk, "ship": ship})
+    om = pd.DataFrame({"okey": np.arange(n_ord), "st": status, "od": od})
+    j = li.merge(om[om.st == "F"], on="okey")
+    j["late"] = j.ship > j.od + np.timedelta64(60, "D")
+    per = j.groupby(["okey", "skey"])["late"].any().reset_index()
+    cnt = {}
+    for okey, g in per.groupby("okey"):
+        if len(g) >= 2 and g.late.sum() == 1:
+            s = int(g.loc[g.late, "skey"].iloc[0])
+            cnt[s] = cnt.get(s, 0) + 1
+    exp = sorted(((f"Supplier#{s:03d}", v) for s, v in cnt.items()),
+                 key=lambda x: (-x[1], x[0]))[:20]
+    assert [(r.s_name, r.numwait) for r in got.itertuples()] == exp
+    # nation names ride the supplier row
+    for r in got.itertuples():
+        s = int(r.s_name.split("#")[1])
+        assert r.n_name == ["POLAND", "GERMANY", "FRANCE"][s % 3]
+
+
+def test_user_profile_diff_matches_bruteforce(ray_session, tmp_path):
+    from realestate_scraper_ray.pipelines.relational import _DIFF_CUT_US
+    rng = np.random.default_rng(31)
+    n = 4000
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = ts0 + rng.integers(0, 30 * 86_400_000_000, n).astype(
+        "timedelta64[us]")
+    uid = rng.integers(0, 120, n).astype(np.int64)
+    # plant pure-A and pure-B users so 'added'/'removed' are exercised
+    uid[ts.astype("int64") < _DIFF_CUT_US] = np.abs(
+        uid[ts.astype("int64") < _DIFF_CUT_US]) % 100  # A-side: 0..99
+    first_b = ts.astype("int64") >= _DIFF_CUT_US
+    uid[first_b] = 20 + uid[first_b] % 100              # B-side: 20..119
+    val = np.round(rng.normal(40, 15, n), 2)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts), "user_id": pa.array(uid),
+        "event_type": pa.array(["view"] * n), "value": pa.array(val),
+    }), tmp_path / "events.parquet", row_group_size=256)
+
+    got = QUERIES["user_profile_diff"](str(tmp_path))
+    df = pd.DataFrame({"uid": uid, "us": ts.astype("int64"),
+                       "cents": np.rint(val * 100).astype(np.int64)})
+    a = df[df.us < _DIFF_CUT_US].groupby("uid").agg(
+        n=("cents", "size"), c=("cents", "sum"))
+    b = df[df.us >= _DIFF_CUT_US].groupby("uid").agg(
+        n=("cents", "size"), c=("cents", "sum"))
+    exp = {}
+    for u in sorted(set(a.index) | set(b.index)):
+        na = int(a.n.get(u, 0)); nb = int(b.n.get(u, 0))
+        ca = int(a.c.get(u, 0)); cb = int(b.c.get(u, 0))
+        cls = ("added" if na == 0 else "removed" if nb == 0
+               else "unchanged" if (na == nb and ca == cb) else "changed")
+        exp[u] = (cls, na, nb, cb - ca)
+    got_map = {u: (c, na_, nb_, d) for u, c, na_, nb_, d in zip(
+        got["user_id"], got["class"], got["n_a"], got["n_b"],
+        got["delta_cents"])}
+    assert got_map == exp
+    assert {"added", "removed", "changed"} <= {v[0] for v in exp.values()}
