@@ -6570,6 +6570,147 @@ def user_profile_diff(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grid stencil: (day × hour) density with an 8-neighbor sum — the
+# hotspot-detection shape (count exchange is domain-sized; the stencil
+# itself runs on the dense grid).
+# ---------------------------------------------------------------------------
+
+_HOTSPOT_SQL = """
+WITH c AS (
+  SELECT DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS gx,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS gy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY gx, gy),
+ off AS (SELECT dx, dy
+         FROM (VALUES (-1), (0), (1)) t(dx),
+              (VALUES (-1), (0), (1)) u(dy)
+         WHERE NOT (dx = 0 AND dy = 0))
+SELECT c.gx AS gx, c.gy AS gy, c.n AS n,
+       CAST(COALESCE(SUM(nb.n), 0) AS BIGINT) AS neigh_n
+FROM c CROSS JOIN off
+LEFT JOIN c nb ON nb.gx = c.gx + off.dx AND nb.gy = c.gy + off.dy
+GROUP BY c.gx, c.gy, c.n
+ORDER BY gx, gy
+"""
+
+
+@query("events_grid_hotspots", _HOTSPOT_SQL)
+def events_grid_hotspots(sf_dir: str) -> pd.DataFrame:
+    """2-D density stencil over the (day, hour-of-day) grid: per-cell
+    event count plus the sum of its 8 neighbors (the smoothing pass a
+    hotspot detector thresholds). ONE combiner-first exchange of
+    per-batch (gx, gy, n) partials; the grid domain is days×24 —
+    bounded by the calendar, NOT the data size — so the stencil runs
+    as one dense-array convolution on the driver no matter how many
+    events feed it. The SQL recomputes the stencil as an 8-offset
+    self-join. All-int64 counts; hash-exact."""
+    ds = _pq(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gx = us // 86_400_000_000
+        gy = (us // 3_600_000_000) % 24
+        p = pa.table({"gx": gx, "gy": gy,
+                      "one": np.ones(len(us), np.int64)})
+        return (p.group_by(["gx", "gy"]).aggregate([("one", "sum")])
+                .rename_columns(["gx", "gy", "n"]))
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["gx", "gy"]).aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    gx = cells["gx"].to_numpy(np.int64)
+    gy = cells["gy"].to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64)
+    x0, x1 = int(gx.min()), int(gx.max())
+    # pad one ring so the shifted reads never index out of bounds
+    grid = np.zeros((x1 - x0 + 3, 26), np.int64)
+    grid[gx - x0 + 1, gy + 1] = n
+    neigh = np.zeros_like(grid)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            neigh += np.roll(np.roll(grid, dx, axis=0), dy, axis=1)
+    out = pd.DataFrame({"gx": gx, "gy": gy, "n": n,
+                        "neigh_n": neigh[gx - x0 + 1, gy + 1]})
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["gx", "gy"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal: BFS hop distance from a seed node (frontier
+# expansion — the iterative sibling of pagerank/components).
+# ---------------------------------------------------------------------------
+
+_BFS_H = 6
+
+
+def _bfs_sql(h: int = _BFS_H) -> str:
+    """Recursive-CTE BFS oracle over the same bipartite edge set as
+    `_pagerank_sql` — UNION dedup on (node, d) pairs terminates the
+    recursion at the `d < h` cap, MIN(d) collapses to hop distance."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                  'i' || json_extract_string(props, '$.k') AS dst
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+  UNION
+  SELECT DISTINCT 'i' || json_extract_string(props, '$.k'),
+                  'u' || CAST(user_id AS VARCHAR)
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+bfs(node, d) AS (
+  SELECT 'u' || CAST(MIN(user_id) AS VARCHAR), 0 FROM events
+  UNION
+  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.d < {h})
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+FROM bfs GROUP BY node ORDER BY node
+"""
+
+
+@query("graph_bfs_hops", _bfs_sql())
+def graph_bfs_hops(sf_dir: str) -> pd.DataFrame:
+    """BFS hop distance from the smallest user over the bipartite
+    user↔item graph, capped at {_BFS_H} hops — the graph-traversal
+    family (reachability, k-hop neighborhoods). Frontier expansion:
+    each round semi-joins the edge list against the previous round's
+    NEW nodes (broadcast while the frontier is under the 64 MiB cap,
+    hash-partitioned semi join above it), then one groupby-MIN folds
+    candidates into the visited table — no anti-join needed, because
+    a re-reached node simply keeps its smaller distance and never
+    re-enters a frontier. Per round only node-scale tables move plus
+    one pass over the edge list. Early-exits when a frontier is empty.
+    The oracle is a recursive CTE over the identical edge set."""
+    from ..stages.joins import semi_join
+    edges = _event_bipartite_edges(sf_dir).materialize()
+    seed = "u" + str(int(_pq(sf_dir, "events", ["user_id"])
+                         .min("user_id")))
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array([seed], pa.string()),
+        "dist": pa.array([0], pa.int64())})).materialize()
+    for r in range(1, _BFS_H + 1):
+        prev = r - 1
+        frontier = visited.map_batches(
+            lambda t, p=prev: t.filter(pc.equal(t["dist"], p))
+            .select(["node"]), batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+        cand = (semi_join(edges, frontier, "src", "node")
+                .map_batches(
+                    lambda t, rr=r: pa.table({
+                        "node": t["dst"],
+                        "dist": pa.array(np.full(t.num_rows, rr,
+                                                 np.int64))}),
+                    batch_format="pyarrow"))
+        visited = (visited.union(cand).groupby("node")
+                   .aggregate(Min("dist", alias_name="dist"))
+                   .materialize())
+    out = visited.to_pandas()
+    return (out.astype({"dist": "int64"})
+            .sort_values("node").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the

@@ -460,3 +460,19 @@ def test_user_profile_diff_matches_bruteforce(ray_session, tmp_path):
         got["delta_cents"])}
     assert got_map == exp
     assert {"added", "removed", "changed"} <= {v[0] for v in exp.values()}
+
+
+def test_grid_hotspots_matches_bruteforce(ray_session, events_dir):
+    sf, df = events_dir
+    got = QUERIES["events_grid_hotspots"](sf)
+    us = df.ts.values.astype("int64")
+    gx = us // 86_400_000_000
+    gy = (us // 3_600_000_000) % 24
+    cnt = pd.DataFrame({"gx": gx, "gy": gy}).groupby(
+        ["gx", "gy"]).size().to_dict()
+    assert {(r.gx, r.gy): r.n for r in got.itertuples()} == cnt
+    for r in got.itertuples():
+        exp = sum(cnt.get((r.gx + dx, r.gy + dy), 0)
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                  if (dx, dy) != (0, 0))
+        assert r.neigh_n == exp

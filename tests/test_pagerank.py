@@ -88,3 +88,50 @@ def test_pagerank_keeps_zero_indegree_contributors(ray_session):
     assert got["a"] == ((100 - 85) * 10**12) // (100 * 3)  # base rank
     # a's feed into b persists: b outranks c's sole-feeder level
     assert got["b"] > got["c"]
+
+
+def test_bfs_hops_matches_bruteforce(ray_session, tmp_path):
+    """Chain + branch topology: u0-i0-u1-i1-...-u4 plus an unreachable
+    island (u90-i90); hop distances must match a sequential BFS and the
+    island must be absent."""
+    import json
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from realestate_scraper_ray.pipelines.relational import QUERIES, _BFS_H
+
+    rows = []
+    for i in range(5):                      # chain u0-i0-u1-i1-..-u4
+        rows.append((i, f"k{i}"))
+        rows.append((i + 1, f"k{i}"))
+    rows.append((0, "side"))                # branch: i'side' at dist 1
+    rows.append((90, "far"))                # island, unreachable from u0
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, np.datetime64("2024-01-05", "us"))),
+        "user_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array([json.dumps({"k": r[1]}) for r in rows]),
+    }), tmp_path / "events.parquet")
+
+    got = QUERIES["graph_bfs_hops"](str(tmp_path))
+    # sequential BFS over the same bidirectional bipartite graph
+    adj = {}
+    for u, k in rows:
+        a, b = f"u{u}", f"i{k}"
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {"u0": 0}
+    frontier = ["u0"]
+    for d in range(1, _BFS_H + 1):
+        nxt = [m for x in frontier for m in adj[x] if m not in dist]
+        for m in nxt:
+            dist.setdefault(m, d)
+        frontier = sorted(set(nxt))
+    exp = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+    assert list(got["node"]) == list(exp["node"])
+    assert list(got["dist"]) == list(exp["dist"])
+    assert "u90" not in set(got["node"]) and "ifar" not in set(got["node"])
