@@ -60,6 +60,12 @@ HEADLINE_QUERIES = [
     "events_mad_outliers",
     "users_intersect_except", "events_string_agg_daily",
     "lineitem_skyline", "customer_scd2",
+    "events_transition_matrix", "documents_profile",
+    "fuzzy_join_editdist", "events_resample_gapfill",
+    "lineitem_zorder_stats",
+    "events_type_cooccurrence", "events_longest_streak",
+    "waiting_suppliers", "user_profile_diff",
+    "events_grid_hotspots", "graph_bfs_hops", "graph_hits",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

@@ -6711,6 +6711,72 @@ def graph_bfs_hops(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HITS hubs/authorities over the DIRECTED user→item graph (the second
+# iterative fixed-point algorithm next to pagerank).
+# ---------------------------------------------------------------------------
+
+
+def _hits_sql(n_iter: int = 3, scale: int = 10**6) -> str:
+    """Unrolled HITS oracle: each half-step is a join + SUM + a scalar
+    floor-div renormalization ``s // (max(s) // scale + 1)`` — exactly
+    `stages/graph.py hits`, so integer scores hash-compare."""
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                  'i' || json_extract_string(props, '$.k') AS dst
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+h0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS s
+       FROM (SELECT DISTINCT src FROM e))"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f""",
+a{i}r AS (SELECT e.dst AS node, SUM(h{i-1}.s) AS s
+        FROM e JOIN h{i-1} ON h{i-1}.node = e.src GROUP BY e.dst),
+a{i} AS (SELECT node, CAST(s // ((SELECT MAX(s) FROM a{i}r)
+                                 // {scale} + 1) AS BIGINT) AS s
+        FROM a{i}r),
+h{i}r AS (SELECT e.src AS node, SUM(a{i}.s) AS s
+        FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src),
+h{i} AS (SELECT node, CAST(s // ((SELECT MAX(s) FROM h{i}r)
+                                 // {scale} + 1) AS BIGINT) AS s
+        FROM h{i}r)""")
+    return (head + "".join(its)
+            + f"""
+SELECT node, 'hub' AS kind, s AS score FROM h{n_iter}
+UNION ALL SELECT node, 'auth', s FROM a{n_iter}
+ORDER BY kind, node""")
+
+
+@query("graph_hits", _hits_sql())
+def graph_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities over the directed user→item interaction
+    graph (`stages/graph.py hits`): 3 power iterations, each two
+    adaptive score-lookup joins + combiner-first groupby-sums, with an
+    integer floor-div renormalization per half-step so every score is
+    exact int64 and bit-equal to the unrolled SQL oracle. Hubs are
+    users (who touch many good items), authorities are items (touched
+    by many good users)."""
+    from ..stages.graph import hits
+
+    def mk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        k = df["props"].str.json_path_match("$.k")
+        return (pl.DataFrame({
+            "src": pl.Series(["u"] * len(df))
+            + df["user_id"].cast(pl.Utf8),
+            "dst": pl.Series(["i"] * len(df)) + k})
+            .drop_nulls().unique().to_arrow())
+
+    edges = (_pq(sf_dir, "events", ["user_id", "props"])
+             .map_batches(mk, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+             .select_columns(["src", "dst"]))
+    out = hits(edges, n_iter=3).to_pandas()
+    return (out.astype({"score": "int64"})
+            .sort_values(["kind", "node"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the

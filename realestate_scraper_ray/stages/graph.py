@@ -743,3 +743,111 @@ def triangle_counts(edges: rd.Dataset, col_a: str = "id_a",
                      "n_tri": pa.array([], pa.int64())}),
                 batch_format="pyarrow")
             .groupby("node").aggregate(_Sum("n_tri", alias_name="n_tri")))
+
+
+HITS_SCALE = 10**6
+
+
+def hits(edges: rd.Dataset, *, n_iter: int = 3) -> rd.Dataset:
+    """Integer fixed-point HITS (Kleinberg) over a DIRECTED (src, dst)
+    edge Dataset: hubs = the src universe, authorities = the dst
+    universe. Each half-step sums the opposite side's score over the
+    edge list, then renormalizes with ``score // (max // SCALE + 1)``
+    — a floor division by a scalar, so the whole iteration stays in
+    exact int64 arithmetic (scores ≤ ~SCALE; a sum over in-degree d is
+    ≤ 2·SCALE·d, int64-safe to d ≈ 4.6e12) and is bit-reproducible
+    against an unrolled SQL oracle. Per round: two adaptive
+    rank-lookup joins (broadcast under the 64 MiB cap, hash-partition
+    above) + two combiner-first groupby-sums + two scalar MAX
+    aggregates; only node-scale tables and the edge list move. An
+    under-cap edge table takes the driver numpy path (same floors,
+    bit-identical).
+
+    Returns (node, kind ∈ {hub, auth}, score int64)."""
+    from ray.data.aggregate import Count, Max
+
+    from .joins import BROADCAST_THRESHOLD_BYTES, lookup_join
+
+    edges = edges.materialize()
+    if (edges.size_bytes() or 0) <= BROADCAST_THRESHOLD_BYTES:
+        return _hits_driver(edges, n_iter=n_iter)
+
+    def init_h(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"],
+                         "s": np.full(t.num_rows, HITS_SCALE, np.int64)})
+
+    h = (edges.groupby("src").aggregate(Count(alias_name="_c"))
+         .select_columns(["src"])
+         .map_batches(init_h, batch_format="pyarrow").materialize())
+    a = None
+    for _ in range(n_iter):
+        a_raw = (lookup_join(edges, h, "src", "node", ["s"])
+                 .map_batches(lambda t: pa.table(
+                     {"dst": t["dst"], "s": t["s"]}),
+                     batch_format="pyarrow")
+                 .groupby("dst").aggregate(Sum("s", alias_name="raw"))
+                 .materialize())
+        sc = int(a_raw.max("raw")) // HITS_SCALE + 1
+
+        def norm_a(t: pa.Table, s=sc) -> pa.Table:
+            return pa.table({"node": t["dst"],
+                             "s": pc.divide(t["raw"],
+                                            pa.scalar(s, pa.int64()))})
+
+        a = (a_raw.map_batches(norm_a, batch_format="pyarrow")
+             .materialize())
+        h_raw = (lookup_join(edges, a, "dst", "node", ["s"])
+                 .map_batches(lambda t: pa.table(
+                     {"src": t["src"], "s": t["s"]}),
+                     batch_format="pyarrow")
+                 .groupby("src").aggregate(Sum("s", alias_name="raw"))
+                 .materialize())
+        sch = int(h_raw.max("raw")) // HITS_SCALE + 1
+
+        def norm_h(t: pa.Table, s=sch) -> pa.Table:
+            return pa.table({"node": t["src"],
+                             "s": pc.divide(t["raw"],
+                                            pa.scalar(s, pa.int64()))})
+
+        h = (h_raw.map_batches(norm_h, batch_format="pyarrow")
+             .materialize())
+
+    def tag(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"],
+                             "kind": pa.array([kind] * t.num_rows,
+                                              pa.string()),
+                             "score": t["s"]})
+        return f
+
+    return (h.map_batches(tag("hub"), batch_format="pyarrow")
+            .union(a.map_batches(tag("auth"), batch_format="pyarrow")))
+
+
+def _hits_driver(edges: rd.Dataset, *, n_iter: int) -> rd.Dataset:
+    """Under-cap HITS superstep loop on the driver — identical floor
+    arithmetic to the distributed path (gather, int64 scatter-add,
+    scalar floor-div renormalize), so scores are bit-identical."""
+    from .joins import _pull_table
+
+    et = _pull_table(edges)
+    srcs = pc.unique(et["src"].combine_chunks())
+    dsts = pc.unique(et["dst"].combine_chunks())
+    six = pc.index_in(et["src"], value_set=srcs).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    dix = pc.index_in(et["dst"], value_set=dsts).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    h = np.full(len(srcs), HITS_SCALE, np.int64)
+    a = np.zeros(len(dsts), np.int64)
+    for _ in range(n_iter):
+        a = np.zeros(len(dsts), np.int64)
+        np.add.at(a, dix, h[six])
+        a //= a.max() // HITS_SCALE + 1
+        h = np.zeros(len(srcs), np.int64)
+        np.add.at(h, six, a[dix])
+        h //= h.max() // HITS_SCALE + 1
+    return rd.from_arrow(pa.concat_tables([
+        pa.table({"node": srcs, "kind": pa.array(["hub"] * len(srcs)),
+                  "score": pa.array(h, pa.int64())}),
+        pa.table({"node": dsts, "kind": pa.array(["auth"] * len(dsts)),
+                  "score": pa.array(a, pa.int64())})]))
