@@ -6823,10 +6823,18 @@ CANONICAL_FIRST: list[str] = [
     # its slot goes to the set-operation family (INTERSECT/EXCEPT),
     # which had no prefix row)
     "url_canonicalize", "users_intersect_except",
-    "ldjson_extract", "listing_links", "city_canonicalize",
+    # city_canonicalize demoted late-r4: the canonicalization join
+    # rides the join family (coverage/full_outer in prefix) and the
+    # extraction kernels keep url/ldjson/listing reps — its slot goes
+    # to the time-series regularization family (resample + LOCF gap
+    # fill), which had no prefix row
+    "ldjson_extract", "listing_links", "events_resample_gapfill",
     # text quality / corpus analysis / statistical preprocessing
-    # (doc_repetition_stats demoted r3 for the moments-outlier family)
-    "token_count", "quality_stats", "documents_clean_corpus",
+    # (doc_repetition_stats demoted r3 for the moments-outlier family.
+    # token_count demoted late-r4: it rides the same textstats kernel
+    # family as quality_stats — its slot goes to the SCD2 dimension-
+    # maintenance family, which had no prefix row)
+    "customer_scd2", "quality_stats", "documents_clean_corpus",
     "decontaminate", "tfidf_top_terms", "events_outlier_zscore",
     # dedup families + accuracy gates (+ the payload-specific
     # interleaved span dedup, r3 — orders_above_cust_avg demoted: the
@@ -6839,16 +6847,25 @@ CANONICAL_FIRST: list[str] = [
     # (embedding_neardup_lsh_recall, which recomputes the brute-force
     # pair set internally) — its slot goes to the round's
     # grouping-sets ROLLUP family.)
+    # dedup_ngram_jaccard demoted late-r4: its set-similarity verify
+    # kernel is the prefix's similarity_join_jaccard and the dedup
+    # family keeps exact + both accuracy GATES + substring +
+    # components — its slot goes to the Deequ-style column-profiling
+    # family (data quality), which had no prefix row
     "interleaved_span_dedup",
-    "dedup_exact_text", "dedup_minhash_recall", "dedup_ngram_jaccard",
+    "dedup_exact_text", "dedup_minhash_recall", "documents_profile",
     "dedup_simhash_precision",
     "embedding_neardup_lsh_recall", "exact_substring_dup",
     "dedup_components",
     "graph_triangles", "events_rollup_counts",
     # similarity search + recall gates
     "ann_cosine_topk", "ann_ivf_recall", "ann_lsh_recall",
-    # mergeable sketches
-    "approx_distinct_users", "bloom_semi_join", "approx_percentiles_hist",
+    # mergeable sketches (approx_percentiles_hist demoted late-r4: the
+    # sketch family keeps HLL distinct + Bloom and the histogram
+    # kernel is exercised by value_percentiles_per_type's exact
+    # selection — its slot goes to the storage-layout Z-order family,
+    # which had no prefix row)
+    "approx_distinct_users", "bloom_semi_join", "lineitem_zorder_stats",
     # multimodal stages (media_decode_meta demoted r4: the media family
     # keeps media_frame_sample here plus crawl_media below, while the
     # round-4 conditional-GET revisit — bucket-sharded validators, 304
