@@ -66,6 +66,7 @@ HEADLINE_QUERIES = [
     "events_type_cooccurrence", "events_longest_streak",
     "waiting_suppliers", "user_profile_diff",
     "events_grid_hotspots", "graph_bfs_hops", "graph_hits",
+    "events_value_psi", "fk_integrity_audit",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

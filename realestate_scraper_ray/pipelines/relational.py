@@ -6777,6 +6777,147 @@ def graph_hits(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distribution drift: population stability index (PSI) of the value
+# distribution between the two halves of the event log — the
+# drift-monitoring operator a production pipeline alarms on.
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = list(range(-1, 10))  # fixed bin domain: clip(cents//1000)
+
+_PSI_SQL = f"""
+WITH binned AS (
+  SELECT LEAST(GREATEST(CAST(ROUND(value*100,0) AS BIGINT) // 1000,
+               -1), 9) AS bin,
+         (ts < TIMESTAMP '{_DIFF_CUT}') AS in_a
+  FROM events),
+ cnt AS (SELECT bin,
+         SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS n_b
+         FROM binned GROUP BY bin),
+ dom AS (SELECT UNNEST(ARRAY[{", ".join(map(str, _PSI_BINS))}]) AS bin),
+ full_ AS (SELECT dom.bin,
+           CAST(COALESCE(cnt.n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(cnt.n_b, 0) AS BIGINT) AS n_b
+           FROM dom LEFT JOIN cnt ON cnt.bin = dom.bin),
+ tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM full_)
+SELECT bin, n_a, n_b,
+       CAST(FLOOR((
+         (CAST(n_a + 1 AS DOUBLE) / (ta + {len(_PSI_BINS)})
+          - CAST(n_b + 1 AS DOUBLE) / (tb + {len(_PSI_BINS)}))
+         * LN((CAST(n_a + 1 AS DOUBLE) / (ta + {len(_PSI_BINS)}))
+              / (CAST(n_b + 1 AS DOUBLE) / (tb + {len(_PSI_BINS)})))
+         ) * 1000000) AS BIGINT) AS psi_micro
+FROM full_, tot
+ORDER BY bin
+"""
+
+
+@query("events_value_psi", _PSI_SQL)
+def events_value_psi(sf_dir: str) -> pd.DataFrame:
+    """Population stability index of the value distribution across the
+    two halves of the event log, per bin: Laplace-smoothed
+    ``(pA−pB)·ln(pA/pB)`` in integer micro-nats (FLOOR on both sides —
+    floor of a single libm-double expression over exact integer
+    counts, the `lm_logprob_score` fixed-point idiom, so the hash is
+    exact). The distributed part is ONE combiner-first exchange of
+    (bin, window) count partials over a FIXED 11-bin domain — the PSI
+    arithmetic itself is constant-size driver math at any data
+    scale."""
+    import math
+    ds = _pq(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        b = np.clip(cents // 1000, -1, 9)
+        in_a = (us < _DIFF_CUT_US).astype(np.int64)
+        p = pa.table({"bin": b, "n_a": in_a, "n_b": 1 - in_a})
+        return (p.group_by("bin")
+                .aggregate([("n_a", "sum"), ("n_b", "sum")])
+                .rename_columns(["bin", "n_a", "n_b"]))
+
+    got = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bin")
+           .aggregate(Sum("n_a", alias_name="n_a"),
+                      Sum("n_b", alias_name="n_b"))
+           .to_pandas().set_index("bin"))
+    k = len(_PSI_BINS)
+    n_a = np.array([int(got["n_a"].get(b, 0)) for b in _PSI_BINS])
+    n_b = np.array([int(got["n_b"].get(b, 0)) for b in _PSI_BINS])
+    ta, tb = int(n_a.sum()), int(n_b.sum())
+    psi = [math.floor(((a + 1) / (ta + k) - (b + 1) / (tb + k))
+                      * math.log(((a + 1) / (ta + k))
+                                 / ((b + 1) / (tb + k))) * 1_000_000)
+           for a, b in zip(n_a.tolist(), n_b.tolist())]
+    return pd.DataFrame({"bin": np.array(_PSI_BINS, np.int64),
+                         "n_a": n_a.astype(np.int64),
+                         "n_b": n_b.astype(np.int64),
+                         "psi_micro": np.array(psi, np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across every FK edge of the star schema
+# (the constraint-validation side of the data-quality family).
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_FK_SQL = "\nUNION ALL\n".join(f"""
+SELECT '{f}.{fk}->{d}' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN d.{dk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       CAST(COUNT(DISTINCT f.{fk}) AS BIGINT) AS n_keys,
+       CAST(COUNT(DISTINCT CASE WHEN d.{dk} IS NULL THEN f.{fk} END)
+            AS BIGINT) AS n_orphan_keys
+FROM {f} f LEFT JOIN {d} d ON d.{dk} = f.{fk}""" for f, fk, d, dk
+                          in _FK_EDGES) + "\nORDER BY fk_edge"
+
+
+@query("fk_integrity_audit", _FK_SQL)
+def fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit over all seven FK edges of the star
+    schema: per edge — fact rows, orphan rows (FK value absent from
+    the dimension), distinct FK values, distinct orphan values. Each
+    edge costs one combiner-first distinct-key exchange (key → row
+    count) plus one adaptive semi join against the dimension's key
+    column; orphan numbers come from SUBTRACTION (total − matched), so
+    no anti join ever runs. The SQL recomputes each edge as a LEFT
+    JOIN. All-int64; hash-exact."""
+    from ..stages.joins import semi_join
+    rows = []
+    for f, fk, d, dk in _FK_EDGES:
+        keys = (_pq(sf_dir, f, [fk])
+                .map_batches(
+                    lambda t, c=fk: t.group_by(c).aggregate([([c], "count")])
+                    .rename_columns([c, "n"]),
+                    batch_format="pyarrow")
+                .groupby(fk).aggregate(Sum("n", alias_name="n"))
+                .materialize())
+        n_keys = keys.count()
+        n_rows = int(keys.sum("n") or 0)
+        dim = _pq(sf_dir, d, [dk])
+        matched = semi_join(keys, dim, fk, dk).materialize()
+        m_keys = matched.count()
+        m_rows = int(matched.sum("n") or 0) if m_keys else 0
+        rows.append({"fk_edge": f"{f}.{fk}->{d}", "n_rows": n_rows,
+                     "n_orphans": n_rows - m_rows, "n_keys": n_keys,
+                     "n_orphan_keys": n_keys - m_keys})
+    out = pd.DataFrame(rows).sort_values("fk_edge").reset_index(drop=True)
+    return out.astype({c: "int64" for c in out.columns
+                       if c != "fk_edge"})
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the

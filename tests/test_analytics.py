@@ -476,3 +476,79 @@ def test_grid_hotspots_matches_bruteforce(ray_session, events_dir):
                   for dx in (-1, 0, 1) for dy in (-1, 0, 1)
                   if (dx, dy) != (0, 0))
         assert r.neigh_n == exp
+
+
+def test_value_psi_matches_bruteforce(ray_session, events_dir):
+    import math
+    from realestate_scraper_ray.pipelines.relational import (
+        _DIFF_CUT_US, _PSI_BINS)
+    sf, df = events_dir
+    got = QUERIES["events_value_psi"](sf)
+    cents = np.rint(df.value.to_numpy() * 100).astype(np.int64)
+    bins = np.clip(cents // 1000, -1, 9)
+    in_a = df.ts.values.astype("int64") < _DIFF_CUT_US
+    k = len(_PSI_BINS)
+    na = {b: int(((bins == b) & in_a).sum()) for b in _PSI_BINS}
+    nb = {b: int(((bins == b) & ~in_a).sum()) for b in _PSI_BINS}
+    ta, tb = sum(na.values()), sum(nb.values())
+    assert list(got["bin"]) == _PSI_BINS
+    for r in got.itertuples():
+        assert r.n_a == na[r.bin] and r.n_b == nb[r.bin]
+        pa_ = (na[r.bin] + 1) / (ta + k)
+        pb_ = (nb[r.bin] + 1) / (tb + k)
+        assert r.psi_micro == math.floor(
+            (pa_ - pb_) * math.log(pa_ / pb_) * 1_000_000)
+    # PSI of a distribution against itself is ~0: every term is tiny
+    # but non-negative by construction ((p-q)ln(p/q) >= 0)
+    assert (got["psi_micro"] >= 0).all()
+
+
+def test_fk_audit_counts_planted_orphans(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    # minimal star: lineitem -> orders/part/supplier, orders ->
+    # customer, customer/supplier -> nation, nation -> region; plant
+    # orphans on the lineitem->orders and orders->customer edges
+    n_ord, n_li = 50, 300
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(
+            np.where(np.arange(n_ord) % 10 == 0, 999,
+                     np.arange(n_ord) % 5).astype(np.int64)),
+    }), tmp_path / "orders.parquet")
+    lok = rng.integers(0, n_ord + 8, n_li).astype(np.int64)  # 8 orphan keys
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(lok),
+        "l_partkey": pa.array(np.zeros(n_li, np.int64)),
+        "l_suppkey": pa.array(np.zeros(n_li, np.int64)),
+    }), tmp_path / "lineitem.parquet", row_group_size=64)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([0], pa.int64())}), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([0], pa.int64()),
+        "s_nationkey": pa.array([0], pa.int32())}),
+        tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(5, dtype=np.int64)),
+        "c_nationkey": pa.array(np.zeros(5, np.int32))}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int32()),
+        "n_regionkey": pa.array([0], pa.int32())}),
+        tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], pa.int32())}),
+        tmp_path / "region.parquet")
+
+    got = QUERIES["fk_integrity_audit"](str(tmp_path)).set_index("fk_edge")
+    lo = got.loc["lineitem.l_orderkey->orders"]
+    orphan_mask = lok >= n_ord
+    assert lo.n_rows == n_li
+    assert lo.n_orphans == int(orphan_mask.sum())
+    assert lo.n_keys == len(set(lok.tolist()))
+    assert lo.n_orphan_keys == len(set(lok[orphan_mask].tolist()))
+    oc = got.loc["orders.o_custkey->customer"]
+    assert oc.n_orphans == 5 and oc.n_orphan_keys == 1  # the 999s
+    clean = got.drop(["lineitem.l_orderkey->orders",
+                      "orders.o_custkey->customer"])
+    assert (clean.n_orphans == 0).all()
+    assert (clean.n_orphan_keys == 0).all()
