@@ -67,6 +67,7 @@ HEADLINE_QUERIES = [
     "waiting_suppliers", "user_profile_diff",
     "events_grid_hotspots", "graph_bfs_hops", "graph_hits",
     "events_value_psi", "fk_integrity_audit",
+    "corpus_inverted_index",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

@@ -6918,6 +6918,70 @@ def fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Inverted-index build: token → posting-list statistics (the search /
+# decontamination index a corpus pipeline materializes).
+# ---------------------------------------------------------------------------
+
+_INVIDX_MIN_DF = 50
+
+_INVIDX_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents),
+ t2 AS (SELECT doc_id, token FROM tok WHERE token <> '')
+SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM t2 GROUP BY token
+HAVING COUNT(DISTINCT doc_id) >= {_INVIDX_MIN_DF}
+ORDER BY token
+"""
+
+
+@query("corpus_inverted_index", _INVIDX_SQL)
+def corpus_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build over the corpus: per token (RE2 ``\\s+``
+    tokenization, the repo-wide idiom) the document frequency, total
+    term frequency, and first posting, kept for tokens appearing in ≥
+    {_INVIDX_MIN_DF} documents. Two exchanges, both combiner-first:
+    per-batch (token, doc) partial counts collapse duplicate
+    occurrences BEFORE the (token, doc) groupby, and the second
+    groupby(token) folds postings into (df, tf, first). The df gate
+    filters INSIDE the pipeline, so only the frequent-token tail
+    reaches the driver — at corpus scale the full posting table never
+    materializes anywhere."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), r"\s+")
+        parent = pc.list_parent_indices(toks)
+        flat = pa.table({
+            "token": pc.list_flatten(toks),
+            "doc_id": pc.take(t["doc_id"], parent)})
+        flat = flat.filter(pc.not_equal(flat["token"], ""))
+        return (flat.group_by(["token", "doc_id"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["token", "doc_id", "n"]))
+
+    posts = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby(["token", "doc_id"])
+             .aggregate(Sum("n", alias_name="n")))
+    idx = (posts.groupby("token")
+           .aggregate(Count(alias_name="df"),
+                      Sum("n", alias_name="tf"),
+                      Min("doc_id", alias_name="first_doc"))
+           .map_batches(
+               lambda t: t.filter(pc.greater_equal(
+                   t["df"], pa.scalar(_INVIDX_MIN_DF, t["df"].type))),
+               batch_format="pyarrow")
+           .to_pandas())
+    return (idx.astype({"df": "int64", "tf": "int64",
+                        "first_doc": "int64"})
+            .sort_values("token").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the

@@ -338,3 +338,44 @@ def test_top_terms_per_source_bruteforce_and_split_invariant(
     a = got[got["source"] == "a"]
     assert "rare-but-global" in set(a["term"])  # survives block-split
     assert int(a[a["term"] == "rare-but-global"]["n"].iloc[0]) == 40
+
+
+def test_inverted_index_matches_bruteforce(ray_session, tmp_path):
+    import re
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from realestate_scraper_ray.pipelines.relational import (
+        QUERIES, _INVIDX_MIN_DF)
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(8)]
+    texts = []
+    n = 300
+    for i in range(n):
+        k = rng.integers(1, 6)
+        words = list(rng.choice(vocab[:4], k))     # frequent head
+        if i % 7 == 0:
+            words += ["rare"]                      # df = ~43 < threshold
+        words += [words[0]]                        # in-doc repeat: tf > df
+        texts.append("  ".join(words))             # multi-space split
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+    }), tmp_path / "documents.parquet", row_group_size=64)
+
+    got = QUERIES["corpus_inverted_index"](str(tmp_path))
+    exp = {}
+    for d, txt in enumerate(texts):
+        toks = [t for t in re.split(r"\s+", txt) if t]
+        for t in toks:
+            df_, tf_, first = exp.get(t, (set(), 0, d))
+            df_.add(d)
+            exp[t] = (df_, tf_ + 1, min(first, d))
+    exp = {t: (len(df_), tf_, first) for t, (df_, tf_, first) in exp.items()
+           if len(df_) >= _INVIDX_MIN_DF}
+    got_map = {r.token: (r.df, r.tf, r.first_doc) for r in got.itertuples()}
+    assert got_map == exp
+    assert "rare" not in got_map          # under the df gate
+    assert any(tf_ > df_ for df_, tf_, _ in got_map.values())
