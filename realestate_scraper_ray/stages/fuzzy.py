@@ -219,10 +219,16 @@ def fuzzy_selfjoin_editdist(ds: rd.Dataset, id_col: str, str_col: str,
         return pa.table({"a_id": (key >> np.int64(31)),
                          "b_id": key & np.int64((1 << 31) - 1)})
 
+    # No pre-verify dedup exchange: pair_up already uniques within its
+    # bucket, so a pair recurs only when two strings share DISTINCT
+    # variant hashes that land in different buckets — measured ~2 % of
+    # candidates on zero-padded id-style keys. Verifying those twice is
+    # far cheaper than a sort-based aggregate over the whole candidate
+    # set (5 s of a 17 s wall at sf0.1); duplicates carry identical
+    # exact distances and collapse in the output-sized driver
+    # drop_duplicates (the f4be768 set-sim-join precedent).
     cand = (ds.map_batches(emit, batch_format="pyarrow")
-            .groupby("b").map_groups(pair_up, batch_format="pyarrow")
-            .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="_n"))
-            .select_columns(["a_id", "b_id"]))
+            .groupby("b").map_groups(pair_up, batch_format="pyarrow"))
 
     joined = _attach_strings(cand, ds, id_col, str_col,
                              num_partitions=num_partitions)
@@ -234,14 +240,13 @@ def fuzzy_selfjoin_editdist(ds: rd.Dataset, id_col: str, str_col: str,
                          "b_id": t["b_id"].to_numpy()[keep],
                          "dist": d[keep]})
 
-    out = pa.Table.from_pylist(
-        joined.map_batches(verify, batch_format="pyarrow").take_all())
-    if out.num_rows == 0:
+    out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
         return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
                              "b_id": pd.Series([], dtype="int64"),
                              "dist": pd.Series([], dtype="int64")})
-    return (out.to_pandas().astype({"a_id": "int64", "b_id": "int64",
-                                    "dist": "int64"})
+    return (out.drop_duplicates(["a_id", "b_id"])
+            .astype({"a_id": "int64", "b_id": "int64", "dist": "int64"})
             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
 
 
@@ -267,16 +272,15 @@ def _attach_strings(cand: rd.Dataset, ds: rd.Dataset, id_col: str,
         batch_format="pyarrow").materialize()
 
     if (needed.size_bytes() or 0) <= BROADCAST_THRESHOLD_BYTES:
-        tbl = _pull_table(needed)
-        mref = ray.put(dict(zip(tbl[id_col].to_pylist(),
-                                tbl[str_col].to_pylist())))
+        side_tbl = _pull_table(needed).combine_chunks()
+        mref = ray.put(side_tbl)
 
         def attach(t: pa.Table) -> pa.Table:
-            mm = ray.get(mref)
-            return (t.append_column("s_a", pa.array(
-                        [mm[i] for i in t["a_id"].to_pylist()], pa.string()))
-                     .append_column("s_b", pa.array(
-                        [mm[i] for i in t["b_id"].to_pylist()], pa.string())))
+            side = ray.get(mref)
+            ia = pc.index_in(t["a_id"], value_set=side[id_col])
+            ib = pc.index_in(t["b_id"], value_set=side[id_col])
+            return (t.append_column("s_a", pc.take(side[str_col], ia))
+                    .append_column("s_b", pc.take(side[str_col], ib)))
 
         return cand.map_batches(attach, batch_format="pyarrow")
 
