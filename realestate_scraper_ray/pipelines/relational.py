@@ -6623,8 +6623,11 @@ def events_grid_hotspots(sf_dir: str) -> pd.DataFrame:
         gy = (us // 3_600_000_000) % 24
         p = pa.table({"gx": gx, "gy": gy,
                       "one": np.ones(len(us), np.int64)})
-        return (p.group_by(["gx", "gy"]).aggregate([("one", "sum")])
-                .rename_columns(["gx", "gy", "n"]))
+        # rename by NAME, not position: pyarrow's keys-first aggregate
+        # column order changed across versions (dict rename needs >=17)
+        g = p.group_by(["gx", "gy"]).aggregate([("one", "sum")])
+        return g.rename_columns(
+            ["n" if c == "one_sum" else c for c in g.column_names])
 
     cells = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["gx", "gy"]).aggregate(Sum("n", alias_name="n"))
@@ -6682,7 +6685,7 @@ FROM bfs GROUP BY node ORDER BY node
 @query("graph_bfs_hops", _bfs_sql())
 def graph_bfs_hops(sf_dir: str) -> pd.DataFrame:
     """BFS hop distance from the smallest user over the bipartite
-    user↔item graph, capped at {_BFS_H} hops — the graph-traversal
+    user↔item graph, capped at ``_BFS_H`` (6) hops — the graph-traversal
     family (reachability, k-hop neighborhoods). Frontier expansion:
     each round semi-joins the edge list against the previous round's
     NEW nodes (broadcast while the frontier is under the 64 MiB cap,
@@ -7061,7 +7064,7 @@ def corpus_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Inverted-index build over the corpus: per token (RE2 ``\\s+``
     tokenization, the repo-wide idiom) the document frequency, total
     term frequency, and first posting, kept for tokens appearing in ≥
-    {_INVIDX_MIN_DF} documents. Two exchanges, both combiner-first:
+    ``_INVIDX_MIN_DF`` (50) documents. Two exchanges, both combiner-first:
     per-batch (token, doc) partial counts collapse duplicate
     occurrences BEFORE the (token, doc) groupby, and the second
     groupby(token) folds postings into (df, tf, first). The df gate
@@ -7078,9 +7081,12 @@ def corpus_inverted_index(sf_dir: str) -> pd.DataFrame:
             "token": pc.list_flatten(toks),
             "doc_id": pc.take(t["doc_id"], parent)})
         flat = flat.filter(pc.not_equal(flat["token"], ""))
-        return (flat.group_by(["token", "doc_id"])
-                .aggregate([([], "count_all")])
-                .rename_columns(["token", "doc_id", "n"]))
+        # rename by NAME, not position: robust to pyarrow's aggregate
+        # column order (dict rename needs pyarrow >= 17)
+        g = (flat.group_by(["token", "doc_id"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(
+            ["n" if c == "count_all" else c for c in g.column_names])
 
     posts = (ds.map_batches(explode, batch_format="pyarrow")
              .groupby(["token", "doc_id"])

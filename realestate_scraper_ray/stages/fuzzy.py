@@ -193,9 +193,12 @@ def fuzzy_selfjoin_editdist(ds: rd.Dataset, id_col: str, str_col: str,
     Returns a DataFrame (a_id, b_id, dist).
 
     Plan: variant-hash emission (map-side, deduped per string) → one
-    coarse-bucket groupby pairing equal hashes inside vectorized runs →
-    one pair-key dedup exchange → adaptive string attach → vectorized
-    DP verify. Ids must fit 31 bits (pair keys pack into one int64 —
+    coarse-bucket groupby pairing equal hashes inside vectorized runs
+    (pairs unique within a bucket; no cross-bucket dedup exchange) →
+    adaptive string attach → vectorized DP verify → the ~2 % of pairs
+    that recur via distinct hashes in different buckets collapse in
+    the output-sized driver drop_duplicates.
+    Ids must fit 31 bits (pair keys pack into one int64 —
     same contract as ``graph.triangle_counts``). 100 TB: every exchange
     is int64-pairs-sized; strings ship only for verified candidates."""
 

@@ -769,6 +769,14 @@ def hits(edges: rd.Dataset, *, n_iter: int = 3) -> rd.Dataset:
     from .joins import BROADCAST_THRESHOLD_BYTES, lookup_join
 
     edges = edges.materialize()
+    if edges.count() == 0:
+        # empty edge set: no hubs, no authorities (the _pull_table
+        # driver path returns None on empty input and the distributed
+        # path's int(max()) has no defined value)
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "kind": pa.array([], pa.string()),
+            "score": pa.array([], pa.int64())}))
     if (edges.size_bytes() or 0) <= BROADCAST_THRESHOLD_BYTES:
         return _hits_driver(edges, n_iter=n_iter)
 

@@ -207,3 +207,18 @@ def test_hits_distributed_equals_driver(ray_session):
     d_h, d_a = _run_hits_engine(edges, force_distributed=True)
     s_h, s_a = _seq_hits(edges)
     assert d_h == s_h and d_a == s_a
+
+
+def test_hits_empty_edges(ray_session):
+    """ADVICE r5: hits() on an empty edge dataset returns an empty
+    (node, kind, score) result instead of crashing in _pull_table /
+    int(max())."""
+    import pyarrow as pa
+    import ray.data as rd
+    from realestate_scraper_ray.stages import graph
+
+    ds = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                 "dst": pa.array([], pa.string())}))
+    out = graph.hits(ds, n_iter=3)
+    assert out.schema().names == ["node", "kind", "score"]
+    assert out.count() == 0
