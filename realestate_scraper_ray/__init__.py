@@ -20,3 +20,10 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Driver-materialization gate: every Dataset.to_pandas in the engine
+# (and in queries built on it) is bounded by default — a data-sized
+# result raises instead of silently materializing (driverbound.py).
+from . import driverbound as _driverbound  # noqa: E402
+
+_driverbound.install()
