@@ -7233,6 +7233,234 @@ def corpus_inverted_index(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC changelog apply (MERGE INTO semantics): the Delta/Hudi/Iceberg
+# upsert-apply a lakehouse pipeline runs on every sync — a new family
+# next to SCD2 (which keeps history; this produces the current state).
+# ---------------------------------------------------------------------------
+
+_CDC_SQL = """
+WITH last AS (
+  SELECT user_id, event_type,
+         CAST(ROUND(value*100, 0) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+ fin AS (SELECT user_id, event_type, v FROM last WHERE rn = 1)
+SELECT COALESCE(c.c_custkey, f.user_id) AS key,
+       CASE WHEN f.user_id IS NULL THEN 'base' ELSE 'upsert' END AS src,
+       CASE WHEN f.user_id IS NULL
+            THEN CAST(ROUND(c.c_acctbal*100, 0) AS BIGINT)
+            ELSE f.v END AS value_cents
+FROM customer c FULL OUTER JOIN fin f ON f.user_id = c.c_custkey
+WHERE COALESCE(f.event_type, '') <> 'error'
+ORDER BY key
+"""
+
+
+@query("events_cdc_apply", _CDC_SQL)
+def events_cdc_apply(sf_dir: str) -> pd.DataFrame:
+    """CDC MERGE: apply the event log as a changelog onto the customer
+    base table — per key the LAST operation wins (ts, event_id order);
+    a final 'error' op is a DELETE (row dropped), anything else an
+    UPSERT of the event value; base rows without changelog survive
+    unchanged. Physical plan: per-batch pre-reduce (each batch keeps
+    its per-key latest op — the combiner), then ONE coarse-bucket
+    exchange co-locating changelog partials WITH the base rows of the
+    same key hash; per bucket a vectorized polars sort/first resolves
+    the winner and applies delete/upsert. No join, no second exchange;
+    at 100 TB both sides hash-partition by key and only per-batch-
+    reduced rows move. Values in exact integer cents."""
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    nb = 32
+
+    def bkt(u: np.ndarray) -> np.ndarray:
+        return (((u.astype(np.uint64) * mult) >> np.uint64(40))
+                % np.uint64(nb)).astype(np.int64)
+
+    def log_partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .with_columns(pl.col("ts").cast(pl.Int64),
+                            (pl.col("value") * 100).round(0)
+                            .cast(pl.Int64).alias("v"))
+              .sort(["user_id", "ts", "event_id"],
+                    descending=[False, True, True])
+              .group_by("user_id", maintain_order=True).first())
+        k = df["user_id"].to_numpy()
+        return pa.table({
+            "b": bkt(k), "key": k,
+            "is_base": np.zeros(len(k), bool),
+            "ts": df["ts"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "etype": df["event_type"].to_arrow(),
+            "v": df["v"].to_numpy()})
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["c_custkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(k)
+        return pa.table({
+            "b": bkt(k), "key": k, "is_base": np.ones(n, bool),
+            "ts": np.full(n, -1, np.int64),
+            "event_id": np.full(n, -1, np.int64),
+            "etype": pa.array([""] * n, pa.string()),
+            "v": v})
+
+    log = (_pq(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+           .map_batches(log_partial, batch_format="pyarrow"))
+    base = (_pq(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+            .map_batches(base_rows, batch_format="pyarrow"))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["b"]))
+        log_ = df.filter(~pl.col("is_base"))
+        win = (log_.sort(["key", "ts", "event_id"],
+                         descending=[False, True, True])
+               .group_by("key", maintain_order=True).first())
+        base_ = df.filter(pl.col("is_base"))
+        upd = base_.join(win.select(["key"]), on="key", how="anti")
+        out = pl.concat([
+            win.filter(pl.col("etype") != "error")
+               .select([pl.col("key"),
+                        pl.lit("upsert").alias("src"),
+                        pl.col("v").alias("value_cents")]),
+            upd.select([pl.col("key"), pl.lit("base").alias("src"),
+                        pl.col("v").alias("value_cents")])])
+        return out.to_arrow()
+
+    got = (log.union(base).groupby("b")
+           .map_groups(resolve, batch_format="pyarrow").to_pandas())
+    return (got.astype({"key": "int64", "value_cents": "int64"})
+            .sort_values("key").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler: the heavy-key diagnostic a shuffle planner (and a
+# human debugging a slow join) reads before picking salting factors.
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPN = 20
+
+_SKEW_SQL = f"""
+WITH cnt AS (SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem
+             GROUP BY l_partkey),
+ tot AS (SELECT SUM(n) AS t FROM cnt)
+SELECT key, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // t AS BIGINT) AS share_micro
+FROM cnt, tot
+ORDER BY n DESC, key
+LIMIT {_SKEW_TOPN}
+"""
+
+
+@query("lineitem_key_skew", _SKEW_SQL)
+def lineitem_key_skew(sf_dir: str) -> pd.DataFrame:
+    """Heavy-key skew profile of lineitem.l_partkey: the top-20 keys
+    by row count with their integer-micro share of the table — the
+    skew diagnostic that decides salting factors before a shuffle
+    join. Combiner-first: per-batch key counts → one key exchange →
+    per-BLOCK top-20 partials → bounded driver final top-20 (20 ×
+    num_blocks rows, never key-scale). share_micro is exact integer
+    floor division."""
+    counts = (_pq(sf_dir, "lineitem", ["l_partkey"])
+              .map_batches(
+                  lambda t: t.group_by("l_partkey")
+                  .aggregate([([], "count_all")]),
+                  batch_format="pyarrow")
+              .groupby("l_partkey")
+              .aggregate(Sum("count_all", alias_name="n")))
+
+    def block_top(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(
+            ["n", "l_partkey"], descending=[True, False])
+        return df.head(_SKEW_TOPN).to_arrow()
+
+    # total rides the same partials: sum of n over the counts table
+    mat = counts.materialize()
+    total = int(mat.sum("n"))
+    top = (mat.map_batches(block_top, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["n", "l_partkey"], ascending=[False, True])
+           .head(_SKEW_TOPN).reset_index(drop=True))
+    return pd.DataFrame({
+        "key": top["l_partkey"].astype("int64"),
+        "n": top["n"].astype("int64"),
+        "share_micro": (top["n"].astype("int64") * 1_000_000
+                        // total).astype("int64")})
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (event_type x day-of-week): the
+# statistical-testing op a feature pipeline alarms on — is the event
+# mix independent of the weekday?
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH cell AS (
+  SELECT event_type, CAST(DAYOFWEEK(ts) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, DAYOFWEEK(ts)),
+ rt AS (SELECT event_type, SUM(n) AS r FROM cell GROUP BY event_type),
+ ct AS (SELECT dow, SUM(n) AS c FROM cell GROUP BY dow),
+ tot AS (SELECT SUM(n) AS t FROM cell)
+SELECT cell.event_type, cell.dow, cell.n,
+       CAST(FLOOR(CAST(rt.r AS DOUBLE) * ct.c / tot.t * 1000000)
+            AS BIGINT) AS expected_micro,
+       CAST(FLOOR((cell.n - CAST(rt.r AS DOUBLE) * ct.c / tot.t)
+                  * (cell.n - CAST(rt.r AS DOUBLE) * ct.c / tot.t)
+                  / (CAST(rt.r AS DOUBLE) * ct.c / tot.t) * 1000000)
+            AS BIGINT) AS contrib_micro
+FROM cell JOIN rt USING (event_type) JOIN ct USING (dow), tot
+ORDER BY event_type, dow
+"""
+
+
+@query("events_chi2_independence", _CHI2_SQL)
+def events_chi2_independence(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square independence cells for event_type x
+    day-of-week: observed count, expected count and the statistic's
+    per-cell contribution, both in integer micro-units (FLOOR of a
+    single libm-double expression over exact integer marginals — the
+    PSI fixed-point idiom, hash-exact). Distribution: ONE
+    combiner-first exchange of (event_type, dow, n) partials over a
+    5x7-bounded cell domain; the marginals and the statistic are
+    constant-size driver math at any data scale. dow matches DuckDB's
+    DAYOFWEEK (0 = Sunday): epoch-day 0 was a Thursday, so
+    dow = (epoch_days + 4) mod 7."""
+    import math
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000 + 4) % 7).astype(np.int64)
+        p = pa.table({"event_type": t["event_type"], "dow": dow})
+        return (p.group_by(["event_type", "dow"])
+                .aggregate([([], "count_all")]))
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "dow"])
+             .aggregate(Sum("count_all", alias_name="n"))
+             .to_pandas())
+    rt = cells.groupby("event_type")["n"].sum()
+    ct = cells.groupby("dow")["n"].sum()
+    tot = int(cells["n"].sum())
+    cells = cells.sort_values(["event_type", "dow"]).reset_index(drop=True)
+    e = [int(rt[r.event_type]) * int(ct[r.dow]) / tot
+         for r in cells.itertuples()]
+    return pd.DataFrame({
+        "event_type": cells["event_type"],
+        "dow": cells["dow"].astype("int64"),
+        "n": cells["n"].astype("int64"),
+        "expected_micro": np.array(
+            [math.floor(x * 1_000_000) for x in e], np.int64),
+        "contrib_micro": np.array(
+            [math.floor((int(n) - x) * (int(n) - x) / x * 1_000_000)
+             for n, x in zip(cells["n"], e)], np.int64)})
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the
@@ -7284,7 +7512,12 @@ CANONICAL_FIRST: list[str] = [
     # extraction kernels keep url/ldjson/listing reps — its slot goes
     # to the time-series regularization family (resample + LOCF gap
     # fill), which had no prefix row
-    "ldjson_extract", "listing_links", "events_resample_gapfill",
+    # listing_links demoted r5: the extraction-kernel family keeps
+    # url_canonicalize + ldjson_extract (it was the family's THIRD
+    # prefix row) — its slot goes to the CDC changelog-apply family
+    # (MERGE INTO current-state semantics, the lakehouse twin of the
+    # prefix's SCD2 history merge), which had no driver-visible row
+    "ldjson_extract", "events_cdc_apply", "events_resample_gapfill",
     # text quality / corpus analysis / statistical preprocessing
     # (doc_repetition_stats demoted r3 for the moments-outlier family.
     # token_count demoted late-r4: it rides the same textstats kernel
