@@ -68,6 +68,8 @@ HEADLINE_QUERIES = [
     "events_grid_hotspots", "graph_bfs_hops", "graph_hits",
     "events_value_psi", "fk_integrity_audit",
     "corpus_inverted_index",
+    "events_cdc_apply", "lineitem_key_skew", "events_chi2_independence",
+    "events_late_arrivals", "graph_kcore",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

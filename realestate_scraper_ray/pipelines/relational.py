@@ -7461,6 +7461,180 @@ def events_chi2_independence(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming watermark / late-arrival audit — the distributed PREFIX
+# SCAN family (running max over a global order): per-range partials,
+# a driver prefix fold over range maxes (calendar-scale), then a
+# second carried pass. The pattern behind cumulative aggregates that
+# no single groupby can express.
+# ---------------------------------------------------------------------------
+
+_LATE_ALLOW_US = 600_000_000        # 10-min allowed lateness
+_LATE_JITTER_US = 1_800_000_000     # deterministic 0..30-min arrival jitter
+_LATE_RANGE_US = 21_600_000_000     # 6-h arrival ranges (calendar-scale)
+
+_LATE_SQL = f"""
+WITH a AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         epoch_us(ts)
+         + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % {_LATE_JITTER_US} AS ats
+  FROM events),
+ w AS (SELECT event_type, ts_us,
+       MAX(ts_us) OVER (ORDER BY ats, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS wm
+       FROM a)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_late
+FROM w WHERE wm IS NOT NULL AND ts_us < wm - {_LATE_ALLOW_US}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("events_late_arrivals", _LATE_SQL)
+def events_late_arrivals(sf_dir: str) -> pd.DataFrame:
+    """Watermark late-arrival audit: replay the event log in ARRIVAL
+    order (event time + a deterministic md5 jitter of up to 30 min —
+    the out-of-order delivery a real stream has; md5-per-row is the
+    repo's established deterministic-randomness idiom) and count, per
+    type, events older than the running watermark (max event time seen
+    so far) minus a 10-min allowed lateness — exactly what a streaming
+    engine would drop.
+
+    Physical plan — distributed prefix scan: a running max over a
+    GLOBAL order is not a groupby. Pass 1: per-batch (range, max_ts)
+    partials over 6-h arrival ranges → driver exclusive prefix-max per
+    range (calendar-scale state, never row-scale). Pass 2: one
+    bucketed exchange co-locating each range's rows, a vectorized
+    within-range cummax seeded with the carried prefix, late counts
+    fold per type. The oracle is the same scan as one SQL window."""
+    import hashlib
+
+    def with_arrival(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        j = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+             % _LATE_JITTER_US for i in eid),
+            np.int64, len(eid))
+        ats = us + j
+        return pa.table({"event_type": t["event_type"],
+                         "event_id": eid, "ts_us": us, "ats": ats,
+                         "rng": ats // _LATE_RANGE_US})
+
+    ds = (_pq(sf_dir, "events", ["event_id", "event_type", "ts"])
+          .map_batches(with_arrival, batch_format="pyarrow")
+          .materialize())
+
+    # pass 1: per-range max event time -> exclusive prefix max (driver,
+    # range-scale: ranges are bounded by the calendar, not the data)
+    rng_max = (ds.groupby("rng").aggregate(Max("ts_us", alias_name="mx"))
+               .to_pandas().sort_values("rng"))
+    carry: dict[int, int] = {}
+    run = -(1 << 62)
+    for r in rng_max.itertuples():
+        carry[int(r.rng)] = run
+        run = max(run, int(r.mx))
+    carry_ref = ray.put(carry)
+
+    # pass 2: within-range exclusive cummax seeded with the carry
+    def late(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["ats", "event_id"])
+        ts = df["ts_us"].to_numpy()
+        seed = ray.get(carry_ref)[int(df["rng"][0])]
+        wm = np.empty(len(ts), np.int64)
+        wm[0] = seed
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=wm[1:])
+            np.maximum(wm[1:], seed, out=wm[1:])
+        is_late = ts < wm - _LATE_ALLOW_US
+        out = (pl.DataFrame({"event_type": df["event_type"],
+                             "late": is_late})
+               .group_by("event_type")
+               .agg(pl.col("late").sum().cast(pl.Int64).alias("n")))
+        return out.to_arrow()
+
+    got = (ds.groupby("rng").map_groups(late, batch_format="pyarrow")
+           .groupby("event_type").aggregate(Sum("n", alias_name="n_late"))
+           .to_pandas())
+    got = got[got["n_late"] > 0]
+    return (got.astype({"n_late": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peel rounds) — the graph-pruning pass
+# a quality pipeline runs before expensive per-node work.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 45
+_KCORE_ROUNDS = 4
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled peel oracle: each round keeps nodes with degree >= k,
+    then restricts edges to kept endpoints — same bounded-round
+    semantics as the engine (which may early-exit at a fixpoint; a
+    fixpoint is invariant under further rounds)."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                  'i' || json_extract_string(props, '$.k') AS dst
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+b0 AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+n{i} AS (SELECT src AS node FROM b{i-1}
+         GROUP BY src HAVING COUNT(*) >= {k}),
+b{i} AS (SELECT b.src, b.dst FROM b{i-1} b
+         JOIN n{i} x ON x.node = b.src
+         JOIN n{i} y ON y.node = b.dst)""")
+    return (head + "".join(its) + f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM b{rounds} GROUP BY src ORDER BY node""")
+
+
+@query("graph_kcore", _kcore_sql())
+def graph_kcore(sf_dir: str) -> pd.DataFrame:
+    """Bounded-round k-core (k=45, 4 peel rounds — k chosen to actually
+    peel: 250→219 nodes at sf0.01, 1600→1305 at sf0.1, then fixpoint) over the symmetric
+    user↔item graph: iteratively drop nodes with degree < k and
+    restrict edges to survivors. Per round: one combiner-first degree
+    exchange (node-scale) + two adaptive semi joins filtering the
+    materialized edge list (broadcast under the 64 MiB cap,
+    hash-partition above) — the BFS execution discipline (materialize
+    once per round, repartition-coalesced, metadata counts). Early-
+    exits at a fixpoint, which is invariant under the oracle's
+    remaining unrolled rounds."""
+    from ..stages.joins import semi_join
+    # _event_bipartite_edges already emits BOTH directions distinctly —
+    # exactly the oracle's b0 = e UNION reverse(e)
+    b = _event_bipartite_edges(sf_dir).repartition(8).materialize()
+    for _ in range(_KCORE_ROUNDS):
+        n_edges = b.count()  # metadata: b is materialized
+        keep = (b.groupby("src")
+                .aggregate(Count(alias_name="deg"))
+                .map_batches(
+                    lambda t: t.filter(pc.greater_equal(
+                        t["deg"], pa.scalar(_KCORE_K, t["deg"].type)))
+                    .select(["src"]),
+                    batch_format="pyarrow")
+                .map_batches(lambda t: t.rename_columns(["node"]),
+                             batch_format="pyarrow")
+                .materialize())
+        b = (semi_join(semi_join(b, keep, "src", "node"),
+                       keep, "dst", "node")
+             .repartition(8).materialize())
+        if b.count() == n_edges:  # fixpoint: further rounds are no-ops
+            break
+    out = (b.groupby("src").aggregate(Count(alias_name="degree"))
+           .to_pandas())
+    return (out.rename(columns={"src": "node"})
+            .astype({"degree": "int64"})
+            .sort_values("node").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Canonical registry order.
 #
 # External correctness harnesses may check only a bounded prefix of the
