@@ -7657,7 +7657,11 @@ CANONICAL_FIRST: list[str] = [
     # family already holds q1/q3/q5/coverage/full_outer prefix rows —
     # its slot goes to the round's behavioral-analytics family (ordered
     # funnel / retention), which had no driver-visible row at all)
-    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    # q5_region_revenue demoted r5: the join-aggregate family keeps
+    # q1/q3/coverage/full_outer — its slot goes to the streaming
+    # watermark / distributed-prefix-scan family (late-arrival audit),
+    # which had no driver-visible row at all
+    "q1_pricing_summary", "q3_top_orders", "events_late_arrivals",
     "order_lineitem_coverage", "orders_full_outer",
     "funnel_conversion",
     # event windows / streaming / iterative / incremental semantics
@@ -7697,7 +7701,12 @@ CANONICAL_FIRST: list[str] = [
     # token_count demoted late-r4: it rides the same textstats kernel
     # family as quality_stats — its slot goes to the SCD2 dimension-
     # maintenance family, which had no prefix row)
-    "customer_scd2", "quality_stats", "documents_clean_corpus",
+    # documents_clean_corpus demoted r5: the curation-funnel family
+    # keeps curated_corpus_docs (the stronger end-to-end rep: same
+    # quality gate + dedup composition PLUS resumable hash-partitioned
+    # output) — its slot goes to the k-core graph-pruning family,
+    # which had no prefix row
+    "customer_scd2", "quality_stats", "graph_kcore",
     "decontaminate", "tfidf_top_terms", "events_outlier_zscore",
     # dedup families + accuracy gates (+ the payload-specific
     # interleaved span dedup, r3 — orders_above_cust_avg demoted: the
@@ -7721,14 +7730,22 @@ CANONICAL_FIRST: list[str] = [
     "embedding_neardup_lsh_recall", "exact_substring_dup",
     "dedup_components",
     "graph_triangles", "events_rollup_counts",
-    # similarity search + recall gates
-    "ann_cosine_topk", "ann_ivf_recall", "ann_lsh_recall",
+    # similarity search + recall gates (ann_cosine_topk demoted r5:
+    # both ANN GATES stay, and each recomputes the brute-force top-k
+    # internally, so the plain variant was the family's third row —
+    # its slot goes to the chi-square independence-testing family,
+    # which had no prefix row)
+    "events_chi2_independence", "ann_ivf_recall", "ann_lsh_recall",
     # mergeable sketches (approx_percentiles_hist demoted late-r4: the
     # sketch family keeps HLL distinct + Bloom and the histogram
     # kernel is exercised by value_percentiles_per_type's exact
     # selection — its slot goes to the storage-layout Z-order family,
     # which had no prefix row)
-    "approx_distinct_users", "bloom_semi_join", "lineitem_zorder_stats",
+    # bloom_semi_join demoted r5: the join family keeps
+    # q3/coverage/full_outer/similarity_join and the sketch family
+    # keeps HLL distinct — its slot goes to the key-skew profiling
+    # family (the heavy-key diagnostic), which had no prefix row
+    "approx_distinct_users", "lineitem_key_skew", "lineitem_zorder_stats",
     # multimodal stages (media_decode_meta demoted r4: the media family
     # keeps media_frame_sample here plus crawl_media below, while the
     # round-4 conditional-GET revisit — bucket-sharded validators, 304
