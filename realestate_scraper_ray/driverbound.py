@@ -9,12 +9,15 @@ stop it until a production OOM.
 
 This module turns the convention into an enforced gate at the single
 chokepoint every site already flows through: ``install()`` wraps
-``ray.data.Dataset.to_pandas`` so a call without an explicit ``limit``
-gets ``DRIVER_BOUND_ROWS`` as its limit — Ray then raises ``ValueError``
-before converting when the result exceeds the bound (the row count is
-computed from the cached execution, not a second run). Sites that
-legitimately need more rows must say so: ``to_driver(ds, bound=...)``
-passes an explicit, reviewed bound.
+``ray.data.Dataset.to_pandas`` to materialize exactly once, check the
+(metadata) row count against ``DRIVER_BOUND_ROWS``, and only then
+convert — raising ``ValueError`` before any oversized driver
+conversion. Materialize-first matters: Ray's own ``limit=`` path
+calls ``count()`` on the un-materialized plan, which re-executes the
+whole pipeline — including side-effecting stages (a bucket-writing
+curate stage ran twice under that path). Sites that legitimately need
+more rows must say so: ``to_driver(ds, bound=...)`` passes an
+explicit, reviewed bound.
 
 The gate covers every present AND future ``to_pandas`` in the engine —
 stronger than routing each call site by hand, and zero churn across the
@@ -42,8 +45,24 @@ def install() -> None:
     orig = rd.Dataset.to_pandas
 
     def bounded_to_pandas(self, limit: int = None):
-        return orig(self, limit=DRIVER_BOUND_ROWS if limit is None
-                    else limit)
+        # materialize FIRST, then bound-check: Ray's own limit= path
+        # calls self.count() before converting, which re-executes a
+        # non-materialized pipeline — catastrophic for side-effecting
+        # stages (a curate bucket-writer ran twice and reported every
+        # bucket as resume-skipped). On a materialized dataset count()
+        # is block metadata and the conversion reuses the same blocks,
+        # so the pipeline executes exactly once.
+        m = self.materialize()
+        bound = DRIVER_BOUND_ROWS if limit is None else limit
+        n = m.count()
+        if n > bound:
+            raise ValueError(
+                f"driver materialization of {n} rows exceeds the "
+                f"limit of {bound} (realestate_scraper_ray.driverbound:"
+                " results must be domain-bounded, never data-sized;"
+                " pass an explicit reviewed bound via"
+                " to_driver(ds, bound=...) if this is legitimate)")
+        return orig(m, limit=None)
 
     setattr(bounded_to_pandas, _SENTINEL, True)
     bounded_to_pandas.__wrapped__ = orig

@@ -164,12 +164,14 @@ def test_table_backed_fetch_equals_procedural(tmp_path, ray_session):
 
 
 def test_crawl_html_mode_query_equals_span_mode(ray_session):
-    """The driver-visible crawl_html_mode query (html extractor chain
-    end-to-end) is row-for-row identical to the span-mode crawl_offers
-    result — the parity gate behind its rows-only driver row."""
+    """The driver-visible crawl_html_mode query is SELF-verifying
+    since r5: it compares the html-mode crawl against the span-walk
+    sequential oracle in-process and returns the comparison rows
+    (raising on divergence). The test asserts the verification ran
+    green over non-trivial tables."""
     from realestate_scraper_ray.pipelines.relational import QUERIES
-    html = QUERIES["crawl_html_mode"]("unused")
-    span = QUERIES["crawl_offers"]("unused")
-    cols = sorted(set(html.columns) & set(span.columns))
-    pd.testing.assert_frame_equal(html[cols], span[cols], check_dtype=False)
-    assert len(html) > 100
+    out = QUERIES["crawl_html_mode"]("unused")
+    assert sorted(out["table"]) == ["offers", "photos", "urls"]
+    assert (out["n_mismatch"] == 0).all()
+    assert (out["rows_engine"] == out["rows_oracle"]).all()
+    assert int(out.loc[out["table"] == "offers", "rows_engine"].iloc[0]) > 100

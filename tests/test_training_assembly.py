@@ -73,7 +73,10 @@ def test_crawl_training_corpus_matches_brute_force(ray_session):
     from realestate_scraper_ray.pipelines.relational import QUERIES
     sf = "/root/testdata/sf0.001"
     got = QUERIES["crawl_training_corpus"](sf)
-    offers = QUERIES["crawl_offers_wide"](sf)
+    # crawl_offers_wide returns verification rows since r5; take the
+    # wide offers frame straight from the cached engine result
+    from realestate_scraper_ray.pipelines.relational import _crawl_result
+    offers = _crawl_result().table("offers").to_pandas()
     o = offers[offers["description"].notna()].copy()
     o["oid"] = o["offer_id"].astype("int64")
     o["n_tokens"] = o["description"].str.split().map(len)
@@ -100,7 +103,8 @@ def test_crawl_vlm_packing_matches_brute_force(ray_session):
     from realestate_scraper_ray.pipelines.relational import QUERIES
     sf = "/root/testdata/sf0.001"
     got = QUERIES["crawl_vlm_packing"](sf)
-    offers = QUERIES["crawl_offers_wide"](sf)
+    from realestate_scraper_ray.pipelines.relational import _crawl_result
+    offers = _crawl_result().table("offers").to_pandas()
     photos = QUERIES["crawl_photos"](sf)
     o = offers.copy()
     o["oid"] = o["offer_id"].astype("int64")
