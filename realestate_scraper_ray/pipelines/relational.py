@@ -7236,6 +7236,72 @@ def corpus_inverted_index(sf_dir: str) -> pd.DataFrame:
             .sort_values("token").reset_index(drop=True))
 
 
+@query("crawl_sitemap_audit")  # non-SQL: self-verifying vs a sequential walk
+def crawl_sitemap_audit(sf_dir: str) -> pd.DataFrame:
+    """Sitemap ingestion audit (stages/sitemap.py): expand every
+    (source, region) host's two-level sitemap (index → chunked
+    urlsets) through the distributed actor-pool stages, then verify
+    in-process against a sequential Python walk of the same documents
+    — entry-table equality (url, lastmod, chunk, pos) — and compare
+    sitemap membership against the crawl oracle's DISCOVERED direct
+    URLs (the coverage split a production crawl alarms on: sitemaps
+    are partial — investment units, trap chains and robots-private
+    copies never appear in them). Comparison rows returned, divergence
+    raises; the reference scraper has no sitemap consumption at all
+    (discovery is listing-walk only) — this is beyond-reference
+    frontier tooling."""
+    from ..sources.synth_portal import Portal
+    from ..stages.sitemap import parse_sitemap, sitemap_entries
+    from .crawlverify import comparison, finish, set_comparison
+
+    pcfg = _entry_pcfg()
+
+    def index_rows(portal):
+        return [{"source": s, "region": r,
+                 "url": portal.sitemap_index_url(s, r)}
+                for s in portal.cfg.sources for r in portal.cfg.regions]
+
+    portal = Portal(pcfg)
+    ds = sitemap_entries(lambda: Portal(pcfg).render_sitemap,
+                         index_rows(portal))
+    got = pa.Table.from_pylist(ds.take_all()).to_pandas()
+
+    # sequential oracle walk over the identical documents
+    exp_rows = []
+    for row in index_rows(portal):
+        _, chunks = parse_sitemap(portal.render_sitemap(row["url"]))
+        for ci, cu in enumerate(chunks):
+            _, entries = parse_sitemap(portal.render_sitemap(cu))
+            for pos, e in enumerate(entries):
+                exp_rows.append({"source": row["source"],
+                                 "region": row["region"],
+                                 "url": e["url"], "lastmod": e["lastmod"],
+                                 "chunk_idx": ci, "pos": pos})
+    exp = pd.DataFrame(exp_rows)
+
+    orc = _crawl_oracle_cached("res", pcfg, _entry_ccfg())
+    discovered = {r["offer_url"] for r in orc.urls}
+    rows = [
+        comparison("entries", got, exp,
+                   ["source", "region", "chunk_idx", "pos"],
+                   ["source", "region", "url", "lastmod",
+                    "chunk_idx", "pos"]),
+        # the engine's sitemap∩crawl split must equal the oracle's
+        set_comparison("sitemap_and_crawled",
+                       set(got["url"]) & discovered,
+                       set(exp["url"]) & discovered),
+        set_comparison("sitemap_only",
+                       set(got["url"]) - discovered,
+                       set(exp["url"]) - discovered),
+        # crawl-only URLs exist by construction (investment units,
+        # trap chains, private copies never enter a sitemap)
+        set_comparison("crawled_only",
+                       discovered - set(got["url"]),
+                       discovered - set(exp["url"])),
+    ]
+    return finish("crawl_sitemap_audit", rows)
+
+
 # ---------------------------------------------------------------------------
 # CDC changelog apply (MERGE INTO semantics): the Delta/Hudi/Iceberg
 # upsert-apply a lakehouse pipeline runs on every sync — a new family

@@ -91,6 +91,11 @@ _INVEST_RE = re.compile(
     r"(?:\?page=(?P<page>\d+)(?:&sid=[0-9a-f]{8})*)?$"
 )
 
+_SITEMAP_RE = re.compile(
+    r"^https://(?P<host>[a-z.-]+)/sitemap-(?P<region>[a-z-]+)"
+    r"(?:-(?P<idx>\d+))?\.xml$"
+)
+
 INVEST_UNIT_BASE = 5_000_000  # unit offers live in a disjoint k-space
 TRAP_K_BASE = 8_000_000       # trap chains live in a disjoint k-space
 
@@ -227,6 +232,68 @@ class Portal:
         if self.cfg.robots_crawl_delay is not None:
             txt += f"Crawl-delay: {self.cfg.robots_crawl_delay}\n"
         return txt
+
+    # -- sitemaps (two-level: per-host index -> chunked urlsets) ------------
+    # Real portals expose their canonical detail pages through
+    # sitemap.xml; the synthetic portal serves a standard
+    # sitemaps.org index per (source, region) host whose chunks list
+    # that region's PLAIN offer URLs (investment/trap/robots-private
+    # link targets are deliberately absent — sitemaps are partial in
+    # practice, which is what the coverage audit measures) with
+    # <lastmod> = the offer's posted date.
+
+    SITEMAP_CHUNK = 200
+
+    def sitemap_index_url(self, source: str, region: str) -> str:
+        return f"https://{self.host(source, region)}/sitemap-{region}.xml"
+
+    def sitemap_chunk_url(self, source: str, region: str, i: int) -> str:
+        return f"https://{self.host(source, region)}/sitemap-{region}-{i}.xml"
+
+    def sitemap_direct_ks(self, source: str, region: str) -> list[int]:
+        """The ks whose listing-card link is the plain public offer URL
+        (the sitemap's membership rule)."""
+        n = self.content_pages(source, region) * self.page_size(source)
+        return [k for k in range(n)
+                if self._link_target(source, region, k)
+                == self.offer_url(source, region, k)]
+
+    def render_sitemap(self, url: str) -> str | None:
+        """Serve sitemap XML for an index or chunk URL; None otherwise."""
+        m = _SITEMAP_RE.match(url)
+        if not m:
+            return None
+        host, region, idx = m.group("host"), m.group("region"), m.group("idx")
+        source = ("trojmiasto" if host == "ogloszenia.trojmiasto.pl"
+                  else host.split(".")[-2])
+        if (source not in self.cfg.sources
+                or region not in self.cfg.regions
+                or self.host(source, region) != host):
+            return None
+        ks = self.sitemap_direct_ks(source, region)
+        n_chunks = max(1, -(-len(ks) // self.SITEMAP_CHUNK))
+        ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+        if idx is None:  # index document
+            items = "\n".join(
+                f"  <sitemap><loc>{self.sitemap_chunk_url(source, region, i)}"
+                f"</loc></sitemap>" for i in range(n_chunks))
+            return (f'<?xml version="1.0" encoding="UTF-8"?>\n'
+                    f'<sitemapindex xmlns="{ns}">\n{items}\n</sitemapindex>')
+        i = int(idx)
+        if not 0 <= i < n_chunks:
+            return None
+        import datetime
+        chunk = ks[i * self.SITEMAP_CHUNK:(i + 1) * self.SITEMAP_CHUNK]
+        items = []
+        for k in chunk:
+            d = datetime.date.fromordinal(
+                PORTAL_TODAY_ORD - self.posted_days_ago(source, region, k))
+            items.append(
+                f"  <url><loc>{self.offer_url(source, region, k)}</loc>"
+                f"<lastmod>{d.isoformat()}</lastmod></url>")
+        body = "\n".join(items)
+        return (f'<?xml version="1.0" encoding="UTF-8"?>\n'
+                f'<urlset xmlns="{ns}">\n{body}\n</urlset>')
 
     # -- per-offer facts ----------------------------------------------------
 
