@@ -7302,6 +7302,49 @@ def crawl_sitemap_audit(sf_dir: str) -> pd.DataFrame:
     return finish("crawl_sitemap_audit", rows)
 
 
+@query("crawl_sitemap_seeded")  # non-SQL: self-verifying vs the walk oracle
+def crawl_sitemap_seeded(sf_dir: str) -> pd.DataFrame:
+    """Sitemap-SEEDED crawl end-to-end (pipelines/sitemap_crawl.py):
+    sitemap expansion → URL-seen admission → the SAME fetch+parse
+    stage as the listing crawl, with no listing walk — the §2.10
+    composition story for a brand-new discovery source. Verified
+    in-process against the sequential walk oracle (offers rows, photo
+    spans, URL set + crawl-order keys); comparison rows returned,
+    divergence raises."""
+    from ..config import CrawlConfig, PortalConfig
+    from ..sources.synth_portal import Portal
+    from .crawlverify import comparison, finish, set_comparison
+    from .sitemap_crawl import sitemap_crawl, sitemap_crawl_oracle
+    pcfg = PortalConfig(regions=("pomorskie", "mazowieckie"),
+                        base_pages=2, page_size_scale=0.12)
+    ccfg = CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 14,
+                       fetch_batch_size=64)
+    if "sitemap_seeded" not in _CRAWL_CACHE:
+        _CRAWL_CACHE["sitemap_seeded"] = (
+            sitemap_crawl(pcfg, ccfg),
+            sitemap_crawl_oracle(Portal(pcfg), ccfg))
+    res, orc = _CRAWL_CACHE["sitemap_seeded"]
+    rows = [
+        comparison("offers", res.offers.to_pandas(),
+                   pd.DataFrame(orc.offers),
+                   ["source", "region", "pos"],
+                   ["offer_id", "source", "url", "price_amount",
+                    "price_currency", "price_per_m2", "city", "lat",
+                    "lon", "area_m2", "rooms", "posted_at"]),
+        comparison("photos", res.photos.to_pandas(),
+                   pd.DataFrame(orc.photos), ["offer_id", "seq"],
+                   ["offer_id", "seq", "url"]),
+        comparison("urls", res.urls.to_pandas(),
+                   pd.DataFrame(orc.urls),
+                   ["source", "region", "pos"],
+                   ["offer_url", "offer_id", "source", "region", "pos"]),
+        set_comparison("url_seen",
+                       set(res.urls["offer_url"].to_pylist()),
+                       {r["offer_url"] for r in orc.urls}),
+    ]
+    return finish("crawl_sitemap_seeded", rows)
+
+
 # ---------------------------------------------------------------------------
 # CDC changelog apply (MERGE INTO semantics): the Delta/Hudi/Iceberg
 # upsert-apply a lakehouse pipeline runs on every sync — a new family
