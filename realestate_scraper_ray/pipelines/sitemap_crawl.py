@@ -33,9 +33,20 @@ __all__ = ["sitemap_crawl", "sitemap_crawl_oracle", "SitemapCrawlResult"]
 
 
 def _index_rows(portal: Portal) -> list[dict]:
-    return [{"source": s, "region": r,
-             "url": portal.sitemap_index_url(s, r)}
-            for s in portal.cfg.sources for r in portal.cfg.regions]
+    """Discover index documents the way a real crawler does: read each
+    distinct host's robots.txt and take its ``Sitemap:`` directives
+    (RFC 9309 §2.3), classifying each URL back to (source, region).
+    Host-scale work, driver-side by design."""
+    from ..stages.sitemap import parse_robots_sitemaps
+    hosts = {portal.host(s, r)
+             for s in portal.cfg.sources for r in portal.cfg.regions}
+    rows = []
+    for h in sorted(hosts):
+        for u in parse_robots_sitemaps(portal.robots_txt(h)):
+            sr = portal.classify_sitemap_url(u)
+            if sr is not None:
+                rows.append({"source": sr[0], "region": sr[1], "url": u})
+    return sorted(rows, key=lambda r: (r["source"], r["region"]))
 
 
 def _min_lastmod(cfg: CrawlConfig) -> str | None:

@@ -231,7 +231,27 @@ class Portal:
         txt = "User-agent: *\nDisallow: /private\n"
         if self.cfg.robots_crawl_delay is not None:
             txt += f"Crawl-delay: {self.cfg.robots_crawl_delay}\n"
+        # RFC 9309 §2.3 Sitemap directive (group-independent): each
+        # host advertises its region sitemap indexes — trojmiasto's
+        # shared host lists one per region
+        for s in self.cfg.sources:
+            for r in self.cfg.regions:
+                if self.host(s, r) == host:
+                    txt += f"Sitemap: {self.sitemap_index_url(s, r)}\n"
         return txt
+
+    def classify_sitemap_url(self, url: str) -> tuple[str, str] | None:
+        """(source, region) of a sitemap index/chunk URL, else None."""
+        m = _SITEMAP_RE.match(url)
+        if not m:
+            return None
+        host, region = m.group("host"), m.group("region")
+        source = ("trojmiasto" if host == "ogloszenia.trojmiasto.pl"
+                  else host.split(".")[-2])
+        if (source in self.cfg.sources and region in self.cfg.regions
+                and self.host(source, region) == host):
+            return source, region
+        return None
 
     # -- sitemaps (two-level: per-host index -> chunked urlsets) ------------
     # Real portals expose their canonical detail pages through
@@ -263,13 +283,11 @@ class Portal:
         m = _SITEMAP_RE.match(url)
         if not m:
             return None
-        host, region, idx = m.group("host"), m.group("region"), m.group("idx")
-        source = ("trojmiasto" if host == "ogloszenia.trojmiasto.pl"
-                  else host.split(".")[-2])
-        if (source not in self.cfg.sources
-                or region not in self.cfg.regions
-                or self.host(source, region) != host):
+        sr = self.classify_sitemap_url(url)
+        if sr is None:
             return None
+        source, region = sr
+        idx = m.group("idx")
         ks = self.sitemap_direct_ks(source, region)
         n_chunks = max(1, -(-len(ks) // self.SITEMAP_CHUNK))
         ns = "http://www.sitemaps.org/schemas/sitemap/0.9"

@@ -36,7 +36,23 @@ from typing import Callable
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["parse_sitemap", "sitemap_entries", "frontier_from_sitemap"]
+__all__ = ["parse_sitemap", "parse_robots_sitemaps", "sitemap_entries",
+           "frontier_from_sitemap"]
+
+
+def parse_robots_sitemaps(robots_txt: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt (RFC 9309 §2.3):
+    group-independent, case-insensitive key, one absolute URL per
+    line. Returns them in file order."""
+    out = []
+    for line in robots_txt.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
 
 
 def _local(tag: str) -> str:

@@ -127,3 +127,32 @@ def test_frontier_seed_rows(ray_session):
     # every sitemap URL classifies as a plain offer page
     for r in rows[:50]:
         assert portal.classify(r["url"]).kind == "offer"
+
+
+def test_robots_sitemap_directives():
+    from realestate_scraper_ray.stages.sitemap import parse_robots_sitemaps
+    portal = Portal(PCFG)
+    txt = portal.robots_txt(portal.host("otodom", "pomorskie"))
+    sms = parse_robots_sitemaps(txt)
+    assert sms == [portal.sitemap_index_url("otodom", "pomorskie")]
+    # shared trojmiasto host advertises one sitemap per region
+    tm = parse_robots_sitemaps(
+        portal.robots_txt("ogloszenia.trojmiasto.pl"))
+    assert sorted(tm) == sorted(
+        portal.sitemap_index_url("trojmiasto", r) for r in PCFG.regions)
+    # parser: case-insensitive key, comments, junk lines
+    assert parse_robots_sitemaps(
+        "User-agent: *\nSITEMAP: https://h/s.xml # note\nnope\n"
+        "sitemap:https://h/t.xml\n") == ["https://h/s.xml",
+                                         "https://h/t.xml"]
+
+
+def test_robots_matcher_tolerates_sitemap_lines():
+    """The REP matcher must ignore the group-independent Sitemap lines
+    (RFC 9309: unknown/other records do not break groups)."""
+    from realestate_scraper_ray.state.robots import parse_robots_policy
+    portal = Portal(PCFG)
+    txt = portal.robots_txt(portal.host("otodom", "pomorskie"))
+    pol = parse_robots_policy(txt)
+    assert not pol.allowed("/private/x")
+    assert pol.allowed("/pl/oferta/mieszkanie-pomorskie-1-ID1000000001")
