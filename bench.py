@@ -69,7 +69,7 @@ HEADLINE_QUERIES = [
     "events_value_psi", "fk_integrity_audit",
     "corpus_inverted_index",
     "events_cdc_apply", "lineitem_key_skew", "events_chi2_independence",
-    "events_late_arrivals", "graph_kcore",
+    "events_late_arrivals", "graph_kcore", "dedup_containment",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

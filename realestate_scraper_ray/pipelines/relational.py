@@ -1432,6 +1432,46 @@ def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return out[["id_a", "id_b"]].astype("int64")
 
 
+# Asymmetric containment: a contained in b when |Sa∩Sb| >= τ·|Sa| —
+# same shingle semantics as the Jaccard oracles; τ=0.8 integer gate.
+_CONTAIN_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(tt, '\s+') AS w FROM t0 WHERE tt <> ''),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    [array_to_string(list_slice(w, i, i + 2), ' ') FOR i IN range(1, len(w) - 1)])) AS s
+  FROM toks WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a AS contained_id, id_b AS container_id,
+       CAST(i AS BIGINT) AS inter_n, CAST(ca.n AS BIGINT) AS n_contained
+FROM inter JOIN cnt ca ON ca.doc_id = id_a
+WHERE i * 1000 >= 800 * ca.n
+ORDER BY contained_id, container_id
+"""
+
+
+@query("dedup_containment", _CONTAIN_SQL)
+def dedup_containment(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric containment near-dup (|Sa∩Sb| ≥ 0.8·|Sa|): the
+    subset-duplication detector symmetric Jaccard misses — a short doc
+    fully quoted inside a long one has tiny Jaccard but containment 1.
+    Prefix filter on the CONTAINED side against an all-token index of
+    potential containers (length blocking is unsound here: no size-
+    ratio bound exists), light candidate exchange, exact vectorized
+    verify (`stages/dedupe.py containment_pairs`)."""
+    from ..stages.dedupe import containment_pairs
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return containment_pairs(ds, "text", "doc_id", threshold=0.8)
+
+
 _SIMJOIN_SQL = r"""
 WITH t0 AS (
   SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents),

@@ -436,3 +436,51 @@ def test_similarity_join_integer_prefix_and_id_collision(ray_session):
         got.r_id, got.s_id, got.inter_n, got.union_n)}
     assert (0, 1, 7, 100) in rows       # J = 0.07 exactly, boundary
     assert (5, 5, 3, 3) in rows         # id collision across sides
+
+
+def test_containment_pairs_planted(ray_session):
+    """Asymmetric containment: a short doc quoted inside a long one has
+    tiny Jaccard but containment 1 — the case the symmetric ops miss.
+    Brute-force twin over every ordered pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from realestate_scraper_ray.functions.textstats import (
+        _hash_tokens_matrix,
+    )
+    from realestate_scraper_ray.stages.dedupe import containment_pairs
+
+    quoted = "alpha beta gamma delta epsilon zeta"
+    long_doc = ("intro words here " + quoted
+                + " and a very long tail of unrelated filler text "
+                + " ".join(f"w{i}" for i in range(40)))
+    docs = {
+        1: quoted,                      # contained in 2
+        2: long_doc,                    # container
+        3: "totally different content about something else entirely",
+        4: quoted,                      # exact dup of 1: mutual containment
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(docs), "text": list(docs.values())}))
+    got = containment_pairs(ds, "text", "doc_id", threshold=0.8)
+    got_pairs = set(zip(got["contained_id"], got["container_id"]))
+
+    # brute force over ordered pairs
+    hs = {i: np.unique(h) for i, h in zip(
+        docs, _hash_tokens_matrix(list(docs.values()), 3))}
+    exp = set()
+    for a in docs:
+        for b in docs:
+            if a == b or len(hs[a]) == 0:
+                continue
+            inter = len(np.intersect1d(hs[a], hs[b]))
+            if inter * 1000 >= 800 * len(hs[a]):
+                exp.add((a, b))
+    assert got_pairs == exp
+    assert (1, 2) in got_pairs          # quoted-inside detected
+    assert (2, 1) not in got_pairs      # asymmetry holds
+    assert (1, 4) in got_pairs and (4, 1) in got_pairs  # dups mutual
+    # the jaccard of (1,2) is below 0.5 — symmetric ops would miss it
+    j = len(np.intersect1d(hs[1], hs[2])) / len(np.union1d(hs[1], hs[2]))
+    assert j < 0.5
