@@ -2362,21 +2362,42 @@ def crawl_trap_guard(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _verified_engine_table(name: str, keys: list[str],
+                           cols: list[str] | None = None) -> pd.DataFrame:
+    """Engine output table, verified in-process against the sequential
+    oracle BEFORE it is returned (r5: every crawl row fails loudly on
+    divergence) — the return shape stays the raw table so downstream
+    consumers are unchanged."""
+    from .crawlverify import comparison, finish
+    res = _crawl_result()
+    orc = _crawl_oracle_cached("res", _entry_pcfg(), _entry_ccfg())
+    got = res.table(name if name != "urls" else "urls").to_pandas()
+    exp = pd.DataFrame(getattr(orc, name))
+    finish(f"crawl_{name}", [comparison(name, got, exp, keys, cols)])
+    return got
+
+
 @query("crawl_urls")
 def crawl_urls(sf_dir: str) -> pd.DataFrame:
-    t = _crawl_result().table("urls").to_pandas()
+    t = _verified_engine_table(
+        "urls", ["source", "region", "page_idx", "pos"],
+        ["offer_url", "offer_id", "source", "region", "page_idx", "pos"])
     return t.sort_values(["source", "region", "page_idx", "pos"]).reset_index(drop=True)
 
 
 @query("crawl_offers")
 def crawl_offers(sf_dir: str) -> pd.DataFrame:
-    t = _crawl_result().table("offers").to_pandas()
+    t = _verified_engine_table(
+        "offers", ["source", "region", "page_idx", "pos"],
+        ["offer_id", "source", "url", "price_amount", "price_currency",
+         "price_per_m2", "city", "lat", "lon", "area_m2", "rooms"])
     return t.sort_values(["source", "region", "page_idx", "pos"]).reset_index(drop=True)
 
 
 @query("crawl_photos")
 def crawl_photos(sf_dir: str) -> pd.DataFrame:
-    t = _crawl_result().table("photos").to_pandas()
+    t = _verified_engine_table("photos", ["offer_id", "seq"],
+                               ["offer_id", "seq", "url"])
     return t.sort_values(["offer_id", "seq"]).reset_index(drop=True)
 
 
@@ -2516,14 +2537,41 @@ def crawl_media(sf_dir: str) -> pd.DataFrame:
     return finish("crawl_media", rows)
 
 
-@query("crawl_spatial_neardup")  # non-SQL: verified vs brute-force in tests
+@query("crawl_spatial_neardup")  # non-SQL: self-verifying vs brute force
 def crawl_spatial_neardup(sf_dir: str) -> pd.DataFrame:
     """J2: the reference's backend duplicate check (50 m radius, price
     ±100, area ±1.0, backend.py:58-93) as a grid-bucketed distributed
-    self-join over the crawled offers (stages/geo.py)."""
-    from ..stages.geo import spatial_neardup_pairs
-    offers = rd.from_arrow(_crawl_result().table("offers"))
+    self-join over the crawled offers (stages/geo.py). SELF-VERIFYING:
+    the distributed pair set must equal an O(n²) brute-force pass over
+    the same offers (offer-scale, bounded), raising on divergence."""
+    from ..stages.geo import haversine_m, spatial_neardup_pairs
+    from .crawlverify import CrawlVerificationError
+    offers_t = _crawl_result().table("offers")
+    offers = rd.from_arrow(offers_t)
     rows = spatial_neardup_pairs(offers).take_all()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    df = offers_t.to_pandas()
+    exp = set()
+    lat = df["lat"].to_numpy()
+    lon = df["lon"].to_numpy()
+    pr = df["price_amount"].to_numpy()
+    ar = df["area_m2"].to_numpy()
+    oid = df["offer_id"].to_numpy()
+    for i in range(len(df)):
+        ok = ((np.abs(pr - pr[i]) <= 100.0)
+              & (np.abs(ar - ar[i]) <= 1.0))
+        ok[i] = False
+        if ok.any():
+            d = haversine_m(np.full(ok.sum(), lat[i]),
+                            np.full(ok.sum(), lon[i]),
+                            lat[ok], lon[ok])
+            for j in np.flatnonzero(ok)[d <= 50.0]:
+                a, b = sorted([oid[i], oid[j]])
+                exp.add((a, b))
+    if got_pairs != exp:
+        raise CrawlVerificationError(
+            f"crawl_spatial_neardup: engine pair set diverged from "
+            f"brute force ({len(got_pairs ^ exp)} differing pairs)")
     if not rows:
         return pd.DataFrame({"id_a": pd.Series(dtype=str),
                              "id_b": pd.Series(dtype=str),
@@ -2532,25 +2580,58 @@ def crawl_spatial_neardup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-@query("crawl_reverse_geocode")  # non-SQL: stateful actor-pool lookup stage
+@query("crawl_reverse_geocode")  # non-SQL: self-verifying vs brute argmin
 def crawl_reverse_geocode(sf_dir: str) -> pd.DataFrame:
     """ST5/J7: nearest-gazetteer-city actor pool over crawled offers
-    (reference loads a k-d tree at import, trojmiasto.py:7, 343-354)."""
-    from ..stages.geo import reverse_geocode
-    offers = rd.from_arrow(_crawl_result().table("offers"))
+    (reference loads a k-d tree at import, trojmiasto.py:7, 343-354).
+    SELF-VERIFYING: the actor-pool result must equal a sequential
+    haversine argmin over the same centroids, raising on divergence."""
+    from ..stages.geo import CITY_CENTROIDS, haversine_m, reverse_geocode
+    from .crawlverify import CrawlVerificationError
+    offers_t = _crawl_result().table("offers")
+    offers = rd.from_arrow(offers_t)
     out = pa.Table.from_pylist(
         reverse_geocode(offers).select_columns(
             ["offer_id", "city_pred", "city_dist_m"]).take_all()).to_pandas()
-    return out.sort_values("offer_id").reset_index(drop=True)
+    out = out.sort_values("offer_id").reset_index(drop=True)
+    names = np.array(list(CITY_CENTROIDS.keys()))
+    pts = np.array(list(CITY_CENTROIDS.values()), np.float64)
+    df = (offers_t.select(["offer_id", "lat", "lon"]).to_pandas()
+          .sort_values("offer_id").reset_index(drop=True))
+    d = haversine_m(df["lat"].to_numpy()[:, None],
+                    df["lon"].to_numpy()[:, None],
+                    pts[None, :, 0], pts[None, :, 1])
+    idx = np.argmin(d, axis=1)
+    exp_city = names[idx]
+    exp_dist = np.round(d[np.arange(len(idx)), idx], 1)
+    if (list(out["city_pred"]) != list(exp_city)
+            or not np.allclose(out["city_dist_m"], exp_dist)):
+        raise CrawlVerificationError(
+            "crawl_reverse_geocode: actor-pool result diverged from "
+            "the sequential haversine argmin")
+    return out
 
 
 @query("crawl_coverage_ratio")  # non-SQL: over crawl outputs
 def crawl_coverage_ratio(sf_dir: str) -> pd.DataFrame:
     """A5: parsed/discovered coverage per source — the reference's
-    measurement-campaign metric (mierzalnosc_excel.py urls ⟕ offers)."""
+    measurement-campaign metric (mierzalnosc_excel.py urls ⟕ offers).
+    SELF-VERIFYING (r5): the per-source counts must equal the
+    sequential oracle's, raising on divergence."""
+    from collections import Counter
+
+    from .crawlverify import CrawlVerificationError
     res = _crawl_result()
+    orc = _crawl_oracle_cached("res", _entry_pcfg(), _entry_ccfg())
     urls = res.table("urls").to_pandas().groupby("source").size()
     offers = res.table("offers").to_pandas().groupby("source").size()
+    exp_u = Counter(r["source"] for r in orc.urls)
+    exp_o = Counter(r["source"] for r in orc.offers)
+    if (dict(urls) != dict(exp_u)) or (dict(offers) != dict(exp_o)):
+        raise CrawlVerificationError(
+            "crawl_coverage_ratio: per-source counts diverged from the "
+            f"sequential oracle (urls {dict(urls)} vs {dict(exp_u)}; "
+            f"offers {dict(offers)} vs {dict(exp_o)})")
     out = pd.DataFrame({"n_discovered": urls, "n_parsed": offers}).fillna(0)
     out["coverage"] = (out["n_parsed"] / out["n_discovered"]).round(4)
     return (out.reset_index().astype({"n_discovered": "int64",
@@ -2587,12 +2668,15 @@ def crawl_geocode(sf_dir: str) -> pd.DataFrame:
     return finish("crawl_geocode", rows)
 
 
-@query("crawl_geo_snap")  # non-SQL: broadcast-join snap stage
+@query("crawl_geo_snap")  # non-SQL: self-verifying vs a sequential twin
 def crawl_geo_snap(sf_dir: str) -> pd.DataFrame:
     """J4/J5: broadcast geocode-cache join + >800 m snap
-    (morizon.py:472-487) over crawled offers."""
+    (morizon.py:472-487) over crawled offers. SELF-VERIFYING: the
+    distributed snap must equal a sequential per-row replay of the
+    same cache + distance rule, raising on divergence."""
     from ..sources.synth_portal import _unit
-    from ..stages.geo import snap_geo
+    from ..stages.geo import haversine_m, snap_geo
+    from .crawlverify import comparison, finish
     offers_t = _crawl_result().table("offers")
     cities = sorted(set(offers_t["city"].to_pylist()))
     cache = {c: (round(49.3 + _unit(11, "glat", c) * 5.3, 6),
@@ -2600,7 +2684,23 @@ def crawl_geo_snap(sf_dir: str) -> pd.DataFrame:
     out = pa.Table.from_pylist(
         snap_geo(rd.from_arrow(offers_t), cache).select_columns(
             ["offer_id", "lat", "lon", "geo_snapped"]).take_all()).to_pandas()
-    return out.sort_values("offer_id").reset_index(drop=True)
+    out = out.sort_values("offer_id").reset_index(drop=True)
+    exp_rows = []
+    df = offers_t.select(["offer_id", "city", "lat", "lon"]).to_pandas()
+    for r in df.itertuples():
+        pt = cache.get(r.city)
+        lat, lon, snapped = float(r.lat), float(r.lon), False
+        if pt is not None:
+            d = float(haversine_m(np.array([lat]), np.array([lon]),
+                                  np.array([pt[0]]), np.array([pt[1]]))[0])
+            if d > 800.0:
+                lat, lon, snapped = pt[0], pt[1], True
+        exp_rows.append({"offer_id": r.offer_id, "lat": lat,
+                         "lon": lon, "geo_snapped": snapped})
+    finish("crawl_geo_snap", [comparison(
+        "geo_snap", out, pd.DataFrame(exp_rows), ["offer_id"],
+        ["offer_id", "lat", "lon", "geo_snapped"])])
+    return out
 
 
 # ---------------------------------------------------------------------------
