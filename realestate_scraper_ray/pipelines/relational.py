@@ -2345,19 +2345,34 @@ def crawl_trap_guard(sf_dir: str) -> pd.DataFrame:
     (session-id chains that mint unbounded new URLs — exact dedup can
     never stop them) crawled with the URL-shape guard
     (CrawlConfig.max_query_params). Returns the trapped audit table;
-    termination is the query returning at all, and engine≡oracle under
-    the guard is pytest-gated (tests/test_trap.py)."""
+    termination is the query returning at all. SELF-VERIFYING (r5):
+    the guarded crawl's URL-seen set and offers must equal the
+    sequential oracle's under the same trap config (raises on
+    divergence); full chain semantics stay pytest-gated
+    (tests/test_trap.py)."""
     from ..config import CrawlConfig, PortalConfig
     from .crawl import run_crawl
+    from .crawlverify import comparison, finish, set_comparison
+    pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
+                        page_size_scale=0.2, trap_per_mille=80)
+    ccfg = CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 12,
+                       fetch_batch_size=64, max_query_params=3)
     if "trap" not in _CRAWL_CACHE:
-        workdir = _fresh_workdir("/tmp/rsr_entry_crawl_trap")
-        pcfg = PortalConfig(regions=("pomorskie",), base_pages=2,
-                            page_size_scale=0.2, trap_per_mille=80)
         _CRAWL_CACHE["trap"] = run_crawl(
-            pcfg, CrawlConfig(urlseen_shards=2, urlseen_capacity=1 << 12,
-                              fetch_batch_size=64, max_query_params=3),
-            workdir)
-    out = _CRAWL_CACHE["trap"].table("trapped").to_pandas()
+            pcfg, ccfg, _fresh_workdir("/tmp/rsr_entry_crawl_trap"))
+    res = _CRAWL_CACHE["trap"]
+    orc = _crawl_oracle_cached("trap", pcfg, ccfg)
+    finish("crawl_trap_guard", [
+        set_comparison("url_seen",
+                       set(res.table("urls")["offer_url"].to_pylist()),
+                       {r["offer_url"] for r in orc.urls}),
+        comparison("offers", res.table("offers").to_pandas(),
+                   pd.DataFrame(orc.offers),
+                   ["source", "region", "page_idx", "pos"],
+                   ["offer_id", "source", "url", "price_amount",
+                    "city", "area_m2", "rooms"]),
+    ])
+    out = res.table("trapped").to_pandas()
     return (out.sort_values(["source", "region", "page_idx", "url"])
             .reset_index(drop=True))
 
