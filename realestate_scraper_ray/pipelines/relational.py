@@ -7170,6 +7170,81 @@ def events_value_psi(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUSUM drift alarm: the sequential change-detection twin of PSI —
+# cumulative positive deviation of daily volume from its mean, with
+# the classic closed form S_t = R_t − min(0, min_{j≤t} R_j) that turns
+# the stateful recursion into window algebra (integer-exact).
+# ---------------------------------------------------------------------------
+
+_CUSUM_H = 8
+
+_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_id,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ k AS (SELECT event_type, CAST(CEIL(AVG(n)) AS BIGINT) AS kk
+       FROM daily GROUP BY 1),
+ r AS (SELECT d.event_type, day_id, n,
+       SUM(n - kk) OVER (PARTITION BY d.event_type ORDER BY day_id) AS rs
+       FROM daily d JOIN k USING (event_type)),
+ s AS (SELECT event_type, day_id, n,
+       rs - LEAST(0, MIN(rs) OVER (PARTITION BY event_type ORDER BY day_id
+                                   ROWS UNBOUNDED PRECEDING)) AS cusum
+       FROM r)
+SELECT event_type, day_id, n, CAST(cusum AS BIGINT) AS cusum,
+       cusum >= {_CUSUM_H} AS alarm
+FROM s ORDER BY event_type, day_id
+"""
+
+
+@query("events_cusum_alarm", _CUSUM_SQL)
+def events_cusum_alarm(sf_dir: str) -> pd.DataFrame:
+    """CUSUM volume-drift alarm per event type: S_t = max(0, S_{{t-1}}
+    + (n_t − k)) over daily counts with k = ⌈per-type mean⌉, alarm at
+    S ≥ 8 — the sequential change detector next to the PSI
+    distribution test. ONE combiner-first exchange of (type, day, n)
+    partials; the CUSUM itself runs on the driver over the
+    calendar-bounded daily table (days × types, never event-scale) via
+    the closed form S_t = R_t − min(0, min_{{j≤t}} R_j) — identical
+    integer algebra to the SQL window form."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        p = pa.table({"event_type": t["event_type"], "day_id": day})
+        return p.group_by(["event_type", "day_id"]).aggregate(
+            [([], "count_all")])
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "day_id"])
+             .aggregate(Sum("count_all", alias_name="n"))
+             .to_pandas()
+             .sort_values(["event_type", "day_id"])
+             .reset_index(drop=True))
+    out_rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        n = g["n"].to_numpy().astype(np.int64)
+        kk = int(math_ceil_div_mean(n))
+        rs = np.cumsum(n - kk)
+        runmin = np.minimum.accumulate(rs)
+        cusum = rs - np.minimum(0, runmin)
+        for d, nn, s in zip(g["day_id"], n, cusum):
+            out_rows.append({"event_type": et, "day_id": int(d),
+                             "n": int(nn), "cusum": int(s),
+                             "alarm": bool(s >= _CUSUM_H)})
+    return pd.DataFrame(out_rows)
+
+
+def math_ceil_div_mean(n: np.ndarray) -> int:
+    """⌈mean⌉ in exact integer arithmetic (no float AVG drift):
+    ceil(sum/len) = (sum + len − 1) // len for positive counts —
+    matches SQL CEIL(AVG(n)) on integer inputs."""
+    return (int(n.sum()) + len(n) - 1) // len(n)
+
+
+# ---------------------------------------------------------------------------
 # Referential-integrity audit across every FK edge of the star schema
 # (the constraint-validation side of the data-quality family).
 # ---------------------------------------------------------------------------
