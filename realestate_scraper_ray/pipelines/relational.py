@@ -7988,6 +7988,12 @@ def graph_kcore(sf_dir: str) -> pd.DataFrame:
              .repartition(8).materialize())
         if b.count() == n_edges:  # fixpoint: further rounds are no-ops
             break
+    if b.count() == 0:
+        # the peel can empty the graph entirely (k above every core
+        # number — sf0.001's tiny graph does this); the SQL oracle
+        # returns zero rows there too
+        return pd.DataFrame({"node": pd.Series([], dtype="object"),
+                             "degree": pd.Series([], dtype="int64")})
     out = (b.groupby("src").aggregate(Count(alias_name="degree"))
            .to_pandas())
     return (out.rename(columns={"src": "node"})
