@@ -70,7 +70,7 @@ HEADLINE_QUERIES = [
     "corpus_inverted_index",
     "events_cdc_apply", "lineitem_key_skew", "events_chi2_independence",
     "events_late_arrivals", "graph_kcore", "dedup_containment",
-    "events_cusum_alarm",
+    "events_cusum_alarm", "events_sliding_distinct",
 ]
 
 # Bench-scale portal: broad (many regions ⇒ many hosts — the axis a

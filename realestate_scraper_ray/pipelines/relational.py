@@ -7170,6 +7170,92 @@ def events_value_psi(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window DISTINCT count: the windowed-aggregate family member
+# a plain sliding COUNT can't express — distinct is not subtractable,
+# so the engine replicates each event into the windows it serves
+# (bounded fan-out = window/slide) and runs ONE distinct exchange.
+# ---------------------------------------------------------------------------
+
+_SLIDE_W_H = 6  # 6-hour window, 1-hour slide
+
+_SLIDE_DISTINCT_SQL = f"""
+WITH hrs AS (SELECT DISTINCT CAST(epoch_us(ts)//3600000000 AS BIGINT) AS h
+             FROM events)
+SELECT w.h AS window_hour,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM hrs w JOIN events e
+  ON CAST(epoch_us(e.ts)//3600000000 AS BIGINT)
+     BETWEEN w.h - {_SLIDE_W_H - 1} AND w.h
+GROUP BY w.h ORDER BY w.h
+"""
+
+
+@query("events_sliding_distinct", _SLIDE_DISTINCT_SQL)
+def events_sliding_distinct(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per 6-hour sliding window (1-hour slide,
+    anchored at hours that have events): COUNT DISTINCT has no
+    subtractable window form, so each event replicates into the ≤6
+    windows it serves (fan-out bounded by window/slide — the standard
+    sliding-distinct trade), per-batch (window, user) partials dedup
+    map-side, and ONE 32-bucket hash exchange finishes the global
+    distinct with a vectorized per-bucket fold emitting (window,
+    partial-count) — window-scale rows to the driver, never
+    user-scale. Anchors restrict to event-bearing hours via a
+    broadcast of the (calendar-bounded) hour set."""
+    ds = _pq(sf_dir, "events", ["ts", "user_id"])
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"h": np.unique(us // 3_600_000_000)})
+
+    anchors = np.unique(np.concatenate([
+        t["h"].to_numpy(zero_copy_only=False)
+        for t in ray.get(ds.map_batches(hour_partial,
+                                        batch_format="pyarrow")
+                         .materialize().to_arrow_refs())
+        if t.num_rows]))
+    anchors_ref = ray.put(anchors)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        anch = ray.get(anchors_ref)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eh = us // 3_600_000_000
+        ws, ids = [], []
+        for d in range(_SLIDE_W_H):
+            w = eh + d
+            keep = np.isin(w, anch)
+            ws.append(w[keep])
+            ids.append(uid[keep])
+        w = np.concatenate(ws)
+        u = np.concatenate(ids)
+        # map-side distinct on packed (window, user): hour anchors fit
+        # 21 bits until year ~2240, leaving 42 bits for user ids (4.4e12
+        # users) — asserted, not assumed
+        assert u.size == 0 or (u.max() < (1 << 42) and u.min() >= 0)
+        key = np.unique((w << np.int64(42)) | u)
+        w, u = key >> 42, key & ((1 << 42) - 1)
+        b = (((key.astype(np.uint64) * mult) >> np.uint64(40))
+             % np.uint64(32)).astype(np.int64)
+        return pa.table({"b": b, "w": w, "u": u})
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["b"]))
+        out = (df.unique(["w", "u"]).group_by("w")
+               .agg(pl.len().cast(pl.Int64).alias("n")))
+        return out.to_arrow()
+
+    parts = (ds.map_batches(replicate, batch_format="pyarrow")
+             .groupby("b").map_groups(fold, batch_format="pyarrow")
+             .to_pandas().groupby("w")["n"].sum())
+    return pd.DataFrame({
+        "window_hour": parts.index.astype("int64"),
+        "n_users": parts.to_numpy().astype("int64")}).sort_values(
+        "window_hour").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # CUSUM drift alarm: the sequential change-detection twin of PSI —
 # cumulative positive deviation of daily volume from its mean, with
 # the classic closed form S_t = R_t − min(0, min_{j≤t} R_j) that turns
